@@ -1,0 +1,71 @@
+"""Grouped cohort statistics + union-back (SURVEY.md §2.4, A1-A3).
+
+``grouped_stats`` runs ONE aggregation pass computing every requested
+statistic for every measure — a single shuffle on the grouping keys with
+map-side partial aggregation (Catalyst's partial+final hash agg).  The
+reference runs two separate pandas groupbys (assets.py:366-367); fusing them
+halves the shuffle volume, which matters when the fact table is 100 TB.
+
+Median is exact (`F.median`, Spark ≥3.4).  At extreme scale swap in
+``percentile_approx(c, 0.5, accuracy)`` — the golden-check budget is
+rel_tol=1e-3 (reference asset_checks.py:60), well within approx reach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .setops import union_by_name
+
+
+def grouped_stats(
+    df: DataFrame,
+    group_keys: list[str],
+    stat_cols: list[str],
+    stats: tuple[str, ...] = ("median", "mean"),
+) -> dict[str, DataFrame]:
+    """Compute grouped statistics for every stat column in one shuffle.
+
+    Returns {stat_name: DataFrame[group_keys..., stat_cols...]} — the fused
+    aggregate is computed once and each per-stat view is a cheap projection.
+    """
+    agg_exprs = []
+    for c in stat_cols:
+        for s in stats:
+            fn = {"median": F.median, "mean": F.avg}[s]
+            agg_exprs.append(fn(F.col(c)).alias(f"__{s}__{c}"))
+    fused = df.groupBy(*group_keys).agg(*agg_exprs)
+    out = {}
+    for s in stats:
+        out[s] = fused.select(
+            *group_keys, *[F.col(f"__{s}__{c}").alias(c) for c in stat_cols]
+        )
+    return out
+
+
+def append_cohort_stats(
+    fact: DataFrame,
+    group_keys: list[str],
+    stat_cols: list[str],
+    exclude_filter=None,
+    stat_labels: dict[str, str] | None = None,
+    label_col: str = "state_code",
+    scope_col: str = "state_scope",
+    scope_value: str = "stats",
+) -> DataFrame:
+    """derive_stats' A1-A3 composite: grouped median+mean over the non-rollup
+    rows, stamped with pseudo-key labels, unioned back into the fact table
+    by name with missing columns null (reference assets.py:359-376).
+    """
+    stat_labels = stat_labels or {"median": "US-median", "mean": "US-mean"}
+    base = fact.filter(exclude_filter) if exclude_filter is not None else fact
+    per_stat = grouped_stats(base, group_keys, stat_cols, tuple(stat_labels))
+    frames = [fact]
+    for stat, label in stat_labels.items():
+        frames.append(
+            per_stat[stat]
+            .withColumn(label_col, F.lit(label))
+            .withColumn(scope_col, F.lit(scope_value))
+        )
+    return union_by_name(frames)

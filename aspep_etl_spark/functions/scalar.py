@@ -51,7 +51,8 @@ def cleanse_numeric(col: Column) -> Column:
     s = F.regexp_replace(col.cast("string"), ",", "")
     s = F.regexp_replace(s, "[−–—]", "-")  # − – — → -
     s = F.regexp_replace(s, r"^\((.+)\)$", "-$1")
-    return s.cast("double")
+    # try_cast = pandas errors="coerce" under Spark's default ANSI mode
+    return s.try_cast("double")
 
 
 def safe_ratio(numer: Column, denom: Column) -> Column:

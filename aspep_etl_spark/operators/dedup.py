@@ -1,0 +1,210 @@
+"""[EXT] Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash (SURVEY.md §2.11; driver mandate).
+
+Scale design
+------------
+- Exact dedup is a hash aggregation on the identity key — one shuffle.
+- Near-dup candidate generation is the classic shingle→bucket→self-join:
+  quadratic work is confined to rows sharing a bucket.  ``max_shingle_df``
+  drops ultra-common shingles (stopword shingles bucket half the corpus
+  together; at 100 TB that's the difference between a join and a cross
+  join).
+- All hashing is ``xxhash64`` — deterministic, JVM-side, seedable through
+  an extra hash argument, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import WORD_RE
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per identity-key group."""
+    return df.groupBy(*keys).agg(
+        F.min(F.col(id_col)).alias(id_col), F.count("*").alias("dup_count")
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with array ops (split → transform(sequence) → slice) — one
+    map-only stage, then explode.  Documents shorter than n words yield no
+    shingles.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    grams = F.when(
+        F.size(F.col("__words")) >= n,
+        F.expr(
+            f"transform(sequence(0, size(__words) - {n}), "
+            f"i -> array_join(slice(__words, i + 1, {n}), ' '))"
+        ),
+    ).otherwise(F.array(F.lit("")).cast("array<string>"))
+    return (
+        df.select(F.col(id_col), words.alias("__words"))
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ threshold).
+
+    |A∩B| from a shingle self-join, |A∪B| = |A|+|B|-|A∩B| from per-doc
+    distinct shingle counts.  ``max_shingle_df`` frequency-caps candidate
+    generation (scale path; changes recall, documented).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(keep.select("shingle"), "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """MinHash signature per document: num_perm seeded-xxhash64 minima over
+    the shingle set — one explode + one grouped aggregation."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band signatures bucket candidates, then
+    candidates are verified with exact Jaccard estimated from the full
+    signature (fraction of agreeing permutations ≥ threshold).
+
+    The only join is on (band, band_hash) — at scale each bucket holds a
+    handful of docs, so candidate volume stays near-linear.
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)])
+        .alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *[F.col(f"mh_{i}") for i in range(num_perm)], *band_cols)
+
+    bands_long = banded.select(
+        id_col,
+        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig"),
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band", "band_hash"
+        ),
+    )
+    left = bands_long.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
+    )
+    right = bands_long.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(num_perm), 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s — the per-bit ±1
+    vote runs as one array aggregate, no Python."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    votes = F.expr(
+        "transform(sequence(0, 63), b -> "
+        "aggregate(__th, 0, (acc, h) -> acc + CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    bits = F.expr(
+        "aggregate(zip_with(sequence(0, 63), __votes, (b, v) -> "
+        "CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), 0L, (acc, x) -> acc | x)"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__th", F.expr("transform(__toks, t -> xxhash64(t))"))
+        .withColumn("__votes", votes)
+        .select(F.col(id_col), bits.alias("simhash64"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    Brute-force self-join baseline; the LSH-bucketed variant in
+    ``similarity.py`` is the 100 TB path.
+    """
+    from .similarity import with_norm, cosine_expr
+
+    v = with_norm(df, id_col, vec_col)
+    a = v.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -51,7 +51,7 @@ def append_cohort_stats(
     exclude_filter=None,
     stat_labels: dict[str, str] | None = None,
     label_col: str = "state_code",
-    scope_col: str = "state_scope",
+    scope_col: str | None = "state_scope",
     scope_value: str = "stats",
 ) -> DataFrame:
     """derive_stats' A1-A3 composite: grouped median+mean over the non-rollup
@@ -63,9 +63,8 @@ def append_cohort_stats(
     per_stat = grouped_stats(base, group_keys, stat_cols, tuple(stat_labels))
     frames = [fact]
     for stat, label in stat_labels.items():
-        frames.append(
-            per_stat[stat]
-            .withColumn(label_col, F.lit(label))
-            .withColumn(scope_col, F.lit(scope_value))
-        )
+        stat_df = per_stat[stat].withColumn(label_col, F.lit(label))
+        if scope_col is not None:
+            stat_df = stat_df.withColumn(scope_col, F.lit(scope_value))
+        frames.append(stat_df)
     return union_by_name(frames)

@@ -1,0 +1,100 @@
+"""[EXT] Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §2.11; driver mandate).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` — regexes,
+array ops, hashes — so the hot path stays inside whole-stage codegen and
+scales linearly with no Python boundary.  Each builder returns Column
+expressions; the contract queries compose them over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A word: letters/digits run.  Kept deliberately RE2-compatible so DuckDB
+# oracles can mirror it exactly.
+WORD_RE = "[a-z0-9]+"
+
+# Tiny function-word inventories for the n-gram/stopword language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/alnum token count via one regex pass."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0))
+
+
+def bpe_ish_piece_count(text: Column) -> Column:
+    """BPE-ish sub-token proxy: alnum runs + standalone punctuation marks,
+    the classic pre-tokenizer split.  A real BPE vocab lookup would be a
+    pandas UDF; this regex pass is the JVM-side approximation."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+|[^a-z0-9\\s]"), 0)
+    )
+
+
+def stopword_count(text: Column, stopwords: list[str]) -> Column:
+    pattern = "\\b(" + "|".join(stopwords) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals (all codegen)."""
+    n_chars = F.length(text)
+    toks = token_count(text)
+    alnum_space = F.length(F.regexp_replace(F.lower(text), "[^a-z0-9 ]", ""))
+    stop = stopword_count(text, LANG_MARKERS["en"])
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": toks.cast("long"),
+        "punct_ratio": F.round((n_chars - alnum_space) / n_chars, 4),
+        "stopword_ratio": F.round(stop / F.greatest(toks, F.lit(1)), 4),
+        "mean_token_len": F.round(
+            F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+            / F.greatest(toks, F.lit(1)),
+            4,
+        ),
+    }
+
+
+# Tie-break priority for the language vote (first = wins ties).
+LANG_PRIORITY = ("en", "es", "de", "fr")
+
+
+def langid_scores(text: Column) -> Column:
+    """Deterministic marker-word language vote: the language whose function
+    words appear most often wins; `und` when nothing matches.  Ties break by
+    LANG_PRIORITY order — processing in priority order with a strict `>`
+    means later (lower-priority) languages only displace a strictly higher
+    score."""
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in LANG_PRIORITY:
+        score = stopword_count(text, LANG_MARKERS[lang])
+        take = score > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical document fingerprint: md5 over the lowercased text with
+    everything but alnum removed — whitespace/punct-insensitive identity."""
+    return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full text-analysis projection over a documents table — single
+    map-only stage, no shuffle."""
+    t = F.col(text_col)
+    cols = quality_metrics(t)
+    cols["pred_lang"] = langid_scores(t)
+    cols["fingerprint"] = fingerprint(t)
+    cols["n_pieces"] = bpe_ish_piece_count(t).cast("long")
+    return docs.withColumns(cols)

@@ -1,0 +1,872 @@
+"""Driver-contract queries: every SURVEY.md §2 operator exercised on the
+driver's TPC-H-ish testdata, each with a DuckDB oracle twin.
+
+Each entry in ``SPARK_QUERIES`` is ``name -> fn(spark, sf_dir) -> DataFrame``
+built from the engine's own operator library (this is what proves the
+operators, not ad-hoc SQL).  ``ORACLE_SQL`` holds the ANSI-SQL twin DuckDB
+runs over the same parquet (driver registers tables as views).  Ops whose
+semantics SQL can't express (LSH, streaming, KMeans-IVF, binary plumbing)
+have no oracle → the driver records a rows-only check.
+
+Engine-parity notes baked into every oracle:
+- every aggregate/computed column aliased identically on both sides;
+- doubles rounded (2dp money, 4dp ratios) on both sides so value-hash
+  comparison is immune to summation-order noise;
+- DuckDB ``SUM(int)`` returns HUGEINT and ``RANK()`` BIGINT — oracles cast
+  to match Spark's types exactly;
+- regex semantics kept RE2∩Java-compatible; DuckDB `regexp_replace` needs
+  the explicit 'g' flag to match Spark's global default;
+- cosine math uses double-precision `list_dot_product(x::DOUBLE[], ...)`
+  (DuckDB's `list_cosine_similarity` computes in float32 and diverges at
+  the 7th decimal — enough to flip a rounded 4dp value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import cleanse_numeric, safe_ratio
+from ..operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from ..operators.filters import filter_significant
+from ..operators.multimodal import documents_as_media, extract_media_features
+from ..operators.recode import broadcast_dim_join, recode_values
+from ..operators.setops import union_by_name
+from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.stats import append_cohort_stats, grouped_stats
+from ..operators.text import analyze_documents, fingerprint, langid_scores, quality_metrics
+from ..operators.windows import cohort_ranks, signed_delta_ranks, yoy_deltas
+from ..streaming.events import hourly_rollup_batch, run_streaming_rollup
+
+
+from ..sources.registry import load_table as _t  # (spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Core relational queries (SURVEY.md §2.2-2.8 on TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped flagship aggregation (A2/F6/P5)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1999-12-31")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)::BIGINT                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-31'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """Join + agg + deterministic top-k (TPC-H Q3-shaped)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """Multi-dim broadcast join chain: revenue per region/nation (J1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        li.join(F.broadcast(dims.select("s_suppkey", "n_name", "r_name")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def flagship_ratio_rank(spark, sf_dir):
+    """ASPEP minimum-slice shape (SURVEY.md §7): safe-ratio metric + cohort
+    rank — pay_per_unit per (supplier, returnflag), ranked in the
+    returnflag cohort with null-parity min-ties rank (F7 + W3 + A2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey", "l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+    agg = agg.withColumn(
+        "pay_per_unit", F.round(safe_ratio(F.col("total_price"), F.col("total_qty")), 4)
+    )
+    ranked = cohort_ranks(agg, ["l_returnflag"], ["pay_per_unit"])
+    return ranked.select(
+        "l_suppkey", "l_returnflag", "total_price", "total_qty", "pay_per_unit",
+        "pay_per_unit_rank",
+    )
+
+
+_FLAGSHIP_SQL = """
+WITH agg AS (
+  SELECT l_suppkey, l_returnflag,
+         round(sum(l_extendedprice), 2) AS total_price,
+         round(sum(l_quantity), 2)      AS total_qty
+  FROM lineitem GROUP BY l_suppkey, l_returnflag
+), m AS (
+  SELECT *, CASE WHEN total_qty <> 0 THEN round(total_price / total_qty, 4) END AS pay_per_unit
+  FROM agg
+)
+SELECT l_suppkey, l_returnflag, total_price, total_qty, pay_per_unit,
+       CASE WHEN pay_per_unit IS NOT NULL THEN
+         CAST(RANK() OVER (PARTITION BY l_returnflag, (pay_per_unit IS NULL)
+                           ORDER BY pay_per_unit DESC) AS DOUBLE)
+       END AS pay_per_unit_rank
+FROM m
+"""
+
+
+def p5_date_range_filter(spark, sf_dir):
+    """Half-open range predicate pushed to the parquet scan (P5)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+_P5_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+"""
+
+
+def p8_significance_filter(spark, sf_dir):
+    """Row-wise max-abs significance filter (P8/A4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return filter_significant(li, ["l_quantity", "l_discount", "l_tax"], threshold=45.0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+_P8_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE greatest(abs(l_quantity), abs(l_discount), abs(l_tax)) > 45.0
+"""
+
+
+def f5_numeric_cleanse(spark, sf_dir):
+    """Dirty-numeric cleanse (F5): commas, unicode minus, accounting
+    negatives, junk→null — over deterministically dirtied strings."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("int").cast("string")
+    dirty = (
+        F.when(F.col("l_linenumber") % 4 == 0, F.concat(q, F.lit(","), q, F.lit("00")))
+        .when(F.col("l_linenumber") % 4 == 1, F.concat(F.lit("("), q, F.lit(")")))
+        .when(F.col("l_linenumber") % 4 == 2, F.concat(F.lit("−"), q))
+        .otherwise(F.lit("N/A"))
+    )
+    d = li.withColumn("cleansed", cleanse_numeric(dirty))
+    return d.groupBy("l_returnflag").agg(
+        F.round(F.sum("cleansed"), 2).alias("sum_clean"),
+        F.count("cleansed").alias("n_parsed"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_F5_SQL = """
+WITH dirty AS (
+  SELECT l_returnflag,
+         CASE
+           WHEN l_linenumber % 4 = 0 THEN CAST(l_quantity AS INT)::VARCHAR || ',' || CAST(l_quantity AS INT)::VARCHAR || '00'
+           WHEN l_linenumber % 4 = 1 THEN '(' || CAST(l_quantity AS INT)::VARCHAR || ')'
+           WHEN l_linenumber % 4 = 2 THEN '−' || CAST(l_quantity AS INT)::VARCHAR
+           ELSE 'N/A'
+         END AS s
+  FROM lineitem
+), cleansed AS (
+  SELECT l_returnflag,
+         TRY_CAST(
+           regexp_replace(
+             regexp_replace(replace(s, ',', ''), '[−–—]', '-', 'g'),
+             '^\\((.+)\\)$', '-\\1')
+         AS DOUBLE) AS v
+  FROM dirty
+)
+SELECT l_returnflag,
+       round(sum(v), 2)   AS sum_clean,
+       count(v)::BIGINT   AS n_parsed,
+       count(*)::BIGINT   AS n_rows
+FROM cleansed GROUP BY l_returnflag
+"""
+
+
+def f7_safe_ratio(spark, sf_dir):
+    """Zero-guarded division (F7): null on zero divisor, never inf."""
+    li = _t(spark, sf_dir, "lineitem")
+    denom = F.col("l_quantity") - 25
+    # No rounding: a single IEEE divide is bit-identical across engines,
+    # while decimal rounding of a .5-ulp boundary is not.
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        safe_ratio(F.col("l_extendedprice"), denom).alias("price_per_excess_unit"),
+    )
+
+
+_F7_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN (l_quantity - 25) <> 0
+            THEN l_extendedprice / (l_quantity - 25) END AS price_per_excess_unit
+FROM lineitem
+"""
+
+
+def j1_broadcast_dim_join(spark, sf_dir):
+    """Broadcast dim lookup chain (J1): customer → nation → region."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nkey"), F.col("n_name"), F.col("n_regionkey")
+    )
+    region = _t(spark, sf_dir, "region")
+    dim = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+    joined = cust.join(F.broadcast(dim), cust.c_nationkey == dim.nkey, "left")
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+    )
+
+
+_J1_SQL = """
+SELECT r_name, n_name,
+       count(*)::BIGINT             AS n_customers,
+       round(sum(c_acctbal), 2)     AS total_acctbal,
+       round(avg(c_acctbal), 4)     AS avg_acctbal
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def j2_recode_passthrough(spark, sf_dir):
+    """Map-side value recode with pass-through on miss (J2/J3)."""
+    cust = _t(spark, sf_dir, "customer")
+    seg = recode_values(
+        F.col("c_mktsegment"),
+        {"BUILDING": "bldg", "AUTOMOBILE": "auto", "MACHINERY": "mach"},
+    )
+    return cust.withColumn("segment", seg).groupBy("segment").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+_J2_SQL = """
+SELECT CASE c_mktsegment
+         WHEN 'BUILDING' THEN 'bldg'
+         WHEN 'AUTOMOBILE' THEN 'auto'
+         WHEN 'MACHINERY' THEN 'mach'
+         ELSE c_mktsegment END AS segment,
+       count(*)::BIGINT AS n_customers
+FROM customer GROUP BY 1
+"""
+
+
+def a1_grouped_median(spark, sf_dir):
+    """Fused exact grouped median + mean in one shuffle (A1/A2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = grouped_stats(
+        li, ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice"]
+    )
+    med, mean = per["median"], per["mean"]
+    m = med.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity", 4).alias("median_qty"),
+        F.round("l_extendedprice", 4).alias("median_price"),
+    )
+    a = mean.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity", 4).alias("mean_qty"),
+        F.round("l_extendedprice", 4).alias("mean_price"),
+    )
+    return m.join(a, ["l_returnflag", "l_linestatus"])
+
+
+_A1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(median(l_quantity), 4)      AS median_qty,
+       round(median(l_extendedprice), 4) AS median_price,
+       round(avg(l_quantity), 4)         AS mean_qty,
+       round(avg(l_extendedprice), 4)    AS mean_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def a3_stats_union_back(spark, sf_dir):
+    """derive_stats shape on TPC-H (A1-A3+U1): per-cohort stat rows appended
+    into the fact with pseudo-key labels."""
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    out = append_cohort_stats(
+        fact,
+        group_keys=["l_returnflag"],
+        stat_cols=["sum_qty", "sum_price"],
+        stat_labels={"median": "ALL-median", "mean": "ALL-mean"},
+        label_col="l_linestatus",
+        scope_col=None,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("sum_price", 4).alias("sum_price"),
+    )
+
+
+_A3_SQL = """
+WITH fact AS (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2)      AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+), med AS (
+  SELECT l_returnflag, 'ALL-median' AS l_linestatus,
+         median(sum_qty) AS sum_qty, median(sum_price) AS sum_price
+  FROM fact GROUP BY l_returnflag
+), mn AS (
+  SELECT l_returnflag, 'ALL-mean' AS l_linestatus,
+         avg(sum_qty) AS sum_qty, avg(sum_price) AS sum_price
+  FROM fact GROUP BY l_returnflag
+)
+SELECT l_returnflag, l_linestatus,
+       round(sum_qty, 4) AS sum_qty, round(sum_price, 4) AS sum_price
+FROM (SELECT * FROM fact UNION ALL SELECT * FROM med UNION ALL SELECT * FROM mn)
+"""
+
+
+def w1_lag_deltas(spark, sf_dir):
+    """Positional lag pct/abs deltas per cohort (W1/W2) — pandas
+    ``pct_change``/``diff`` parity over (customer) ordered order history."""
+    o = _t(spark, sf_dir, "orders")
+    d = yoy_deltas(
+        o,
+        cohort_keys=["o_custkey"],
+        order_keys=["o_orderdate", "o_orderkey"],
+        metric_cols=["o_totalprice"],
+    )
+    return d.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice_1yr_pct", 4).alias("d1_pct"),
+        F.round("o_totalprice_5yr_pct", 4).alias("d4_pct"),
+        F.round("o_totalprice_1yr_abs", 4).alias("d1_abs"),
+        F.round("o_totalprice_5yr_abs", 4).alias("d4_abs"),
+    )
+
+
+_W1_SQL = """
+WITH lagged AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         LAG(o_totalprice, 1) OVER w AS p1,
+         LAG(o_totalprice, 4) OVER w AS p4
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN p1 <> 0 THEN round(o_totalprice / p1 - 1, 4) END AS d1_pct,
+       CASE WHEN p4 <> 0 THEN round(o_totalprice / p4 - 1, 4) END AS d4_pct,
+       round(o_totalprice - p1, 4) AS d1_abs,
+       round(o_totalprice - p4, 4) AS d4_abs
+FROM lagged
+"""
+
+
+def w3_rank_null_parity(spark, sf_dir):
+    """Min-ties descending rank with pandas null semantics (W3): nulls
+    unranked, excluded from the count."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.withColumn("disc_nz", F.nullif(F.col("l_discount"), F.lit(0.0)))
+    ranked = cohort_ranks(d, ["l_suppkey"], ["disc_nz"])
+    return ranked.select("l_orderkey", "l_linenumber", "l_suppkey", "disc_nz", "disc_nz_rank")
+
+
+_W3_SQL = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       nullif(l_discount, 0.0) AS disc_nz,
+       CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN
+         CAST(RANK() OVER (PARTITION BY l_suppkey, (nullif(l_discount, 0.0) IS NULL)
+                           ORDER BY nullif(l_discount, 0.0) DESC) AS DOUBLE)
+       END AS disc_nz_rank
+FROM lineitem
+"""
+
+
+def w4_signed_ranks(spark, sf_dir):
+    """Directional sign-partitioned ranks (W4): positives desc, negatives asc."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.withColumn("qty_delta", F.col("l_quantity") - 25)
+    ranked = signed_delta_ranks(d, ["l_suppkey"], ["qty_delta"])
+    return ranked.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "qty_delta",
+        "qty_delta_pos_rank", "qty_delta_neg_rank",
+    )
+
+
+_W4_SQL = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       l_quantity - 25 AS qty_delta,
+       CASE WHEN l_quantity - 25 > 0 THEN
+         CAST(RANK() OVER (PARTITION BY l_suppkey
+                           ORDER BY (CASE WHEN l_quantity - 25 > 0 THEN l_quantity - 25 END)
+                           DESC NULLS LAST) AS DOUBLE)
+       END AS qty_delta_pos_rank,
+       CASE WHEN l_quantity - 25 < 0 THEN
+         CAST(RANK() OVER (PARTITION BY l_suppkey
+                           ORDER BY (CASE WHEN l_quantity - 25 < 0 THEN l_quantity - 25 END)
+                           ASC NULLS LAST) AS DOUBLE)
+       END AS qty_delta_neg_rank
+FROM lineitem
+"""
+
+
+def u1_union_by_name(spark, sf_dir):
+    """Union-by-name with missing-column→null alignment (U1)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    b = o.filter(F.col("o_orderstatus") != "O").select("o_orderkey", "o_orderstatus")
+    return union_by_name([a, b])
+
+
+_U1_SQL = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL BY NAME
+SELECT o_orderkey, o_orderstatus
+FROM orders WHERE o_orderstatus <> 'O'
+"""
+
+
+def o1_topk_sort(spark, sf_dir):
+    """Total-order top-k (O1 + LIMIT): deterministic via full tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("l_extendedprice")
+        )
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+    )
+
+
+_O1_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# [EXT] dedup / text / similarity / events
+# ---------------------------------------------------------------------------
+
+def dedup_exact_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = exact_dedup(docs, ["text"], "doc_id")
+    return out.select(
+        "doc_id", F.col("dup_count").cast("long").alias("dup_count"), F.md5("text").alias("text_hash")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count, md5(text) AS text_hash
+FROM documents GROUP BY text
+"""
+
+
+def dedup_ngram_jaccard_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM tri a JOIN tri b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.05
+"""
+
+
+def text_quality_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+_TEXT_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS alnum_space,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|a|is)\\b')) AS stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round((n_chars - alnum_space) / n_chars, 4)     AS punct_ratio,
+       round(stop / greatest(n_tokens, 1), 4)          AS stopword_ratio,
+       round(alnum / greatest(n_tokens, 1), 4)         AS mean_token_len
+FROM base
+"""
+
+
+def text_langid_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", langid_scores(F.col("text")).alias("pred_lang"))
+
+
+_TEXT_LANGID_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|a|is)\\b'))  AS s_en,
+         len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y)\\b'))   AS s_es,
+         len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def text_fingerprint_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_TEXT_FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def ann_cosine_topk_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("knn_rank").cast("long").alias("knn_rank")
+    )
+
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+s AS (
+  SELECT qid, nid,
+         round(list_dot_product(qe, ne) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))), 4) AS cosine
+  FROM q, c WHERE qid <> nid
+), r AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS knn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, knn_rank::BIGINT AS knn_rank
+FROM r WHERE knn_rank <= 5
+"""
+
+
+def dedup_embedding_cosine_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    # The synthetic embeddings top out at cosine ≈ 0.51; 0.4 exercises the
+    # threshold path with a non-trivial result set.
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+_EMB_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+FROM v a, v b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4
+"""
+
+
+def events_hourly_rollup_q(spark, sf_dir):
+    return hourly_rollup_batch(_t(spark, sf_dir, "events"))
+
+
+_EVENTS_ROLLUP_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_latest_per_user_q(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", F.col("ts").cast("string").alias("ts_str"))
+    )
+
+
+_EVENTS_LATEST_SQL = """
+SELECT user_id, event_id, event_type, value, CAST(ts AS VARCHAR) AS ts_str
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def events_sessionize_q(spark, sf_dir):
+    """Gap-based sessionization (30 min) — LAG + running SUM, the batch twin
+    of a stateful streaming session window."""
+    e = _t(spark, sf_dir, "events").withColumn("ts_s", F.col("ts").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flag = F.when(
+        F.lag("ts_s").over(w).isNull() | (F.col("ts_s") - F.lag("ts_s").over(w) > 1800), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = e.withColumn("session_id", F.sum(flag).over(run))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.col("ts").cast("string")).alias("session_start"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+_EVENTS_SESSION_SQL = """
+WITH t AS (
+  SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), flagged AS (
+  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL OR ts_s - LAG(ts_s) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       CAST(min(ts) AS VARCHAR) AS session_start,
+       round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --- rows-only entries (no SQL-expressible oracle) -------------------------
+
+def dedup_minhash_lsh_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.2)
+
+
+def dedup_simhash_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+def multimodal_features_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return extract_media_features(documents_as_media(docs))
+
+
+def ann_ivf_topk_q(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+
+
+def streaming_hourly_rollup_q(spark, sf_dir):
+    return run_streaming_rollup(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "flagship_ratio_rank": flagship_ratio_rank,
+    "p5_date_range_filter": p5_date_range_filter,
+    "p8_significance_filter": p8_significance_filter,
+    "f5_numeric_cleanse": f5_numeric_cleanse,
+    "f7_safe_ratio": f7_safe_ratio,
+    "j1_broadcast_dim_join": j1_broadcast_dim_join,
+    "j2_recode_passthrough": j2_recode_passthrough,
+    "a1_grouped_median": a1_grouped_median,
+    "a3_stats_union_back": a3_stats_union_back,
+    "w1_lag_deltas": w1_lag_deltas,
+    "w3_rank_null_parity": w3_rank_null_parity,
+    "w4_signed_ranks": w4_signed_ranks,
+    "u1_union_by_name": u1_union_by_name,
+    "o1_topk_sort": o1_topk_sort,
+    "dedup_exact": dedup_exact_q,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "text_quality": text_quality_q,
+    "text_langid": text_langid_q,
+    "text_fingerprint": text_fingerprint_q,
+    "ann_cosine_topk": ann_cosine_topk_q,
+    "dedup_embedding_cosine": dedup_embedding_cosine_q,
+    "events_hourly_rollup": events_hourly_rollup_q,
+    "events_latest_per_user": events_latest_per_user_q,
+    "events_sessionize": events_sessionize_q,
+    # rows-only (non-SQL-expressible)
+    "dedup_minhash_lsh": dedup_minhash_lsh_q,
+    "dedup_simhash": dedup_simhash_q,
+    "multimodal_features": multimodal_features_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
+    "streaming_hourly_rollup": streaming_hourly_rollup_q,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_top_orders": _Q3_SQL,
+    "q5_region_revenue": _Q5_SQL,
+    "flagship_ratio_rank": _FLAGSHIP_SQL,
+    "p5_date_range_filter": _P5_SQL,
+    "p8_significance_filter": _P8_SQL,
+    "f5_numeric_cleanse": _F5_SQL,
+    "f7_safe_ratio": _F7_SQL,
+    "j1_broadcast_dim_join": _J1_SQL,
+    "j2_recode_passthrough": _J2_SQL,
+    "a1_grouped_median": _A1_SQL,
+    "a3_stats_union_back": _A3_SQL,
+    "w1_lag_deltas": _W1_SQL,
+    "w3_rank_null_parity": _W3_SQL,
+    "w4_signed_ranks": _W4_SQL,
+    "u1_union_by_name": _U1_SQL,
+    "o1_topk_sort": _O1_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "text_quality": _TEXT_QUALITY_SQL,
+    "text_langid": _TEXT_LANGID_SQL,
+    "text_fingerprint": _TEXT_FINGERPRINT_SQL,
+    "ann_cosine_topk": _ANN_SQL,
+    "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
+    "events_hourly_rollup": _EVENTS_ROLLUP_SQL,
+    "events_latest_per_user": _EVENTS_LATEST_SQL,
+    "events_sessionize": _EVENTS_SESSION_SQL,
+}

@@ -1,0 +1,85 @@
+"""[EXT] Structured Streaming ingestion path (SURVEY.md §2.9).
+
+The reference is purely batch; the engine adds an optional micro-batch
+path over the ``events`` table: ``readStream`` → watermark → tumbling
+window aggregation.  The same aggregation is exposed in batch form
+(``hourly_rollup_batch``) so correctness is oracle-checkable; the streaming
+variant runs the identical logical plan through the streaming engine with
+`availableNow` (bounded backfill, the production pattern for catch-up runs).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _rollup(events: DataFrame, streaming: bool) -> DataFrame:
+    e = events
+    if streaming:
+        # 2h watermark: late events beyond it are dropped from open windows.
+        e = e.withWatermark("ts", "2 hours")
+    agg = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").cast("string").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def hourly_rollup_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the streaming rollup (oracle-checkable)."""
+    return _rollup(events, streaming=False)
+
+
+def run_streaming_rollup(spark: SparkSession, events_path: str) -> DataFrame:
+    """Run the rollup through Structured Streaming with Trigger.AvailableNow
+    and return the materialized result.
+
+    Uses a memory sink in complete mode — fine for a bounded verification
+    run; production would `writeStream.format("delta").outputMode("append")`
+    with the watermark bounding state.
+    """
+    from pyspark.sql import types as T
+
+    # The driver's events parquet stores ts as TIMESTAMP(NANOS); read nanos
+    # as long and rebuild a microsecond timestamp (see sources/registry.py).
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    # File-stream sources need a directory: stream the parent dir with a
+    # glob filter when handed a single file.
+    if os.path.isfile(events_path):
+        base, fname = os.path.dirname(events_path), os.path.basename(events_path)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+        )
+    else:
+        stream = spark.readStream.schema(static.schema).parquet(events_path)
+    if isinstance(static.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = _rollup(stream, streaming=True)
+    name = "events_hourly_rollup_stream"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

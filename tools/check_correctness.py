@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Local simulation of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 and compares it with its
+``oracle_sql()`` DuckDB twin: row count, column set, and an
+order-insensitive value comparison (exact string match after sorting, plus
+a float-tolerant fallback report so near-misses are distinguishable from
+real bugs).
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
+    """(exact, close, detail)"""
+    if list(a.columns) != list(b.columns):
+        return False, False, f"columns {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return False, False, f"rows {len(a)} vs {len(b)}"
+    exact = True
+    close = True
+    detail = ""
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            avn = av.astype(float).to_numpy()
+            bvn = bv.astype(float).to_numpy()
+            nan_ok = np.isnan(avn) == np.isnan(bvn)
+            eq = (avn == bvn) | (np.isnan(avn) & np.isnan(bvn))
+            cl = nan_ok & (np.isclose(avn, bvn, rtol=1e-6, atol=1e-9) | (np.isnan(avn) & np.isnan(bvn)))
+            if not eq.all():
+                exact = False
+                if not cl.all():
+                    close = False
+                    i = int(np.argmax(~cl))
+                    detail += f" [{c}] row{i}: {avn[i]!r} vs {bvn[i]!r};"
+        else:
+            av2, bv2 = av.astype(str), bv.astype(str)
+            if not (av2 == bv2).all():
+                exact = False
+                close = False
+                i = int((av2 != bv2).idxmax())
+                detail += f" [{c}] row{i}: {av2[i]!r} vs {bv2[i]!r};"
+    return exact, close, detail
+
+
+def main(names: list[str]) -> int:
+    import __spark_entry__ as contract
+    from aspep_etl_spark.session import get_spark
+
+    qs = contract.queries()
+    oracles = contract.oracle_sql()
+    targets = names or list(qs)
+
+    spark = get_spark(app_name="check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    failures = []
+    for name in targets:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name:28s} spark error: {exc}")
+            continue
+        if name not in oracles:
+            status = "ROWS" if len(sdf) >= 0 else "FAIL"
+            print(f"{status}  {name:28s} rows={len(sdf)} (rows-only, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name:28s} duckdb error: {exc}")
+            continue
+        exact, close, detail = value_match(canon(sdf), canon(odf))
+        if exact:
+            print(f"OK    {name:28s} rows={len(sdf)} exact ({time.time()-t0:.1f}s)")
+        elif close:
+            print(f"CLOSE {name:28s} rows={len(sdf)} within 1e-6 but not exact ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name:28s}{detail[:300]}")
+    spark.stop()
+    print(f"\n{len(targets) - len(failures)}/{len(targets)} pass; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -62,6 +62,19 @@ STAT_EXCLUDE_COLS = (
 DELTA_SUFFIXES = ("_1yr_pct", "_5yr_pct", "_1yr_abs", "_5yr_abs")
 
 
+def aspep_raw_schema() -> T.StructType:
+    """Adapter output before normalization: canonical names + year stamp,
+    no derived dims yet (those come from ``plans.normalize_fact``)."""
+    fields = [
+        T.StructField("index", T.LongType(), True),
+        T.StructField("state", T.StringType(), True),
+        T.StructField("gov_function", T.StringType(), True),
+        T.StructField("year", T.IntegerType(), True),
+    ]
+    fields += [T.StructField(c, T.DoubleType(), True) for c in MEASURE_COLS]
+    return T.StructType(fields)
+
+
 def aspep_fact_schema() -> T.StructType:
     """Canonical long/tidy fact table, grain (state_code, gov_function, year)."""
     fields = [

@@ -1,0 +1,64 @@
+"""Sinks: canonical parquet store + JSON-array artifact publisher
+(SURVEY.md §2.1 S8/S9, §7.6).
+
+The canonical store is partitioned parquet — ``partitionBy("year")`` gives
+partition pruning for every year-ranged query (P5) and bounds file sizes at
+any scale.  The reference's durable artifact is a pretty-printed JSON
+*array* (pandas ``to_json(orient="records", indent=4)``,
+assets.py:325,380,486) — that is inherently a single-file, driver-side
+format, so the publisher collects (bounded by publish-time row counts, not
+pipeline scale) and writes it with the same shape.  S3 publishing reuses
+the same writers against ``s3a://`` URIs via the Hadoop S3A connector —
+gzip happens through codec/ContentEncoding configuration, ACLs through
+bucket policy (reference's upload_file_to_s3, assets.py:75-113).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_canonical_store(
+    df: DataFrame, path: str, partition_col: str = "year", mode: str = "overwrite"
+) -> None:
+    """Write the canonical fact table as year-partitioned parquet."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def _json_scalar(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    return v
+
+
+def write_json_array(df: DataFrame, path: str, indent: int = 4) -> str:
+    """Publish a DataFrame as one pretty-printed JSON array file.
+
+    Byte-shape parity with the reference artifact (orient="records",
+    indent=4); NaN/inf → null so the output is strict JSON (the reference's
+    ujson emitted bare NaN, which stdlib json only tolerates on read).
+    Driver-side by design — never use for pipeline-scale data.
+    """
+    records = [
+        {k: _json_scalar(v) for k, v in row.asDict().items()} for row in df.collect()
+    ]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(records, f, indent=indent, default=str)
+    return path
+
+
+def gzip_publish(local_path: str) -> str:
+    """Gzip a text artifact for upload with ContentEncoding=gzip
+    (reference assets.py:91-97)."""
+    out = f"{local_path}.gz"
+    with open(local_path, "rb") as f_in, gzip.open(out, "wb") as f_out:
+        f_out.writelines(f_in)
+    return out

@@ -1,0 +1,102 @@
+"""[EXT] operator unit tests: dedup family, similarity, text analysis,
+multimodal plumbing — small handcrafted inputs with known answers."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aspep_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    shingles,
+    simhash,
+)
+from aspep_etl_spark.operators.multimodal import documents_as_media, extract_media_features
+from aspep_etl_spark.operators.similarity import brute_force_topk
+from aspep_etl_spark.operators.text import analyze_documents
+
+
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s", 44),  # near-dup of 1
+        (3, "completely different content here about spark engines", "en", "s", 52),
+        (4, "the quick brown fox jumps over the lazy dog", "en", "s", 44),  # exact dup of 1
+        (5, "el perro y el gato y la casa", "es", "s", 28),
+        (6, "xy", "und", "s", 2),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs(spark), ["text"], "doc_id").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 2          # survivor is min(doc_id) of {1,4}
+    assert 4 not in by_id
+    assert by_id[2] == 1
+
+
+def test_shingles_short_doc_empty(spark):
+    sh = shingles(docs(spark), "doc_id", "text", 3)
+    assert sh.filter(F.col("doc_id") == 6).count() == 0
+    assert sh.filter(F.col("doc_id") == 1).count() == 7  # 9 words → 7 trigrams
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(docs(spark), "doc_id", "text", 3, threshold=0.4).collect()}
+    assert pairs[(1, 4)] == 1.0          # exact dup
+    assert 0.4 <= pairs[(1, 2)] < 1.0    # near-dup (last word differs)
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_catches_exact_and_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             minhash_lsh_pairs(docs(spark), "doc_id", "text", 3, 64, 16, 0.4).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs  # high estimated jaccard via shared bands
+
+
+def test_simhash_identical_texts_equal_hash(spark):
+    out = {r["doc_id"]: r["simhash64"] for r in simhash(docs(spark), "doc_id", "text").collect()}
+    assert out[1] == out[4]
+    # near-dup should be close in hamming distance
+    ham = bin((out[1] ^ out[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham <= 16
+    ham_far = bin((out[1] ^ out[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham_far > ham
+
+
+def test_brute_force_topk_self_excluded_and_ordered(spark):
+    rows = [(i, [float(i == j) for j in range(4)], 0) for i in range(4)]
+    rows.append((10, [1.0, 0.1, 0.0, 0.0], 0))  # closest to vec 0
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor_id"], r["knn_rank"]) for r in out.collect()]
+    assert got[0][0] == 10 and got[0][1] == 1
+    assert all(n != 0 for n, _ in got)
+
+
+def test_analyze_documents_metrics(spark):
+    out = {r["doc_id"]: r for r in analyze_documents(docs(spark)).collect()}
+    d1 = out[1]
+    assert d1["n_tokens"] == 9
+    assert d1["pred_lang"] == "en"    # two "the"
+    assert out[5]["pred_lang"] == "es"
+    assert out[3]["pred_lang"] == "und"  # no marker words
+    assert out[1]["fingerprint"] == out[4]["fingerprint"]
+    assert d1["punct_ratio"] == 0.0
+    assert math.isclose(d1["mean_token_len"], round(35 / 9, 4), rel_tol=1e-6)
+
+
+def test_multimodal_plumbing(spark):
+    feats = extract_media_features(documents_as_media(docs(spark))).collect()
+    by_id = {r["asset_id"]: r for r in feats}
+    assert len(by_id) == 6
+    r1, r4 = by_id[1], by_id[4]
+    assert r1["content_hash"] == r4["content_hash"]  # same payload bytes
+    assert r1["n_bytes"] == 43
+    assert r1["modality"] == "image" and 64 <= r1["width"] < 256
+    assert r1["duration_ms"] is None

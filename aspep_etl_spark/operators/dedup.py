@@ -28,29 +28,33 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     )
 
 
-def shingles(
+def shingle_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
-
-    Built with array ops (split → transform(sequence) → slice) — one
-    map-only stage, then explode.  Documents shorter than n words yield no
-    shingles.
-    """
+    """Per-document distinct word-n-gram shingle array: (id, sh_arr,
+    n_shingles) — entirely map-side (no shuffle, no explode).  Documents
+    shorter than n words yield an empty array."""
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
     grams = F.when(
         F.size(F.col("__words")) >= n,
         F.expr(
-            f"transform(sequence(0, size(__words) - {n}), "
-            f"i -> array_join(slice(__words, i + 1, {n}), ' '))"
+            f"array_distinct(transform(sequence(0, size(__words) - {n}), "
+            f"i -> array_join(slice(__words, i + 1, {n}), ' ')))"
         ),
-    ).otherwise(F.array(F.lit("")).cast("array<string>"))
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
     return (
         df.select(F.col(id_col), words.alias("__words"))
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+        .select(F.col(id_col), grams.alias("sh_arr"))
+        .withColumn("n_shingles", F.size("sh_arr"))
     )
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct shingles per document as rows: (id, shingle)."""
+    arr = shingle_arrays(df, id_col, text_col, n)
+    return arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
 
 
 def jaccard_pairs(
@@ -67,20 +71,37 @@ def jaccard_pairs(
     distinct shingle counts.  ``max_shingle_df`` frequency-caps candidate
     generation (scale path; changes recall, documented).
     """
-    sh = shingles(df, id_col, text_col, n)
-    if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
-        sh = sh.join(keep.select("shingle"), "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    # Spread the regex-heavy shingle stage across all cores (a small file
+    # arrives as one input split) and persist it — it feeds both the size
+    # lookup and the posting-list build.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    arrs = shingle_arrays(df.repartition(par), id_col, text_col, n).persist()
+    sizes = arrs.select(F.col(id_col), F.col("n_shingles"))  # map-side, no agg
+    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    # Only shingles shared by ≥2 docs can produce a pair — pre-aggregating
+    # to posting lists prunes the singleton majority before pair generation
+    # and turns the self-join into ONE shuffle on `shingle`.
+    posting = sh.groupBy("shingle").agg(F.collect_list(id_col).alias("ids")).filter(
+        F.size("ids") >= 2
     )
+    if max_shingle_df is not None:
+        # Frequency cap (scale path): ultra-common shingles bucket half the
+        # corpus together; dropping them bounds pair fan-out at some recall
+        # cost.
+        posting = posting.filter(F.size("ids") <= max_shingle_df)
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array_sort(ids), (x, i) -> "
+                "transform(slice(array_sort(ids), i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
+
+    # Size lookups: one row per doc — NOT force-broadcast (at corpus scale
+    # that's billions of rows); AQE converts to broadcast when small.
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
@@ -101,13 +122,14 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
     """MinHash signature per document: num_perm seeded-xxhash64 minima over
-    the shingle set — one explode + one grouped aggregation."""
-    sh = shingles(df, id_col, text_col, n)
+    the shingle set — computed entirely map-side from the per-doc shingle
+    array (``array_min`` over a hash ``transform``), ZERO shuffles."""
+    arrs = shingle_arrays(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        F.array_min(F.expr(f"transform(sh_arr, s -> xxhash64(s, {i}))")).alias(f"mh_{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return arrs.select(F.col(id_col), *mins)
 
 
 def minhash_lsh_pairs(

@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the properties that make these plans scale —
+predicate pushdown into the parquet scan, column pruning, broadcast joins
+for dims, whole-stage codegen — pinned as tests so a regression is loud."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from aspep_etl_spark.plans import contract
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_p5_filter_pushed_to_scan(spark, sf):
+    plan = plan_of(contract.p5_date_range_filter(spark, sf))
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf):
+    plan = plan_of(contract.p5_date_range_filter(spark, sf))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema
+    assert "o_orderpriority" not in read_schema  # unused column pruned
+
+
+def test_j1_uses_broadcast_hash_join(spark, sf):
+    plan = plan_of(contract.j1_broadcast_dim_join(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_dim_chain_all_broadcast(spark, sf):
+    plan = plan_of(contract.q5_region_revenue(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_whole_stage_codegen_and_partial_agg(spark, sf):
+    df = contract.q1_pricing_summary(spark, sf)
+    # partial (map-side) aggregation before the exchange
+    assert plan_of(df).count("HashAggregate") >= 2
+    # whole-stage codegen subtrees exist (AQE hides them in formatted mode
+    # until the final plan, so ask codegen mode directly)
+    assert "WholeStageCodegen subtrees" in plan_of(df, mode="codegen")
+
+
+def test_flagship_single_exchange_for_rank(spark, sf):
+    plan = plan_of(contract.flagship_ratio_rank(spark, sf), mode="simple")
+    # agg on (suppkey, returnflag) then rank on (returnflag): 2 exchanges
+    assert plan.count("Exchange") <= 3
+    assert "Window" in plan
+
+
+def test_w1_deltas_one_window_pass(spark, sf):
+    plan = plan_of(contract.w1_lag_deltas(spark, sf), mode="simple")
+    # all 4 delta columns ride a single Window operator / single exchange
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1

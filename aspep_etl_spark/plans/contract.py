@@ -774,6 +774,189 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def p6_anti_filter(spark, sf_dir):
+    """Anti-filter a rollup label before cohort stats (P6 — the reference's
+    `state code != "US"` exclusion shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") != "N")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_P6_SQL = """
+SELECT l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n_rows
+FROM lineitem WHERE l_returnflag <> 'N' GROUP BY l_linestatus
+"""
+
+
+def p9_point_lookup(spark, sf_dir):
+    """Golden-row point lookup (P9): partition-prunable key predicates."""
+    from ..operators.filters import point_lookup
+
+    li = _t(spark, sf_dir, "lineitem")
+    return point_lookup(
+        li,
+        {"l_orderkey": 1, "l_returnflag": "A"},
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+
+_P9_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_orderkey = 1 AND l_returnflag = 'A'
+"""
+
+
+def f1_slugify(spark, sf_dir):
+    """Distributed slugify (F1) over part names."""
+    from ..functions.scalar import slugify_expr
+
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_partkey", slugify_expr(F.col("p_name")).alias("slug"))
+
+
+_F1_SQL = """
+SELECT p_partkey,
+       lower(regexp_replace(regexp_replace(trim(p_name), '\\s+', '_', 'g'),
+                            '[^a-zA-Z0-9_]', '', 'g')) AS slug
+FROM part
+"""
+
+
+def f3_dim_normalize(spark, sf_dir):
+    """Trim/lower normalize + uppercase code + conditional classify
+    (F3/F4/F8) over the nation dim."""
+    from ..functions.scalar import normalize_dim, upper_code
+
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        normalize_dim(F.col("n_name")).alias("norm_name"),
+        upper_code(normalize_dim(F.col("n_name"))).alias("code"),
+        F.when(F.col("n_regionkey") == 0, F.lit("home")).otherwise(F.lit("away")).alias("scope"),
+    )
+
+
+_F3_SQL = """
+SELECT n_nationkey,
+       lower(trim(n_name)) AS norm_name,
+       upper(lower(trim(n_name))) AS code,
+       CASE WHEN n_regionkey = 0 THEN 'home' ELSE 'away' END AS scope
+FROM nation
+"""
+
+
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan-side predicates, single global agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def agg_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (beyond the reference's surface — free in
+    Spark, exposed by the engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def j4_semi_anti_join(spark, sf_dir):
+    """Left-semi + left-anti joins (engine surface beyond the reference):
+    customers with vs without orders in a date window."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    on = cust.c_custkey == orders.o_custkey
+    with_orders = cust.join(orders, on, "left_semi").select(
+        "c_custkey", F.lit("active").alias("status")
+    )
+    without = cust.join(orders, on, "left_anti").select(
+        "c_custkey", F.lit("inactive").alias("status")
+    )
+    return union_by_name([with_orders, without])
+
+
+_J4_SQL = """
+WITH recent AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+SELECT c_custkey, 'active' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'inactive' AS status FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+"""
+
+
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct aggregation (beyond the reference's surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+_COUNT_DISTINCT_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey)::BIGINT AS n_suppliers,
+       count(DISTINCT l_partkey)::BIGINT AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def events_json_props(spark, sf_dir):
+    """JSON property extraction from the events props column ([EXT] — the
+    reference has no JSON functions)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.withColumn("k", k).groupBy("event_type").agg(
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.count("k").alias("n_with_k"),
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k,
+       max(json_extract(props, '$.k')::BIGINT)           AS max_k,
+       count(json_extract(props, '$.k'))::BIGINT         AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 def dedup_minhash_lsh_q(spark, sf_dir):
@@ -823,6 +1006,15 @@ SPARK_QUERIES = {
     "w4_signed_ranks": w4_signed_ranks,
     "u1_union_by_name": u1_union_by_name,
     "o1_topk_sort": o1_topk_sort,
+    "p6_anti_filter": p6_anti_filter,
+    "p9_point_lookup": p9_point_lookup,
+    "f1_slugify": f1_slugify,
+    "f3_dim_normalize": f3_dim_normalize,
+    "q6_revenue_delta": q6_revenue_delta,
+    "agg_rollup": agg_rollup,
+    "j4_semi_anti_join": j4_semi_anti_join,
+    "agg_count_distinct": agg_count_distinct,
+    "events_json_props": events_json_props,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "text_quality": text_quality_q,
@@ -859,6 +1051,15 @@ ORACLE_SQL = {
     "w4_signed_ranks": _W4_SQL,
     "u1_union_by_name": _U1_SQL,
     "o1_topk_sort": _O1_SQL,
+    "p6_anti_filter": _P6_SQL,
+    "p9_point_lookup": _P9_SQL,
+    "f1_slugify": _F1_SQL,
+    "f3_dim_normalize": _F3_SQL,
+    "q6_revenue_delta": _Q6_SQL,
+    "agg_rollup": _ROLLUP_SQL,
+    "j4_semi_anti_join": _J4_SQL,
+    "agg_count_distinct": _COUNT_DISTINCT_SQL,
+    "events_json_props": _EVENTS_JSON_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "text_quality": _TEXT_QUALITY_SQL,

@@ -739,15 +739,9 @@ FROM (
 def events_sessionize_q(spark, sf_dir):
     """Gap-based sessionization (30 min) — LAG + running SUM, the batch twin
     of a stateful streaming session window."""
-    e = _t(spark, sf_dir, "events").withColumn("ts_s", F.col("ts").cast("long"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flag = F.when(
-        F.lag("ts_s").over(w).isNull() | (F.col("ts_s") - F.lag("ts_s").over(w) > 1800), 1
-    ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s = e.withColumn("session_id", F.sum(flag).over(run))
+    from ..streaming.events import sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"), gap_seconds=1800)
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min(F.col("ts").cast("string")).alias("session_start"),

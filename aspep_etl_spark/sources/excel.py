@@ -165,7 +165,11 @@ def ingest_grids(
             continue
         try:
             if isinstance(raw, pd.DataFrame):
-                pdf = _to_canonical(tidy_2024_to_frame(raw), year)
+                raw_cols = set(schema.aspep_raw_schema().fieldNames())
+                if raw_cols <= set(raw.columns):
+                    pdf = raw[schema.aspep_raw_schema().fieldNames()]  # pre-canonicalized
+                else:
+                    pdf = _to_canonical(tidy_2024_to_frame(raw), year)
             else:
                 pdf = _to_canonical(legacy_grid_to_frame(raw, int(year)), year)
             frames.append(spark.createDataFrame(pdf, schema=schema.aspep_raw_schema()))

@@ -1,1 +1,1 @@
-from .events import hourly_rollup_batch, run_streaming_rollup  # noqa: F401
+from .events import hourly_rollup_batch, run_streaming_rollup, sessionize  # noqa: F401

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,31 @@ def _rollup(events: DataFrame, streaming: bool) -> DataFrame:
 def hourly_rollup_batch(events: DataFrame) -> DataFrame:
     """Batch twin of the streaming rollup (oracle-checkable)."""
     return _rollup(events, streaming=False)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the in-user gap
+    exceeds ``gap_seconds``.  LAG flags session starts, a running SUM
+    assigns ids — one shuffle on the user key, both window passes share it.
+
+    This is the batch twin of a session-window stateful stream
+    (``applyInPandasWithState`` / ``session_window`` would be the streaming
+    forms); epoch seconds are truncated (cast) so engines agree on
+    boundaries.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    ts_s = F.col(ts_col).cast("long")
+    flag = F.when(
+        F.lag(ts_s).over(w).isNull() | (ts_s - F.lag(ts_s).over(w) > gap_seconds), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_id", F.sum(flag).over(run))
 
 
 def run_streaming_rollup(spark: SparkSession, events_path: str) -> DataFrame:

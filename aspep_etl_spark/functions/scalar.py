@@ -35,9 +35,12 @@ def slugify_expr(col: Column) -> Column:
 
     The reference strips to ``[a-zA-Z0-9_]`` *before* its NFKD step, so
     accented characters are removed, not transliterated — `regexp_replace`
-    reproduces that exactly without a Python UDF.
+    reproduces that exactly without a Python UDF.  ``(?U)`` makes Java's
+    ``\\s`` unicode-aware like Python's (non-breaking/em spaces count as
+    whitespace), and the edge-trim regex replicates unicode ``str.strip()``.
     """
-    s = F.regexp_replace(F.trim(col.cast("string")), r"\s+", "_")
+    s = F.regexp_replace(col.cast("string"), r"(?U)(^\s+|\s+$)", "")
+    s = F.regexp_replace(s, r"(?U)\s+", "_")
     s = F.regexp_replace(s, r"[^a-zA-Z0-9_]", "")
     return F.lower(s)
 

@@ -951,6 +951,116 @@ FROM events GROUP BY event_type
 """
 
 
+def docs_quality_filter(spark, sf_dir):
+    """Training-data quality gate ([EXT]): keep documents passing the
+    length/stopword/token heuristics — the canonical pre-training filter
+    shape (filter is pure codegen; no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang",
+        m["n_tokens"].alias("n_tokens"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["mean_token_len"].alias("mean_token_len"),
+    )
+    return scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stopword_ratio") <= 0.35)
+        & (F.col("mean_token_len").between(2.0, 12.0))
+    )
+
+
+_DOCS_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|a|is)\\b')) AS stop,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, n_tokens,
+         round(stop / greatest(n_tokens, 1), 4)  AS stopword_ratio,
+         round(alnum / greatest(n_tokens, 1), 4) AS mean_token_len
+  FROM base
+)
+SELECT doc_id, lang, n_tokens, stopword_ratio, mean_token_len
+FROM scored
+WHERE n_tokens >= 20 AND stopword_ratio <= 0.35
+  AND mean_token_len BETWEEN 2.0 AND 12.0
+"""
+
+
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics ([EXT]): top-50 tokens by document
+    frequency with total counts — explode → two-level aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    stats = toks.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return stats.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
+
+
+_VOCAB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT doc_id)::BIGINT AS doc_freq
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 50
+"""
+
+
+def dedup_sweep(spark, sf_dir):
+    """End-to-end dedup sweep ([EXT]): drop exact dups (keep min id), then
+    drop any doc with a lower-id near-dup neighbor (n-gram Jaccard ≥ 0.5) —
+    the standard two-stage training-corpus dedup, returning survivors."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+    base = docs.join(survivors, "doc_id", "left_semi")
+    near = jaccard_pairs(base, "doc_id", "text", n=3, threshold=0.5)
+    to_drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = base.join(to_drop, "doc_id", "left_anti")
+    return kept.select("doc_id", F.md5("text").alias("text_hash"))
+
+
+_DEDUP_SWEEP_SQL = """
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+), base AS (
+  SELECT d.* FROM documents d JOIN survivors s USING (doc_id)
+), words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM base
+), tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM tri a JOIN tri b USING (sh) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), near AS (
+  SELECT id_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+)
+SELECT doc_id, md5(text) AS text_hash
+FROM base WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM near)
+"""
+
+
 # --- rows-only entries (no SQL-expressible oracle) -------------------------
 
 def dedup_minhash_lsh_q(spark, sf_dir):
@@ -1009,6 +1119,9 @@ SPARK_QUERIES = {
     "j4_semi_anti_join": j4_semi_anti_join,
     "agg_count_distinct": agg_count_distinct,
     "events_json_props": events_json_props,
+    "docs_quality_filter": docs_quality_filter,
+    "vocab_topk": vocab_topk,
+    "dedup_sweep": dedup_sweep,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "text_quality": text_quality_q,
@@ -1054,6 +1167,9 @@ ORACLE_SQL = {
     "j4_semi_anti_join": _J4_SQL,
     "agg_count_distinct": _COUNT_DISTINCT_SQL,
     "events_json_props": _EVENTS_JSON_SQL,
+    "docs_quality_filter": _DOCS_QUALITY_SQL,
+    "vocab_topk": _VOCAB_SQL,
+    "dedup_sweep": _DEDUP_SWEEP_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "text_quality": _TEXT_QUALITY_SQL,

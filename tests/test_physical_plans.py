@@ -65,6 +65,25 @@ def test_flagship_single_exchange_for_rank(spark, sf):
     assert "Window" in plan
 
 
+def test_canonical_store_partition_pruning(spark, tmp_path_factory):
+    """Year predicates prune partitions of the canonical store outright."""
+    import pandas as pd
+
+    from aspep_etl_spark.sinks import write_canonical_store
+
+    path = str(tmp_path_factory.mktemp("store") / "fact")
+    pdf = pd.DataFrame(
+        {"id": range(6), "year": [2003, 2003, 2004, 2004, 2005, 2005], "v": 1.0}
+    )
+    write_canonical_store(spark.createDataFrame(pdf), path)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).filter(F.col("year") == 2004)
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "year" in pf and "2004" in pf
+
+
 def test_w1_deltas_one_window_pass(spark, sf):
     plan = plan_of(contract.w1_lag_deltas(spark, sf), mode="simple")
     # all 4 delta columns ride a single Window operator / single exchange

@@ -1088,6 +1088,12 @@ def streaming_hourly_rollup_q(spark, sf_dir):
     return run_streaming_rollup(spark, f"{sf_dir}/events.parquet")
 
 
+def streaming_sessionize_q(spark, sf_dir):
+    from ..streaming.stateful import run_streaming_sessionize
+
+    return run_streaming_sessionize(spark, f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1138,6 +1144,7 @@ SPARK_QUERIES = {
     "multimodal_features": multimodal_features_q,
     "ann_ivf_topk": ann_ivf_topk_q,
     "streaming_hourly_rollup": streaming_hourly_rollup_q,
+    "streaming_sessionize": streaming_sessionize_q,
 }
 
 ORACLE_SQL = {

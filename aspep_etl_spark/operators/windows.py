@@ -56,6 +56,112 @@ def yoy_deltas(
     return df.withColumns(cols)
 
 
+def _schema_plus_doubles(df: DataFrame, new_cols: list[str]):
+    from pyspark.sql import types as T
+
+    fields = list(df.schema.fields) + [
+        T.StructField(c, T.DoubleType(), True) for c in new_cols
+    ]
+    return T.StructType(fields)
+
+
+def yoy_deltas_wide(
+    df: DataFrame,
+    cohort_keys: list[str],
+    order_keys: list[str],
+    metric_cols: list[str],
+    lags: tuple[int, ...] = (1, 4),
+    lag_labels: dict[int, str] | None = None,
+) -> DataFrame:
+    """Wide-fan-out twin of ``yoy_deltas`` as an Arrow-batched kernel.
+
+    Same single shuffle on the cohort keys, but above a few dozen derived
+    columns Catalyst plan/codegen time dominates the stacked-window
+    expression form — the kernel keeps the plan O(1) in column count.
+
+    Partition-level vectorization: rows are hash-partitioned by cohort and
+    sorted (cohort, order) within partitions; the kernel concatenates each
+    partition's Arrow batches once and computes every shift via pandas
+    ``groupby().shift()`` — vectorized across ALL cohorts simultaneously.
+    (A per-group ``applyInPandas`` costs ~10 ms of pandas overhead per
+    cohort — ruinous with thousands of small cohorts.)  Semantics identical
+    to ``yoy_deltas`` (pinned by the parity suite).
+    """
+    import numpy as np
+    import pandas as pd
+
+    lag_labels = lag_labels or {1: "1yr", 4: "5yr"}
+    new_cols = [
+        f"{c}_{lag_labels[k]}_{kind}" for c in metric_cols for k in lags for kind in ("pct", "abs")
+    ]
+    out_schema = _schema_plus_doubles(df, new_cols)
+    out_names = [f.name for f in out_schema.fields]
+
+    def kernel(batches):
+        parts = list(batches)  # whole partition: cohorts must not straddle batches
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        g = pdf.groupby(list(cohort_keys), sort=False, dropna=False)
+        add = {}
+        for c in metric_cols:
+            base = pdf[c].astype(float)
+            for k in lags:
+                lbl = lag_labels[k]
+                prev = g[c].shift(k).astype(float)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    pct = base / prev - 1
+                pct[(prev == 0) | np.isinf(pct)] = np.nan  # zero base → null
+                add[f"{c}_{lbl}_pct"] = pct
+                add[f"{c}_{lbl}_abs"] = base - prev
+        yield pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]
+
+    ordered = df.repartition(*cohort_keys).sortWithinPartitions(
+        *cohort_keys, *order_keys
+    )
+    return ordered.mapInPandas(kernel, schema=out_schema)
+
+
+def ranks_wide(
+    df: DataFrame,
+    cohort_keys: list[str],
+    rank_cols: list[str],
+    signed_cols: list[str],
+) -> DataFrame:
+    """Wide-fan-out twin of ``cohort_ranks`` + ``signed_delta_ranks``: one
+    shuffle on the cohort keys; ranks for every family computed via
+    partition-level pandas ``groupby().rank()`` — vectorized across all
+    cohorts in the partition at once (pandas ``rank(method="min")`` IS the
+    reference semantics)."""
+    import pandas as pd
+
+    new_cols = [f"{c}_rank" for c in rank_cols] + [
+        f"{c}{sfx}" for c in signed_cols for sfx in ("_pos_rank", "_neg_rank")
+    ]
+    out_schema = _schema_plus_doubles(df, new_cols)
+    out_names = [f.name for f in out_schema.fields]
+
+    def kernel(batches):
+        parts = list(batches)  # whole partition: cohorts must not straddle batches
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        keys = list(cohort_keys)
+        g = pdf.groupby(keys, sort=False, dropna=False)
+        add = {}
+        for c in rank_cols:
+            add[f"{c}_rank"] = g[c].rank(method="min", ascending=False)
+        for c in signed_cols:
+            v = pdf[c]
+            gb_pos = pdf[c].where(v > 0).groupby([pdf[k] for k in keys], dropna=False)
+            gb_neg = pdf[c].where(v < 0).groupby([pdf[k] for k in keys], dropna=False)
+            add[f"{c}_pos_rank"] = gb_pos.rank(method="min", ascending=False)
+            add[f"{c}_neg_rank"] = gb_neg.rank(method="min", ascending=True)
+        yield pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]
+
+    return df.repartition(*cohort_keys).mapInPandas(kernel, schema=out_schema)
+
+
 def _masked_rank(col, w_keys: list[str], ascending: bool, mask):
     """RANK() among rows satisfying ``mask``, null elsewhere.
 

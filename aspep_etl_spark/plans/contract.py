@@ -1061,7 +1061,33 @@ FROM base WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM near)
 """
 
 
-# --- rows-only entries (no SQL-expressible oracle) -------------------------
+def aspep_extended_pipeline(spark, sf_dir):
+    """The reference's core analytic chain end-to-end at benchmark scale:
+    an ASPEP-shaped fact derived from lineitem (supplier→state analog,
+    returnflag×linestatus→function, ship-year→year), then the full
+    derive_stats → derive_extended_stats fan-out (~150 derived columns over
+    two window shuffles).  Rows-only: the chain's cell-level semantics are
+    oracle-checked by the pandas-parity suite instead."""
+    from .pipeline import derive_extended_stats, derive_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    fact = (
+        li.groupBy(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("state_code"),
+            F.concat_ws("-", "l_returnflag", "l_linestatus").alias("gov_function"),
+            F.year("l_shipdate").alias("year"),
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_pay"),
+            F.round(F.sum("l_quantity"), 2).alias("ft_eq_employment"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("pt_pay"),
+            F.round(F.sum(F.col("l_quantity") * 8), 2).alias("pt_hour"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("ft_pay"),
+            F.count("*").cast("double").alias("ft_employment"),
+        )
+    )
+    stats = derive_stats(fact)
+    return derive_extended_stats(stats)
 
 def dedup_minhash_lsh_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
@@ -1145,6 +1171,7 @@ SPARK_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk_q,
     "streaming_hourly_rollup": streaming_hourly_rollup_q,
     "streaming_sessionize": streaming_sessionize_q,
+    "aspep_extended_pipeline": aspep_extended_pipeline,
 }
 
 ORACLE_SQL = {

@@ -87,16 +87,20 @@ def derive_stats(fact: DataFrame) -> DataFrame:
 
 
 def derive_extended_stats(
-    stats_df: DataFrame, persist_between_stages: bool = True
+    stats_df: DataFrame,
+    persist_between_stages: bool = True,
+    wide_kernel_threshold: int = 24,
 ) -> DataFrame:
     """YoY deltas + cohort and directional ranks + significance filter
     (reference assets.py:387-491).
 
     Plan shape: the delta stage shuffles on (state_code, gov_function); the
-    rank stage shuffles on (year, gov_function).  With ~9 base metrics this
-    fans out to ~150 derived columns; ``persist_between_stages`` cuts the
-    codegen graph between the two window families (SURVEY.md §7.5 — wide
-    plans can blow up whole-stage codegen).
+    rank stage shuffles on (year, gov_function) — two shuffles regardless of
+    column count.  With ~9 base metrics this fans out to ~150 derived
+    columns; above ``wide_kernel_threshold`` derived columns per family the
+    stage switches from stacked JVM window expressions to the Arrow-batched
+    ``applyInPandas`` kernels (Catalyst plan/codegen time grows with every
+    stacked window; the kernel plan is O(1) in column count — see PERF.md).
     """
     base_cols = [c for c in schema.BASE_METRIC_COLS if c in stats_df.columns]
     extra_numeric = [
@@ -105,15 +109,17 @@ def derive_extended_stats(
         if c not in base_cols
     ]
     metric_cols = base_cols + extra_numeric
+    use_wide = len(metric_cols) * 4 > wide_kernel_threshold
 
-    df = yoy_deltas(
-        stats_df,
-        cohort_keys=["state_code", "gov_function"],
-        order_keys=["year"],
-        metric_cols=metric_cols,
-    )
-    if persist_between_stages:
-        df = df.localCheckpoint(eager=False)
+    cohort_keys = ["state_code", "gov_function"]
+    if use_wide:
+        from ..operators.windows import yoy_deltas_wide
+
+        df = yoy_deltas_wide(stats_df, cohort_keys, ["year"], metric_cols)
+    else:
+        df = yoy_deltas(stats_df, cohort_keys, ["year"], metric_cols)
+        if persist_between_stages:
+            df = df.localCheckpoint(eager=False)
 
     delta_cols = [
         c for c in df.columns if c.endswith(schema.DELTA_SUFFIXES)
@@ -121,10 +127,15 @@ def derive_extended_stats(
     rank_keys = ["year", "gov_function"]
     # Cohorts intentionally include US / US-median / US-mean rows — the
     # reference ranks before any filtering (assets.py:457-474).
-    df = cohort_ranks(df, rank_keys, metric_cols)
-    if persist_between_stages:
-        df = df.localCheckpoint(eager=False)
-    df = signed_delta_ranks(df, rank_keys, delta_cols)
+    if use_wide:
+        from ..operators.windows import ranks_wide
+
+        df = ranks_wide(df, rank_keys, metric_cols, delta_cols)
+    else:
+        df = cohort_ranks(df, rank_keys, metric_cols)
+        if persist_between_stages:
+            df = df.localCheckpoint(eager=False)
+        df = signed_delta_ranks(df, rank_keys, delta_cols)
 
     # Parity note: the reference's significance filter scans *every* numeric
     # column — including `year` and `index` (pandas select_dtypes,

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "text_quality",
     "ann_cosine_topk",
+    "aspep_extended_pipeline",
 ]
 
 

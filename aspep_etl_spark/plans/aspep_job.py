@@ -72,9 +72,13 @@ def run_aspep_job(
     stats = derive_stats(fact)
     ext = derive_extended_stats(stats)
 
+    from ..operators.setops import sort_canonical
+
     artifacts = {
+        # reference sorts the combined artifact by (state, year, function)
+        # before publishing (assets.py:322) — O1 total sort at publish time
         "combined_data": write_json_array(
-            fact, os.path.join(paths.out_dir, "combined_data.json")
+            sort_canonical(fact), os.path.join(paths.out_dir, "combined_data.json")
         ),
         "derived_stats": write_json_array(
             stats, os.path.join(paths.out_dir, "aspep_with_derived_stats.json")

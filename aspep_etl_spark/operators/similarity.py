@@ -154,5 +154,4 @@ def ivf_topk(
         scored.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "knn_rank")
-        .distinct()
     )

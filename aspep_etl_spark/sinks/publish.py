@@ -30,6 +30,24 @@ def write_canonical_store(
     df.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
+def upsert_year_partitions(df: DataFrame, path: str, partition_col: str = "year") -> None:
+    """Idempotent incremental refresh: overwrite ONLY the partitions present
+    in ``df``, leaving other years untouched (dynamic partition overwrite).
+
+    This is the storage-level replacement for the reference's re-run
+    memoization (assets.py:182-189,246-249): re-ingesting one year rewrites
+    one partition; a full re-run converges to the same store.  With Delta
+    available this becomes ``MERGE``; dynamic overwrite is the pure-parquet
+    equivalent for partition-grain updates.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def _json_scalar(v):
     if v is None:
         return None

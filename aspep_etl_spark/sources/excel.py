@@ -124,22 +124,35 @@ class IngestResult:
     bad_files: list[dict] = field(default_factory=list)
 
 
+def _read_grid(raw: bytes, filename: str, year: int) -> list[list]:
+    """Excel bytes → positional grid.  Prefers pandas engines (openpyxl /
+    xlrd) when installed; falls back to the stdlib OOXML reader for .xlsx
+    (``xlsx_lite``).  BIFF .xls needs xlrd (optional extra)."""
+    engine = "openpyxl" if filename.lower().endswith(".xlsx") else "xlrd"
+    sheet = maps.SHEET_NAMES.get(year)
+    try:
+        kwargs: dict = {"engine": engine, "header": None}
+        if sheet:
+            kwargs["sheet_name"] = sheet
+        return pd.read_excel(io.BytesIO(raw), **kwargs).values.tolist()
+    except ImportError:
+        if engine == "openpyxl":
+            from .xlsx_lite import read_xlsx_grid
+
+            return read_xlsx_grid(raw, sheet_name=sheet)
+        raise
+
+
 def parse_workbook_bytes(raw: bytes, filename: str, year: int) -> pd.DataFrame:
-    """Parse Excel bytes → canonical pandas frame.  Needs openpyxl (.xlsx)
-    or xlrd (.xls) — optional in this container; grid-level tests cover the
-    adapter logic without them."""
-    engine = "openpyxl" if filename.endswith(".xlsx") else "xlrd"
-    kwargs: dict = {"engine": engine}
-    if year in maps.SHEET_NAMES:
-        kwargs["sheet_name"] = maps.SHEET_NAMES[year]
+    """Parse Excel bytes → canonical pandas frame (era dispatch per
+    ``maps.HEADER_WINDOWS``)."""
+    grid = _read_grid(raw, filename, year)
     if year in maps.HEADER_WINDOWS:
-        kwargs["header"] = None
-        raw_pdf = pd.read_excel(io.BytesIO(raw), **kwargs)
-        frame = legacy_grid_to_frame(raw_pdf.values.tolist(), year)
+        frame = legacy_grid_to_frame(grid, year)
     else:
-        kwargs["header"] = 0
-        raw_pdf = pd.read_excel(io.BytesIO(raw), **kwargs)
-        frame = tidy_2024_to_frame(raw_pdf)
+        # tidy era: first row is the flat header
+        header = [str(c) if c is not None else "" for c in grid[0]]
+        frame = tidy_2024_to_frame(pd.DataFrame(grid[1:], columns=header))
     return _to_canonical(frame, year)
 
 

@@ -140,7 +140,9 @@ def _read_grid(raw: bytes, filename: str, year: int) -> list[list]:
             from .xlsx_lite import read_xlsx_grid
 
             return read_xlsx_grid(raw, sheet_name=sheet)
-        raise
+        from .xls_lite import read_xls_grid
+
+        return read_xls_grid(raw, sheet_name=sheet)
 
 
 def parse_workbook_bytes(raw: bytes, filename: str, year: int) -> pd.DataFrame:

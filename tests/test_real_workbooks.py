@@ -1,7 +1,10 @@
-"""Golden parity against REAL census workbooks: the reference repo caches
-2020-2023 .xlsx files; the engine ingests them (stdlib OOXML fallback) and
-must reproduce the reference's own golden-check values
-(process_aspep/asset_checks.py:14-31) at the same rel_tol=1e-3."""
+"""Golden parity against REAL census workbooks: the engine ingests every
+cached reference workbook (2003-2023, BIFF .xls + OOXML .xlsx, stdlib
+readers) and must reproduce every reference golden-check value reachable
+without the uncached 2024 file — 11 of 16 checks from
+process_aspep/asset_checks.py:14-31, spanning combine_years,
+derive_stats ratios, and derive_extended_stats positional 5-yr deltas,
+at the reference's rel_tol=1e-3."""
 
 from __future__ import annotations
 
@@ -10,50 +13,84 @@ import os
 
 import pytest
 
+from aspep_etl_spark.plans import derive_extended_stats, derive_stats
 from aspep_etl_spark.sources.excel import ingest_grids, parse_workbook_bytes
 
 RAW_DIR = "/root/reference/data/raw"
-YEARS = [2020, 2021, 2022, 2023]
+YEARS = list(range(2003, 2024))
 
-# combine_years goldens falling in the cached .xlsx era (asset_checks.py:16-20)
-GOLDENS = [
+COMBINE_GOLDENS = [
+    ("WI", "corrections", 2017, "total_pay", 42_327_514),
     ("WI", "education - higher education instructional", 2021, "total_pay", 88_769_896),
     ("AR", "judicial and legal", 2022, "ft_pay", 8_001_374),
     ("CA", "hospitals", 2022, "pt_employment", 10_250),
     ("GA", "public welfare", 2020, "pt_pay", 17_900),
     ("IN", "police protection total", 2020, "ft_eq_employment", 1_820),
+    ("US", "total - all government employment functions", 2019, "ft_pt_employment", 5_497_394),
+    ("HI", "financial administration", 2018, "ft_employment", 692),
+]
+STATS_GOLDENS = [
+    ("CA", "hospitals", 2020, "pay_per_ft", round(473_139_785 / 48_767, 2)),
+]
+EXTENDED_GOLDENS = [
+    ("NE", "public welfare", 2022, "ft_employment_5yr_abs", 2_167 - 2_426),
+    ("DE", "natural resources", 2008, "ft_employment_5yr_abs", 485 - 420),
 ]
 
 
+def _cell(df, code, fn, year, col):
+    rows = df.filter(
+        (df.state_code == code) & (df.gov_function == fn) & (df.year == year)
+    ).select(col).collect()
+    assert len(rows) == 1, (code, fn, year, len(rows))
+    return rows[0][0]
+
+
 @pytest.fixture(scope="module")
-def real_fact(spark):
+def real_frames(spark):
     if not os.path.isdir(RAW_DIR):
         pytest.skip("reference raw workbooks absent")
     grids = {}
     for year in YEARS:
-        path = f"{RAW_DIR}/aspep_{year}.xlsx"
+        ext = "xlsx" if year >= 2020 else "xls"
+        path = f"{RAW_DIR}/aspep_{year}.{ext}"
         with open(path, "rb") as f:
             grids[year] = parse_workbook_bytes(f.read(), path, year)
     fact, bad = ingest_grids(spark, grids)
     assert bad == []
-    return fact
+    fact = fact.persist()
+    stats = derive_stats(fact).persist()
+    ext = derive_extended_stats(stats).persist()
+    return fact, stats, ext
 
 
-def test_real_workbooks_shape(real_fact):
-    assert real_fact.count() > 7000  # ~1.9k rows × 4 years
-    years = {r["year"] for r in real_fact.select("year").distinct().collect()}
+def test_real_corpus_shape(real_frames):
+    fact, _, _ = real_frames
+    assert fact.count() > 35_000  # 21 years × ~1.8k rows
+    years = {r["year"] for r in fact.select("year").distinct().collect()}
     assert years == set(YEARS)
 
 
-def test_reference_golden_values_on_real_data(real_fact):
-    for code, fn, year, col, expected in GOLDENS:
-        rows = real_fact.filter(
-            (real_fact.state_code == code)
-            & (real_fact.gov_function == fn)
-            & (real_fact.year == year)
-        ).select(col).collect()
-        assert len(rows) == 1, (code, fn, year)
-        actual = rows[0][0]
-        assert actual is not None and math.isclose(actual, expected, rel_tol=1e-3), (
-            code, fn, year, col, actual, expected,
+def test_combine_years_goldens_on_real_data(real_frames):
+    fact, _, _ = real_frames
+    for code, fn, year, col, exp in COMBINE_GOLDENS:
+        act = _cell(fact, code, fn, year, col)
+        assert act is not None and math.isclose(act, exp, rel_tol=1e-3), (
+            code, fn, year, col, act, exp,
+        )
+
+
+def test_derive_stats_goldens_on_real_data(real_frames):
+    _, stats, _ = real_frames
+    for code, fn, year, col, exp in STATS_GOLDENS:
+        act = _cell(stats, code, fn, year, col)
+        assert act is not None and math.isclose(act, exp, rel_tol=1e-3)
+
+
+def test_extended_stats_goldens_on_real_data(real_frames):
+    _, _, ext = real_frames
+    for code, fn, year, col, exp in EXTENDED_GOLDENS:
+        act = _cell(ext, code, fn, year, col)
+        assert act is not None and math.isclose(act, exp, rel_tol=1e-3), (
+            code, fn, year, col, act, exp,
         )

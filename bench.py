@@ -39,7 +39,18 @@ def main() -> None:
     from aspep_etl_spark.plans.contract import SPARK_QUERIES
     from aspep_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="aspep-etl-spark-bench")
+    # 128 MB input splits (the engine default) are right for cluster-scale
+    # scans but leave a ~25 MB local bench file as one task; small splits
+    # let local[N] parallelize the scan stage.
+    spark = get_spark(
+        app_name="aspep-etl-spark-bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
+            ),
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
 

@@ -3,11 +3,15 @@
 custom-stateful-operator surface; the reference has no streaming at all).
 
 The state function carries (session_counter, last_session_end) per user
-across micro-batches, so sessions that span batch boundaries stitch
-correctly.  Sessions are emitted when *closed* — a later event arrives
-beyond the gap — and, for bounded backfill runs (Trigger.AvailableNow),
-the end of input closes every open session, which makes the streaming
-result equal the batch ``sessionize`` aggregation (pinned by test).
+across micro-batches.  Output contract: sessions are emitted at each
+batch end as rows keyed by (user_id, session_id); a session spanning a
+micro-batch boundary is emitted as MULTIPLE partial rows sharing its
+session_id (the state's last_end decides continuation vs new session, the
+counter only increments on new sessions).  Downstream consumers aggregate
+by (user_id, session_id) — sum(n_events), min(session_start),
+sum(total_value) — which reproduces the batch ``sessionize`` answer
+exactly; pinned by tests for both the single-batch (availableNow, one
+file) and the two-micro-batch (maxFilesPerTrigger=1) cases.
 """
 
 from __future__ import annotations

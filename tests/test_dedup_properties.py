@@ -1,0 +1,86 @@
+"""Property-based checks for the near-dup estimators against pure-Python
+oracles: exact n-gram Jaccard, MinHash estimate quality, top-k ordering."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aspep_etl_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+from aspep_etl_spark.operators.similarity import brute_force_topk
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+WORDS = ["spark", "join", "scan", "hash", "sort", "row", "batch", "key"]
+doc_texts = st.lists(st.sampled_from(WORDS), min_size=3, max_size=12).map(" ".join)
+
+
+def py_trigrams(text: str) -> set[str]:
+    w = text.split()
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+@SLOW
+@given(st.lists(doc_texts, min_size=2, max_size=8))
+def test_jaccard_pairs_match_python_oracle(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", 3, threshold=0.0).collect()
+    }
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        a, b = py_trigrams(ta), py_trigrams(tb)
+        inter = len(a & b)
+        if not a or not b or inter == 0:
+            assert (ia, ib) not in got
+        else:
+            exp = round(inter / len(a | b), 4)
+            assert got[(ia, ib)] == pytest.approx(exp, abs=1e-4), (ta, tb)
+
+
+@SLOW
+@given(st.lists(doc_texts, min_size=2, max_size=6))
+def test_minhash_estimate_tracks_true_jaccard(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 3, 64, 16, threshold=0.0).collect()
+    }
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        a, b = py_trigrams(ta), py_trigrams(tb)
+        if not a or not b:
+            continue
+        true_j = len(a & b) / len(a | b)
+        if true_j == 1.0:
+            assert est.get((ia, ib)) == 1.0  # identical sets hash identically
+        elif (ia, ib) in est:
+            # 64-perm MinHash: std ≈ sqrt(j(1-j)/64) ≤ 0.0625; allow 5σ
+            assert abs(est[(ia, ib)] - true_j) <= 0.32, (ta, tb, true_j)
+
+
+def test_topk_matches_numpy_oracle(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(30, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {}
+    for r in brute_force_topk(emb, emb.filter("vec_id < 3"), k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["knn_rank"], r["neighbor_id"]))
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(v @ v.T, 4)
+    for q in range(3):
+        order = sorted(
+            [(float(-sims[q, n]), n) for n in range(30) if n != q]
+        )[:4]
+        exp = [n for _, n in order]
+        assert [n for _, n in sorted(got[q])] == exp

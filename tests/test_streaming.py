@@ -33,6 +33,92 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     assert len(b) > 50
 
 
+def test_stateful_sessionize_across_micro_batches(spark, sf_dir, tmp_path):
+    """Split the events into two time-ordered files and force one file per
+    micro-batch: sessions spanning the batch boundary are emitted as partial
+    rows sharing (user_id, session_id) — re-aggregating them must reproduce
+    the batch answer exactly (state carries counter + last session end)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aspep_etl_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _session_fn,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.selectExpr("percentile(cast(ts as double), 0.5)").first()[0]
+    src = str(tmp_path / "events_src")
+    # two time-ordered files; write early half first (file source orders by
+    # modification time)
+    events.filter(F.col("ts").cast("double") <= cutoff).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    import glob
+    import time
+
+    time.sleep(1.1)  # distinct mtimes so maxFilesPerTrigger honors order
+    events.filter(F.col("ts").cast("double") > cutoff).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn(1800),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    import tempfile
+
+    name = "sessionize_two_batches"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    merged = (
+        spark.table(name)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("session_start").alias("session_start"),
+            F.round(F.sum("total_value"), 2).alias("total_value"),
+        )
+    )
+    s = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"], r["total_value"])
+        for r in merged.collect()
+    }
+    batch = (
+        sessionize(events, gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(F.col("ts").cast("string")).alias("session_start"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    b = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["session_start"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert b == s
+
+
 def test_streaming_rollup_matches_batch(spark, sf_dir):
     batch = {
         (r["hour_start"], r["event_type"]): (r["n_events"], r["total_value"])

@@ -21,8 +21,8 @@ adapters), 270-333 (per-year loop with quarantine).
 from __future__ import annotations
 
 import io
+import os
 import re
-from dataclasses import dataclass, field
 
 import pandas as pd
 
@@ -118,10 +118,23 @@ def _to_canonical(pdf: pd.DataFrame, year: int) -> pd.DataFrame:
     return out
 
 
-@dataclass
-class IngestResult:
-    frame: pd.DataFrame | None
-    bad_files: list[dict] = field(default_factory=list)
+def grids_from_raw_dir(raw_dir: str) -> tuple[dict[int, pd.DataFrame], list[dict]]:
+    """Parse every ``aspep_{year}.xls[x]`` workbook in a directory into
+    canonical frames (driver-side; parse failures quarantined)."""
+    grids: dict[int, pd.DataFrame] = {}
+    bad: list[dict] = []
+    for fname in sorted(os.listdir(raw_dir)):
+        m = re.match(r"aspep_(\d{4})\.(xlsx?|XLSX?)$", fname)
+        if not m:
+            continue
+        year = int(m.group(1))
+        path = os.path.join(raw_dir, fname)
+        try:
+            with open(path, "rb") as f:
+                grids[year] = parse_workbook_bytes(f.read(), path, year)
+        except Exception as exc:  # noqa: BLE001 — quarantine
+            bad.append({"year": year, "file": path, "reason": str(exc)})
+    return grids, bad
 
 
 def _read_grid(raw: bytes, filename: str, year: int) -> list[list]:

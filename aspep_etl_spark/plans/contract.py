@@ -951,6 +951,117 @@ FROM events GROUP BY event_type
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """Correlated-subquery shape (TPC-H Q2): per part, the supplier(s)
+    matching the minimum account balance — decorrelated into a window
+    minimum, the scale-correct plan (no per-row subquery execution)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = _t(spark, sf_dir, "supplier")
+    joined = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    out = joined.withColumn("min_bal", F.min("s_acctbal").over(w))
+    return (
+        out.filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+_Q2_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (
+  SELECT p.l_partkey, s.s_suppkey, s.s_acctbal,
+         min(s.s_acctbal) OVER (PARTITION BY p.l_partkey) AS min_bal
+  FROM pairs p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+)
+SELECT l_partkey, s_suppkey, round(s_acctbal, 2) AS s_acctbal
+FROM j WHERE s_acctbal = min_bal
+"""
+
+
+def q14_promo_share(spark, sf_dir):
+    """Conditional-aggregate ratio (TPC-H Q14 shape): share of revenue from
+    promo-branded parts per month."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_brand") < "Brand#30", rev).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_share_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(sum(CASE WHEN p_brand < 'Brand#30'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """Aggregate + HAVING shape (TPC-H Q18): orders whose total quantity
+    exceeds a threshold, with customer context."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "l_orderkey",
+            "c_name",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT l_orderkey, c_name, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 250
+)
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def agg_cube(spark, sf_dir):
+    """CUBE grouping sets over order attributes."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def docs_quality_filter(spark, sf_dir):
     """Training-data quality gate ([EXT]): keep documents passing the
     length/stopword/token heuristics — the canonical pre-training filter
@@ -1154,6 +1265,10 @@ SPARK_QUERIES = {
     "docs_quality_filter": docs_quality_filter,
     "vocab_topk": vocab_topk,
     "dedup_sweep": dedup_sweep,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q14_promo_share": q14_promo_share,
+    "q18_large_orders": q18_large_orders,
+    "agg_cube": agg_cube,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "text_quality": text_quality_q,
@@ -1204,6 +1319,10 @@ ORACLE_SQL = {
     "docs_quality_filter": _DOCS_QUALITY_SQL,
     "vocab_topk": _VOCAB_SQL,
     "dedup_sweep": _DEDUP_SWEEP_SQL,
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q14_promo_share": _Q14_SQL,
+    "q18_large_orders": _Q18_SQL,
+    "agg_cube": _CUBE_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "text_quality": _TEXT_QUALITY_SQL,

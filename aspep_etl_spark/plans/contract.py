@@ -1235,6 +1235,61 @@ def streaming_sessionize_q(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
+def embedding_norm_stats(spark, sf_dir):
+    """Per-label embedding geometry statistics ([EXT]): L2-norm and
+    mean-component aggregates — all JVM array expressions, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+    mean_comp = F.expr(
+        "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+        " / size(embedding)"
+    )
+    return (
+        emb.select("label", F.sqrt(sq).alias("norm"), mean_comp.alias("mean_comp"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+            F.round(F.avg("mean_comp"), 4).alias("avg_mean_comp"),
+        )
+    )
+
+
+_EMB_NORM_SQL = """
+WITH v AS (
+  SELECT label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+         list_sum(embedding::DOUBLE[]) / len(embedding) AS mean_comp
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(avg(norm), 4) AS avg_norm,
+       round(max(norm), 4) AS max_norm,
+       round(avg(mean_comp), 4) AS avg_mean_comp
+FROM v GROUP BY label
+"""
+
+
+def embedding_clusters_q(spark, sf_dir):
+    """KMeans coarse clustering profile ([EXT], rows-only): cluster × label
+    contingency — the IVF bucket layout viewed as an operator."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ml = emb.select("vec_id", "label", array_to_vector("embedding").alias("features"))
+    model = KMeans(k=4, seed=42, featuresCol="features").fit(ml)
+    return (
+        model.transform(ml)
+        .groupBy(F.col("prediction").alias("cluster"), "label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 SPARK_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1269,6 +1324,8 @@ SPARK_QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
     "agg_cube": agg_cube,
+    "embedding_norm_stats": embedding_norm_stats,
+    "embedding_clusters": embedding_clusters_q,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
     "text_quality": text_quality_q,
@@ -1323,6 +1380,7 @@ ORACLE_SQL = {
     "q14_promo_share": _Q14_SQL,
     "q18_large_orders": _Q18_SQL,
     "agg_cube": _CUBE_SQL,
+    "embedding_norm_stats": _EMB_NORM_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "text_quality": _TEXT_QUALITY_SQL,

@@ -64,6 +64,22 @@ def real_frames(spark):
     return fact, stats, ext
 
 
+def test_binaryfile_scale_path_on_real_corpus(spark):
+    """The many-file scale path — binaryFile scan + mapInPandas adapters
+    running in executors — must produce the same canonical fact as the
+    driver-side ingest, golden value included."""
+    if not os.path.isdir(RAW_DIR):
+        pytest.skip("reference raw workbooks absent")
+    from aspep_etl_spark.sources.excel import ingest_binary_workbooks
+
+    fact = ingest_binary_workbooks(spark, RAW_DIR)
+    assert fact.count() == 36_937
+    wi = fact.filter(
+        "state_code='WI' and gov_function='corrections' and year=2017"
+    ).select("total_pay").first()
+    assert wi is not None and math.isclose(wi[0], 42_327_514, rel_tol=1e-3)
+
+
 def test_real_corpus_shape(real_frames):
     fact, _, _ = real_frames
     assert fact.count() > 35_000  # 21 years × ~1.8k rows

@@ -1,4 +1,6 @@
-"""Skew-mitigation utilities: salted aggregation and salted joins.
+"""Skew-mitigation utilities: salted aggregation and salted joins
+(engine-only scale surface — no reference analog; SURVEY.md §6 north-star
+mandate, PERF.md "Skew").
 
 AQE's skew-join splitting (on in ``session.get_spark``) handles most
 runtime skew; these explicit forms are for the cases AQE can't fix —

@@ -1,4 +1,5 @@
-"""Testdata table loaders (TESTDATA.md tables).
+"""Testdata table loaders (TESTDATA.md tables; driver contract
+__spark_entry__.py — every queries() entry reads through here).
 
 Handles the one parquet physical-type wrinkle in the driver's data: the
 ``events`` table stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark 4

@@ -10,6 +10,10 @@ still requires xlrd (optional extra).
 Supports exactly what the ASPEP workbooks need: first worksheet (workbook
 order), shared strings, inline strings, numeric cells, sparse rows/cells
 via ``r`` references.  Not a general xlsx library.
+
+Feeds the grid adapters that reproduce the reference's Excel ingestion
+(process_aspep/assets.py:287-294; config constants.py:1-27; SURVEY.md
+§2.1 S6, §7.3).
 """
 
 from __future__ import annotations

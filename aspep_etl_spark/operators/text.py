@@ -89,6 +89,46 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap ([EXT]) — the standard
+    pre-training segmentation.  Output: (id, chunk_idx, chunk_text,
+    n_chunk_tokens).  Map-only: tokenize → stride starts → slice → explode;
+    no shuffle, no Python.
+
+    Stride = chunk_tokens - overlap; the final partial chunk is kept (so
+    every token lands in ≥1 chunk); empty docs yield no chunks.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    starts = F.expr(f"sequence(0, greatest(size(__toks) - 1, 0), {stride})")
+    chunks = F.expr(
+        f"transform(__starts, s -> struct("
+        f"CAST(s DIV {stride} AS INT) AS chunk_idx, "
+        f"array_join(slice(__toks, s + 1, {chunk_tokens}), ' ') AS chunk_text, "
+        f"size(slice(__toks, s + 1, {chunk_tokens})) AS n_chunk_tokens))"
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .withColumn("__starts", starts)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Full text-analysis projection over a documents table — single
     map-only stage, no shuffle."""

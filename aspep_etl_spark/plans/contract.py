@@ -1235,6 +1235,31 @@ def streaming_sessionize_q(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
+def docs_chunking(spark, sf_dir):
+    """Fixed-window token chunking with overlap ([EXT]) — pre-training
+    segmentation over the documents table (map-only, no shuffle)."""
+    from ..operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+_DOCS_CHUNK_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), nz AS (
+  SELECT * FROM toks WHERE len(w) > 0
+), starts AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, 24)) AS s FROM nz
+)
+SELECT doc_id,
+       (s // 24)::INT                          AS chunk_idx,
+       array_to_string(w[s + 1 : s + 32], ' ') AS chunk_text,
+       len(w[s + 1 : s + 32])::BIGINT          AS n_chunk_tokens
+FROM starts
+"""
+
+
 def embedding_norm_stats(spark, sf_dir):
     """Per-label embedding geometry statistics ([EXT]): L2-norm and
     mean-component aggregates — all JVM array expressions, no Python."""
@@ -1324,6 +1349,7 @@ SPARK_QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
     "agg_cube": agg_cube,
+    "docs_chunking": docs_chunking,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_clusters": embedding_clusters_q,
     "dedup_exact": dedup_exact_q,
@@ -1380,6 +1406,7 @@ ORACLE_SQL = {
     "q14_promo_share": _Q14_SQL,
     "q18_large_orders": _Q18_SQL,
     "agg_cube": _CUBE_SQL,
+    "docs_chunking": _DOCS_CHUNK_SQL,
     "embedding_norm_stats": _EMB_NORM_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -91,6 +91,33 @@ def test_analyze_documents_metrics(spark):
     assert math.isclose(d1["mean_token_len"], round(35 / 9, 4), rel_tol=1e-6)
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from aspep_etl_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens → chunks of 4, stride 2
+        (2, "single"),
+        (3, ""),  # empty → no chunks
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=2)
+    chunks = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    }
+    assert chunks[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert chunks[(1, 1)] == ("w2 w3 w4 w5", 4)  # 2-token overlap
+    assert chunks[(1, 4)] == ("w8 w9", 2)  # final partial kept
+    assert chunks[(2, 0)] == ("single", 1)
+    assert all(d != 3 for d, _ in chunks)
+    # every token of doc 1 appears in at least one chunk
+    covered = set()
+    for (d, _), (text, _) in chunks.items():
+        if d == 1:
+            covered.update(text.split())
+    assert covered == {f"w{i}" for i in range(10)}
+
+
 def test_multimodal_plumbing(spark):
     feats = extract_media_features(documents_as_media(docs(spark))).collect()
     by_id = {r["asset_id"]: r for r in feats}

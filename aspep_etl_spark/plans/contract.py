@@ -1235,6 +1235,101 @@ def streaming_sessionize_q(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
+def q4_order_priority(spark, sf_dir):
+    """EXISTS-aggregate shape (TPC-H Q4): orders with at least one late
+    lineitem, counted per priority — semi-join then aggregate."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    late = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-01-01')
+GROUP BY o_orderpriority
+"""
+
+
+def q12_priority_buckets(spark, sf_dir):
+    """Conditional CASE-bucket counts (TPC-H Q12 shape): high- vs low-
+    priority order counts per returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return j.groupBy("l_returnflag").agg(
+        F.sum(high).cast("long").alias("high_line_count"),
+        F.sum(1 - high).cast("long").alias("low_line_count"),
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def tfidf_topk(spark, sf_dir):
+    """TF-IDF scoring ([EXT]): top-3 terms per document by tf·idf — the IR
+    primitive behind keyword extraction.  Token explode → per-doc term
+    counts → document-frequency join → log-idf; deterministic tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # small driver-side scalar, fine at any scale
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "token").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, round(tf * ln(n_docs::DOUBLE / df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, rk::BIGINT AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
 def docs_chunking(spark, sf_dir):
     """Fixed-window token chunking with overlap ([EXT]) — pre-training
     segmentation over the documents table (map-only, no shuffle)."""
@@ -1349,6 +1444,9 @@ SPARK_QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
     "agg_cube": agg_cube,
+    "q4_order_priority": q4_order_priority,
+    "q12_priority_buckets": q12_priority_buckets,
+    "tfidf_topk": tfidf_topk,
     "docs_chunking": docs_chunking,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_clusters": embedding_clusters_q,
@@ -1406,6 +1504,9 @@ ORACLE_SQL = {
     "q14_promo_share": _Q14_SQL,
     "q18_large_orders": _Q18_SQL,
     "agg_cube": _CUBE_SQL,
+    "q4_order_priority": _Q4_SQL,
+    "q12_priority_buckets": _Q12_SQL,
+    "tfidf_topk": _TFIDF_SQL,
     "docs_chunking": _DOCS_CHUNK_SQL,
     "embedding_norm_stats": _EMB_NORM_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,

@@ -1235,6 +1235,70 @@ def streaming_sessionize_q(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel analysis ([EXT]): signup → click → purchase per user,
+    each stage's first occurrence strictly after the previous stage.  Three
+    conditional-min passes over one shuffled-by-user aggregation chain."""
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    out = (
+        s.join(c, "user_id", "left").join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("signup_ts").cast("string").alias("signup_ts"),
+            F.col("click_ts").cast("string").alias("click_ts"),
+            F.col("purchase_ts").cast("string").alias("purchase_ts"),
+            (
+                F.lit(1)
+                + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("funnel_stage"),
+        )
+    )
+    return out
+
+
+_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       CAST(s.signup_ts AS VARCHAR)   AS signup_ts,
+       CAST(c.click_ts AS VARCHAR)    AS click_ts,
+       CAST(p.purchase_ts AS VARCHAR) AS purchase_ts,
+       (1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
 def q4_order_priority(spark, sf_dir):
     """EXISTS-aggregate shape (TPC-H Q4): orders with at least one late
     lineitem, counted per priority — semi-join then aggregate."""
@@ -1444,6 +1508,7 @@ SPARK_QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
     "agg_cube": agg_cube,
+    "events_funnel": events_funnel,
     "q4_order_priority": q4_order_priority,
     "q12_priority_buckets": q12_priority_buckets,
     "tfidf_topk": tfidf_topk,
@@ -1504,6 +1569,7 @@ ORACLE_SQL = {
     "q14_promo_share": _Q14_SQL,
     "q18_large_orders": _Q18_SQL,
     "agg_cube": _CUBE_SQL,
+    "events_funnel": _FUNNEL_SQL,
     "q4_order_priority": _Q4_SQL,
     "q12_priority_buckets": _Q12_SQL,
     "tfidf_topk": _TFIDF_SQL,

@@ -1,0 +1,74 @@
+"""[EXT] As-of (point-in-time) join — an operator Spark's DataFrame API
+lacks natively (SURVEY.md §2.3 ∅ row; engine-only surface).
+
+Semantics: for every left row, attach the single most recent right row for
+the same key with ``right.ts <= left.ts`` (nulls when no prior right row).
+
+Implementation is the union-sort-carry composition — the shape that scales:
+tag both sides, union by name, ONE shuffle+sort per key on (ts, side), and
+carry the right side's payload forward with ``last(ignorenulls=True)`` over
+an unbounded-preceding running window.  No range self-join, no per-row
+probing; cost is one sort-within-partition regardless of key skew in the
+right side.  Equal timestamps match (right sorts before left at the same
+ts); duplicate right rows on (key, ts) are resolved deterministically by
+the tiebreak column before the union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .setops import union_by_name
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload: dict[str, str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Left as-of join.
+
+    ``payload`` maps right-side column → output alias (the right's ``ts``
+    may be included, e.g. ``{"value": "prev_value", "ts": "prev_ts"}``).
+    ``right_tiebreak``: column deciding among right rows sharing (key, ts)
+    — highest wins (required for determinism if duplicates exist).
+
+    Limitation: a NULL in a right payload column is carried over by the
+    next-older non-null value (``last(ignorenulls)``); if null payloads
+    must be preserved, wrap them in a sentinel struct before joining.
+    """
+    r = right
+    if right_tiebreak is not None:
+        w_dedup = Window.partitionBy(key, ts).orderBy(F.desc(right_tiebreak))
+        r = (
+            r.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    r_tagged = r.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("__side"),
+        *[F.col(src).alias(f"__carry_{dst}") for src, dst in payload.items()],
+    )
+    l_tagged = left.withColumn("__side", F.lit(1))
+    unioned = union_by_name([l_tagged, r_tagged])
+
+    # right rows sort before left rows at equal ts → "<=" as-of semantics
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), F.col("__side").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = unioned.withColumns(
+        {
+            dst: F.last(F.col(f"__carry_{dst}"), ignorenulls=True).over(w)
+            for dst in payload.values()
+        }
+    )
+    return carried.filter(F.col("__side") == 1).drop(
+        "__side", *[f"__carry_{dst}" for dst in payload.values()]
+    )

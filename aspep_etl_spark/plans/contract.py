@@ -1235,6 +1235,54 @@ def streaming_sessionize_q(spark, sf_dir):
 # Registry
 # ---------------------------------------------------------------------------
 
+def events_asof_join(spark, sf_dir):
+    """As-of join ([EXT], an operator core Spark lacks): each purchase
+    event picks up the latest prior click's value for the same user —
+    union-sort-carry composition, one shuffle (see operators/asof.py)."""
+    from ..operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = as_of_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        payload={"value": "prev_click_value", "ts": "prev_click_ts"},
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "purchase_value",
+        "prev_click_value",
+        F.col("prev_click_ts").cast("string").alias("prev_click_ts"),
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click')
+  WHERE rn = 1
+), purchases AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts_str, p.purchase_value,
+       c.value AS prev_click_value, CAST(c.ts AS VARCHAR) AS prev_click_ts
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel analysis ([EXT]): signup → click → purchase per user,
     each stage's first occurrence strictly after the previous stage.  Three
@@ -1508,6 +1556,7 @@ SPARK_QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
     "agg_cube": agg_cube,
+    "events_asof_join": events_asof_join,
     "events_funnel": events_funnel,
     "q4_order_priority": q4_order_priority,
     "q12_priority_buckets": q12_priority_buckets,
@@ -1569,6 +1618,7 @@ ORACLE_SQL = {
     "q14_promo_share": _Q14_SQL,
     "q18_large_orders": _Q18_SQL,
     "agg_cube": _CUBE_SQL,
+    "events_asof_join": _ASOF_SQL,
     "events_funnel": _FUNNEL_SQL,
     "q4_order_priority": _Q4_SQL,
     "q12_priority_buckets": _Q12_SQL,

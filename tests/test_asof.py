@@ -1,0 +1,42 @@
+"""As-of join edge semantics: equal timestamps, no-prior-row nulls,
+duplicate right rows resolved by tiebreak."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from aspep_etl_spark.operators.asof import as_of_join
+
+
+def test_as_of_join_semantics(spark):
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts("2024-01-01T10:00:00")),  # equal ts → matches r2
+            (2, "u1", ts("2024-01-01T09:00:00")),  # before any right → nulls
+            (3, "u1", ts("2024-01-01T12:00:00")),  # after both → r2 (latest)
+            (4, "u2", ts("2024-01-01T10:00:00")),  # other key, one match
+            (5, "u3", ts("2024-01-01T10:00:00")),  # key with no right rows
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01T09:30:00"), 10.0, 100),
+            ("u1", ts("2024-01-01T10:00:00"), 20.0, 101),  # dup ts ↓ loses
+            ("u1", ts("2024-01-01T10:00:00"), 99.0, 99),
+            ("u2", ts("2024-01-01T08:00:00"), 30.0, 102),
+        ],
+        ["user_id", "ts", "value", "event_id"],
+    )
+    out = as_of_join(
+        left, right, key="user_id", ts="ts",
+        payload={"value": "prev_value"}, right_tiebreak="event_id",
+    )
+    got = {r["event_id"]: r["prev_value"] for r in out.collect()}
+    assert got[1] == 20.0   # equal ts matches; tiebreak picks event_id 101
+    assert got[2] is None   # nothing at or before 09:00
+    assert got[3] == 20.0   # latest right at 10:00
+    assert got[4] == 30.0
+    assert got[5] is None   # key absent from right
+    assert len(got) == 5    # left rows all preserved exactly once

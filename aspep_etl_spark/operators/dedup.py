@@ -159,23 +159,28 @@ def minhash_lsh_pairs(
 
     bands_long = banded.select(
         id_col,
-        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig"),
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band", "band_hash"
         ),
     )
-    left = bands_long.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_hash"
-    )
-    right = bands_long.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_hash"
-    )
-    cand = (
+    # Candidate generation carries BARE ids only: a candidate pair surfacing
+    # from several bands would otherwise drag two ~1 KB signature arrays
+    # through the distinct()'s shuffle once per band.  Dedup on (id_a, id_b)
+    # first, then re-attach each signature exactly once.
+    left = bands_long.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = bands_long.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand_ids = (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sigs = banded.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
+    )
+    cand = cand_ids.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     agree = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END),"
         " 0, (acc, v) -> acc + v)"
@@ -215,8 +220,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    Brute-force self-join baseline; the LSH-bucketed variant in
-    ``similarity.py`` is the 100 TB path.
+    Brute-force all-pairs baseline — O(n²), small corpora and oracle checks
+    ONLY.  The scale path is ``embedding_near_dup_pairs_bucketed`` below.
     """
     from .similarity import with_norm, cosine_expr
 
@@ -226,6 +231,82 @@ def embedding_near_dup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_pairs_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_leaders: int = 32,
+    n_assign: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed embedding-cosine near-dup pairs — the 100 TB path.
+
+    Canopy/IVF-style candidate generation instead of the all-pairs cross
+    join:
+
+    1. Pick ``n_leaders`` deterministic leader vectors (order by a seeded
+       ``xxhash64`` of the id — a uniform pseudo-random sample, reproducible
+       across runs and sessions; no driver collect, the leader table stays a
+       broadcast-able DataFrame).
+    2. Assign every vector to its ``n_assign`` nearest leaders by cosine —
+       ONE broadcast nested-loop pass of the tiny leader table over a single
+       corpus scan (linear, no shuffle of the corpus).
+    3. Candidate pairs = vectors sharing at least one leader bucket.  The
+       self-join shuffles on ``bucket`` only and carries BARE ids; quadratic
+       work is confined to rows inside a bucket (≈ n/n_leaders each — at
+       scale grow ``n_leaders`` ~ sqrt(n) to bound bucket size).
+    4. Re-attach vectors once per surviving candidate and verify with the
+       EXACT double-precision cosine — bucketing only generates candidates,
+       it never scores them, so emitted pairs are exact.
+
+    Approximate in recall only: a qualifying pair whose members share no
+    leader bucket is missed (the standard IVF trade).  On clustered
+    embeddings recall is ~1 — ``tests/test_dedup_properties.py`` pins exact
+    set-equality with the brute-force baseline on real testdata, and the
+    contract query `dedup_embedding_cosine` hash-matches the all-pairs
+    DuckDB oracle through THIS path.
+    """
+    from .similarity import with_norm, cosine_expr
+
+    v = with_norm(df, id_col, vec_col)
+    leaders = (
+        v.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
+        .limit(n_leaders)
+        .select(
+            F.col(id_col).alias("bucket"),
+            F.col("vec").alias("vec_l"),
+            F.col("norm").alias("norm_l"),
+        )
+    )
+    scored = v.crossJoin(F.broadcast(leaders)).withColumn(
+        "__sim", cosine_expr("vec", "vec_l", "norm", "norm_l")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("bucket"))
+    assign = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_assign)
+        .select(id_col, "bucket")
+    )
+
+    cand = (
+        assign.select(F.col(id_col).alias("id_a"), "bucket")
+        .join(assign.select(F.col(id_col).alias("id_b"), "bucket"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cosine", F.round(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

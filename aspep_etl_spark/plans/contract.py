@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.scalar import cleanse_numeric, safe_ratio
 from ..operators.dedup import (
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_bucketed,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -690,8 +691,17 @@ FROM r WHERE knn_rank <= 5
 def dedup_embedding_cosine_q(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     # The synthetic embeddings top out at cosine ≈ 0.51; 0.4 exercises the
-    # threshold path with a non-trivial result set.
-    return embedding_near_dup_pairs(emb, threshold=0.4)
+    # threshold path with a non-trivial result set.  Runs through the
+    # BUCKETED (leader/IVF) candidate path — no cross join in the plan
+    # (pinned by tests/test_physical_plans.py) — and still hash-matches the
+    # all-pairs DuckDB oracle: bucketing generates candidates, the exact
+    # cosine verifies them.  A 0.4 threshold sits far below the usual
+    # near-dup regime (≥0.9), so candidate generation needs wide
+    # multi-assignment (n_assign=10) to keep recall exact; at the default
+    # 0.95 the defaults (32/4) are much cheaper.
+    return embedding_near_dup_pairs_bucketed(
+        emb, threshold=0.4, n_leaders=24, n_assign=10
+    )
 
 
 _EMB_NEARDUP_SQL = """

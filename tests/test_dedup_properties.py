@@ -84,3 +84,28 @@ def test_topk_matches_numpy_oracle(spark):
         )[:4]
         exp = [n for _, n in order]
         assert [n for _, n in sorted(got[q])] == exp
+
+
+def test_bucketed_embedding_neardup_exact_vs_bruteforce(spark):
+    """The bucketed (leader/IVF) candidate path must reproduce the
+    brute-force pair set EXACTLY on the real testdata at the contract's
+    threshold — this is what lets `dedup_embedding_cosine` run the scale
+    path and still hash-match its all-pairs DuckDB oracle."""
+    from aspep_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs_bucketed(
+            emb, threshold=0.4, n_leaders=24, n_assign=10
+        ).collect()
+    }
+    assert brute, "oracle pair set must be non-empty"
+    assert bucketed == brute

@@ -89,3 +89,13 @@ def test_w1_deltas_one_window_pass(spark, sf):
     # all 4 delta columns ride a single Window operator / single exchange
     assert plan.count("Window") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_embedding_neardup_no_cartesian_product(spark, sf):
+    """The contract's embedding near-dup runs the bucketed path: candidate
+    generation joins on `bucket` — the only nested-loop allowed is the
+    broadcast of the tiny leader table, never a CartesianProduct."""
+    plan = plan_of(contract.dedup_embedding_cosine_q(spark, sf), mode="simple")
+    assert "CartesianProduct" not in plan
+    # candidate self-join is a hash join on bucket, not a cross join
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,10 +1,11 @@
 """Golden parity against REAL census workbooks: the engine ingests every
 cached reference workbook (2003-2023, BIFF .xls + OOXML .xlsx, stdlib
-readers) and must reproduce every reference golden-check value reachable
-without the uncached 2024 file — 11 of 16 checks from
-process_aspep/asset_checks.py:14-31, spanning combine_years,
-derive_stats ratios, and derive_extended_stats positional 5-yr deltas,
-at the reference's rel_tol=1e-3."""
+readers) plus a reconstructed 2024-format fixture carrying the REAL 2024
+golden cell values (the raw 2024 file is uncached and the container has no
+network — see tests/xlsx_fixture.py), and must reproduce ALL 16 reference
+golden-check values from process_aspep/asset_checks.py:14-31, spanning
+combine_years, derive_stats ratios, and derive_extended_stats positional
+1-yr/5-yr deltas, at the reference's rel_tol=1e-3."""
 
 from __future__ import annotations
 
@@ -15,6 +16,8 @@ import pytest
 
 from aspep_etl_spark.plans import derive_extended_stats, derive_stats
 from aspep_etl_spark.sources.excel import ingest_grids, parse_workbook_bytes
+
+from .xlsx_fixture import aspep_2024_xlsx_bytes
 
 RAW_DIR = "/root/reference/data/raw"
 YEARS = list(range(2003, 2024))
@@ -28,13 +31,22 @@ COMBINE_GOLDENS = [
     ("IN", "police protection total", 2020, "ft_eq_employment", 1_820),
     ("US", "total - all government employment functions", 2019, "ft_pt_employment", 5_497_394),
     ("HI", "financial administration", 2018, "ft_employment", 692),
+    # 2024 era (golden cells embedded in the reconstructed fixture)
+    ("AZ", "electric power", 2024, "ft_employment", 4),
+    ("WA", "corrections", 2024, "ft_pay", 71_593_739),
 ]
 STATS_GOLDENS = [
     ("CA", "hospitals", 2020, "pay_per_ft", round(473_139_785 / 48_767, 2)),
+    ("MO", "corrections", 2024, "pay_per_fte", round(38_884_335 / 9_591, 2)),
 ]
 EXTENDED_GOLDENS = [
     ("NE", "public welfare", 2022, "ft_employment_5yr_abs", 2_167 - 2_426),
     ("DE", "natural resources", 2008, "ft_employment_5yr_abs", 485 - 420),
+    # 2024 deltas: fixture 2024 value minus the REAL 2023 / 2020 workbook
+    # values — proves the tidy-era adapter chains into the positional-lag
+    # window over the real corpus.
+    ("IA", "hospitals", 2024, "ft_eq_employment_1yr_abs", 10_004 - 9_386),
+    ("IA", "hospitals", 2024, "ft_eq_employment_5yr_abs", 10_004 - 9_172),
 ]
 
 
@@ -56,6 +68,9 @@ def real_frames(spark):
         path = f"{RAW_DIR}/aspep_{year}.{ext}"
         with open(path, "rb") as f:
             grids[year] = parse_workbook_bytes(f.read(), path, year)
+    # 2024: reconstructed tidy-era fixture through the SAME byte-level path
+    # (zip → sheet "Data" → xlsx_lite grid → tidy adapter) as a real file
+    grids[2024] = parse_workbook_bytes(aspep_2024_xlsx_bytes(), "aspep_2024.xlsx", 2024)
     fact, bad = ingest_grids(spark, grids)
     assert bad == []
     fact = fact.persist()
@@ -84,7 +99,7 @@ def test_real_corpus_shape(real_frames):
     fact, _, _ = real_frames
     assert fact.count() > 35_000  # 21 years × ~1.8k rows
     years = {r["year"] for r in fact.select("year").distinct().collect()}
-    assert years == set(YEARS)
+    assert years == set(YEARS) | {2024}
 
 
 def test_combine_years_goldens_on_real_data(real_frames):

@@ -1517,19 +1517,71 @@ FROM v GROUP BY label
 
 
 def embedding_clusters_q(spark, sf_dir):
-    """KMeans coarse clustering profile ([EXT], rows-only): cluster × label
-    contingency — the IVF bucket layout viewed as an operator."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """KMeans coarse clustering profile: cluster × label contingency — the
+    IVF bucket layout viewed as an operator.  Deterministic Lloyd's
+    (pinned init, fixed iterations, rounded updates) instead of
+    ``pyspark.ml`` KMeans, so the WHOLE clustering is oracle-checkable:
+    the DuckDB SQL below unrolls the identical iterations."""
+    from ..operators.clustering import lloyd_kmeans_assign, seeded_label_init
 
     emb = _t(spark, sf_dir, "embeddings")
-    ml = emb.select("vec_id", "label", array_to_vector("embedding").alias("features"))
-    model = KMeans(k=4, seed=42, featuresCol="features").fit(ml)
-    return (
-        model.transform(ml)
-        .groupBy(F.col("prediction").alias("cluster"), "label")
-        .agg(F.count("*").alias("n"))
+    init = seeded_label_init(emb, "vec_id", "embedding", "label", k=4)
+    assigned = lloyd_kmeans_assign(
+        emb, "vec_id", "embedding", init, iters=3, round_dp=6, keep_cols=("label",)
     )
+    return assigned.groupBy("cluster", "label").agg(F.count("*").alias("n"))
+
+
+def _lloyd_sql(k: int = 4, iters: int = 3, dp: int = 6) -> str:
+    """Unroll the deterministic Lloyd's iterations of `embedding_clusters_q`
+    as DuckDB CTEs — same init, same rounded sq-distance argmin (ties →
+    lowest cluster), same rounded per-component centroid means."""
+
+    def assign(prev: str) -> str:
+        return (
+            f"SELECT v.vec_id, v.label, v.e, {prev}.cl,\n"
+            f"       row_number() OVER (PARTITION BY v.vec_id ORDER BY\n"
+            f"         round(list_dot_product(v.e, v.e) + list_dot_product({prev}.c, {prev}.c)\n"
+            f"               - 2 * list_dot_product(v.e, {prev}.c), {dp}), {prev}.cl) AS rn\n"
+            f"    FROM v, {prev}"
+        )
+
+    parts = [
+        f"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (
+  SELECT label AS cl, e AS c FROM (
+    SELECT label, e, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+    FROM v WHERE label < {k}) WHERE rn = 1
+)"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT vec_id, label, e, cl FROM (
+    {assign(prev)}) WHERE rn = 1
+),
+c{t} AS (
+  SELECT cl, list(m ORDER BY pos) AS c FROM (
+    SELECT cl, pos, round(avg(val), {dp}) AS m FROM (
+      SELECT cl, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM a{t})
+    GROUP BY cl, pos)
+  GROUP BY cl
+)"""
+        )
+        prev = f"c{t}"
+    parts.append(
+        f"""
+SELECT cl AS cluster, label, count(*)::BIGINT AS n FROM (
+  SELECT vec_id, label, cl FROM (
+    {assign(prev)}) WHERE rn = 1)
+GROUP BY cl, label"""
+    )
+    return "".join(parts)
+
+
+_EMB_CLUSTERS_SQL = _lloyd_sql(k=4, iters=3, dp=6)
 
 
 SPARK_QUERIES = {
@@ -1645,4 +1697,5 @@ ORACLE_SQL = {
     "events_hourly_rollup": _EVENTS_ROLLUP_SQL,
     "events_latest_per_user": _EVENTS_LATEST_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
+    "embedding_clusters": _EMB_CLUSTERS_SQL,
 }

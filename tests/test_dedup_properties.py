@@ -109,3 +109,49 @@ def test_bucketed_embedding_neardup_exact_vs_bruteforce(spark):
     }
     assert brute, "oracle pair set must be non-empty"
     assert bucketed == brute
+
+
+def test_lloyd_kmeans_matches_numpy_twin(spark):
+    """The deterministic Lloyd's operator must reproduce an independent
+    NumPy implementation of the same pinned contract (init, rounding,
+    argmin tie-break) exactly — the property that makes the
+    `embedding_clusters` DuckDB oracle possible."""
+    from aspep_etl_spark.operators.clustering import (
+        lloyd_kmeans_assign,
+        seeded_label_init,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    init = seeded_label_init(emb, "vec_id", "embedding", "label", k=4)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in lloyd_kmeans_assign(
+            emb, "vec_id", "embedding", init, iters=3, round_dp=6
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = {cl: np.array(c) for cl, c in init}
+
+    def assign(cents):
+        out = {}
+        for i, vid in enumerate(ids):
+            best = None
+            for cl in sorted(cents):
+                c = cents[cl]
+                d = round(float(X[i] @ X[i] + c @ c - 2 * (X[i] @ c)), 6)
+                if best is None or (d, cl) < best:
+                    best = (d, cl)
+            out[vid] = best[1]
+        return out
+
+    for _ in range(3):
+        a = assign(cents)
+        new = {}
+        for cl in set(a.values()):
+            members = np.array([X[i] for i, vid in enumerate(ids) if a[vid] == cl])
+            new[cl] = np.round(members.mean(axis=0), 6)
+        cents = new
+    assert got == assign(cents)

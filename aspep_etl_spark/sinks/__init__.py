@@ -1,1 +1,6 @@
-from .publish import write_canonical_store, write_json_array, gzip_publish  # noqa: F401
+from .publish import (  # noqa: F401
+    gzip_publish,
+    publish_dir,
+    write_canonical_store,
+    write_json_array,
+)

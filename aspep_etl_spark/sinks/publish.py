@@ -56,16 +56,35 @@ def _json_scalar(v):
     return v
 
 
-def write_json_array(df: DataFrame, path: str, indent: int = 4) -> str:
+#: write_json_array refuses DataFrames larger than this — the single-file
+#: JSON artifact is a publish-time format (the reference's biggest artifact
+#: is ~1.2 M rows of derived stats); anything bigger is pipeline data that
+#: belongs in the parquet store, and silently collecting it would OOM the
+#: driver at scale.
+JSON_ARRAY_MAX_ROWS = 5_000_000
+
+
+def write_json_array(
+    df: DataFrame, path: str, indent: int = 4, max_rows: int = JSON_ARRAY_MAX_ROWS
+) -> str:
     """Publish a DataFrame as one pretty-printed JSON array file.
 
     Byte-shape parity with the reference artifact (orient="records",
     indent=4); NaN/inf → null so the output is strict JSON (the reference's
     ujson emitted bare NaN, which stdlib json only tolerates on read).
-    Driver-side by design — never use for pipeline-scale data.
+    Driver-side by design — never use for pipeline-scale data; the
+    ``max_rows`` guard makes pointing it at a fact table a loud error
+    instead of a driver OOM (checked with a ``limit(max_rows+1)`` probe,
+    never a full count of the offending table).
     """
+    rows = df.take(max_rows + 1)
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_json_array: more than {max_rows} rows — this artifact is "
+            f"driver-side single-file JSON; write the parquet store instead"
+        )
     records = [
-        {k: _json_scalar(v) for k, v in row.asDict().items()} for row in df.collect()
+        {k: _json_scalar(v) for k, v in row.asDict().items()} for row in rows
     ]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
@@ -80,3 +99,52 @@ def gzip_publish(local_path: str) -> str:
     with open(local_path, "rb") as f_in, gzip.open(out, "wb") as f_out:
         f_out.writelines(f_in)
     return out
+
+
+_TEXT_EXTS = (".json", ".csv", ".txt")
+
+
+def publish_dir(
+    out_dir: str,
+    bucket: str,
+    prefix: str = "",
+    uploader=None,
+) -> list[dict]:
+    """Walk an output directory, upload every file, return
+    ``[{"file": name, "url": public_url}, ...]`` — the reference's
+    `s3_upload` asset surface (assets.py:549-570): text artifacts
+    (.json/.csv/.txt) are gzipped and uploaded with
+    ``ContentType=text/plain, ContentEncoding=gzip``; public URLs follow
+    the ``https://{bucket}.s3.amazonaws.com/{key}`` convention.
+
+    ``uploader(local_path, bucket, key, extra_args) -> None`` performs the
+    actual transfer — inject a ``boto3`` client's ``upload_file`` in
+    production, a recorder in tests (this container has no network, and
+    the engine takes no boto3 dependency).  A failed upload is logged into
+    the result as ``url=None`` and does not abort the walk, matching the
+    reference's per-file error handling.
+    """
+    results: list[dict] = []
+    for root, _, files in sorted(os.walk(out_dir)):
+        for filename in sorted(files):
+            local_path = os.path.join(root, filename)
+            key = os.path.join(prefix, os.path.relpath(local_path, out_dir)).replace(
+                "\\", "/"
+            )
+            is_text = filename.endswith(_TEXT_EXTS)
+            extra_args: dict = {"ACL": "public-read"}
+            send_path = local_path
+            if is_text:
+                send_path = gzip_publish(local_path)
+                extra_args.update(
+                    {"ContentType": "text/plain", "ContentEncoding": "gzip"}
+                )
+            try:
+                if uploader is None:
+                    raise RuntimeError("publish_dir: no uploader injected")
+                uploader(send_path, bucket, key, extra_args)
+                url = f"https://{bucket}.s3.amazonaws.com/{key}"
+            except Exception:  # noqa: BLE001 — per-file quarantine
+                url = None
+            results.append({"file": filename, "url": url})
+    return results

@@ -37,9 +37,11 @@ def as_of_join(
     ``right_tiebreak``: column deciding among right rows sharing (key, ts)
     — highest wins (required for determinism if duplicates exist).
 
-    Limitation: a NULL in a right payload column is carried over by the
-    next-older non-null value (``last(ignorenulls)``); if null payloads
-    must be preserved, wrap them in a sentinel struct before joining.
+    All payload columns come from the SAME matched right row: each right
+    row is carried as one non-null struct and a single
+    ``last(ignorenulls=True)`` selects the most recent one, so a NULL
+    payload value on that row surfaces as NULL (DuckDB ASOF JOIN
+    semantics) — never mixed with fields of an older row.
     """
     r = right
     if right_tiebreak is not None:
@@ -50,11 +52,15 @@ def as_of_join(
             .drop("__rn")
         )
 
+    # one struct per right row — non-null as a whole even when individual
+    # payload fields are null, so last(ignorenulls) picks whole rows
     r_tagged = r.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("__side"),
-        *[F.col(src).alias(f"__carry_{dst}") for src, dst in payload.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in payload.items()]
+        ).alias("__carry"),
     )
     l_tagged = left.withColumn("__side", F.lit(1))
     unioned = union_by_name([l_tagged, r_tagged])
@@ -63,12 +69,11 @@ def as_of_join(
     w = Window.partitionBy(key).orderBy(
         F.col(ts).asc(), F.col("__side").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    carried = unioned.withColumns(
-        {
-            dst: F.last(F.col(f"__carry_{dst}"), ignorenulls=True).over(w)
-            for dst in payload.values()
-        }
+    carried = unioned.withColumn(
+        "__match", F.last(F.col("__carry"), ignorenulls=True).over(w)
     )
-    return carried.filter(F.col("__side") == 1).drop(
-        "__side", *[f"__carry_{dst}" for dst in payload.values()]
+    return (
+        carried.filter(F.col("__side") == 1)
+        .withColumns({dst: F.col("__match")[dst] for dst in payload.values()})
+        .drop("__side", "__carry", "__match")
     )

@@ -72,6 +72,7 @@ def yoy_deltas_wide(
     metric_cols: list[str],
     lags: tuple[int, ...] = (1, 4),
     lag_labels: dict[int, str] | None = None,
+    reference_exact: bool = False,
 ) -> DataFrame:
     """Wide-fan-out twin of ``yoy_deltas`` as an Arrow-batched kernel.
 
@@ -86,6 +87,16 @@ def yoy_deltas_wide(
     (A per-group ``applyInPandas`` costs ~10 ms of pandas overhead per
     cohort — ruinous with thousands of small cohorts.)  Semantics identical
     to ``yoy_deltas`` (pinned by the parity suite).
+
+    ``reference_exact=True`` reproduces legacy-pandas ``pct_change``
+    instead (reference assets.py:443-444): the series is forward-filled
+    BEFORE the ratio (default ``fill_method="pad"`` — both numerator and
+    shifted denominator are padded across NaN gaps) and a zero base yields
+    ±inf (0→0 yields NaN), which then participates in the reference's
+    pos/neg delta ranks (±inf takes rank 1 on its side).  ``_abs`` columns
+    are plain ``diff`` — never padded — in both modes.  JSON publish maps
+    inf→null at the boundary (sinks/publish.py), matching the reference's
+    artifact after its own inf-replace.
     """
     import numpy as np
     import pandas as pd
@@ -102,16 +113,25 @@ def yoy_deltas_wide(
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
+        gkeys = [pdf[k] for k in cohort_keys]
         g = pdf.groupby(list(cohort_keys), sort=False, dropna=False)
         add = {}
         for c in metric_cols:
             base = pdf[c].astype(float)
+            filled_g = None
+            if reference_exact:
+                filled = g[c].ffill().astype(float)
+                filled_g = filled.groupby(gkeys, dropna=False)
             for k in lags:
                 lbl = lag_labels[k]
                 prev = g[c].shift(k).astype(float)
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    pct = base / prev - 1
-                pct[(prev == 0) | np.isinf(pct)] = np.nan  # zero base → null
+                    if reference_exact:
+                        # legacy pct_change: padded num AND denom, ±inf kept
+                        pct = filled / filled_g.shift(k) - 1
+                    else:
+                        pct = base / prev - 1
+                        pct[(prev == 0) | np.isinf(pct)] = np.nan  # zero base → null
                 add[f"{c}_{lbl}_pct"] = pct
                 add[f"{c}_{lbl}_abs"] = base - prev
         yield pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]

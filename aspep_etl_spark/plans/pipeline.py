@@ -90,6 +90,7 @@ def derive_extended_stats(
     stats_df: DataFrame,
     persist_between_stages: bool = True,
     wide_kernel_threshold: int = 24,
+    reference_exact: bool = True,
 ) -> DataFrame:
     """YoY deltas + cohort and directional ranks + significance filter
     (reference assets.py:387-491).
@@ -111,11 +112,20 @@ def derive_extended_stats(
     metric_cols = base_cols + extra_numeric
     use_wide = len(metric_cols) * 4 > wide_kernel_threshold
 
+    # reference_exact pins legacy-pandas pct_change semantics (ffill-padded
+    # ratio, ±inf on zero base feeding the pos/neg ranks — see
+    # operators/windows.py) — only the pandas kernels express those, so it
+    # forces the wide path; the JVM expression path keeps the engine's own
+    # contract (zero base → null), which the W1 oracle query pins.
+    use_wide = use_wide or reference_exact
     cohort_keys = ["state_code", "gov_function"]
     if use_wide:
         from ..operators.windows import yoy_deltas_wide
 
-        df = yoy_deltas_wide(stats_df, cohort_keys, ["year"], metric_cols)
+        df = yoy_deltas_wide(
+            stats_df, cohort_keys, ["year"], metric_cols,
+            reference_exact=reference_exact,
+        )
     else:
         df = yoy_deltas(stats_df, cohort_keys, ["year"], metric_cols)
         if persist_between_stages:

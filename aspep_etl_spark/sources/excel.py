@@ -64,10 +64,18 @@ def collapse_headers(grid: list[list], header_start: int, header_end: int) -> li
 def legacy_grid_to_frame(grid: list[list], year: int) -> pd.DataFrame:
     """Legacy-era adapter: collapse headers, slice off the header window,
     drop all-empty/unnamed columns, canonicalize names
-    (reference assets.py:115-139)."""
+    (reference assets.py:115-139).
+
+    The data slice is ``grid[end:]`` — reference ``df.iloc[header_end:]``
+    (assets.py:130) KEEPS the last header row (e.g. 2003's "State
+    Name/Function/Employees" line) as a data row; it survives the whole
+    reference pipeline (its year passes the significance filter), so
+    combined output carries ~1 such pseudo-row per legacy year.
+    Reproduced, not sanitized — same stance as the year-includes filter
+    quirk (plans/pipeline.py)."""
     start, end = maps.HEADER_WINDOWS[year]
     cols = collapse_headers(grid, start, end)
-    data = grid[end + 1 :]
+    data = grid[end:]
     width = len(cols)
     rows = [list(r[:width]) + [None] * (width - len(r)) for r in data]
     pdf = pd.DataFrame(rows, columns=cols)

@@ -2,9 +2,12 @@
 (process_aspep/assets.py:336-491) for parity testing of the Spark plans.
 
 Uses the engine's canonical column names (``state_code`` instead of the
-reference's ``state code``).  Division-by-zero in pct_change yields ±inf in
-pandas; the Spark engine deliberately yields null there (SURVEY.md §7.1) —
-the comparison layer treats inf as null.
+reference's ``state code``).  pct deltas follow LEGACY pandas
+``pct_change`` exactly (default ``fill_method="pad"``): the series is
+forward-filled before the ratio and a zero base yields ±inf, which then
+participates in the pos/neg delta ranks — the engine's
+``reference_exact`` pipeline path reproduces all of it, and the
+comparison layer matches inf AGAINST inf (no null-coercion escape hatch).
 """
 
 from __future__ import annotations
@@ -44,18 +47,17 @@ def derive_extended_stats_oracle(stats: pd.DataFrame) -> pd.DataFrame:
     for _, grp in data.groupby(["state_code", "gov_function"]):
         grp = grp.sort_values("year").copy()
         for c in cols:
-            # fill_method=None: the engine does not forward-fill gaps before
-            # computing pct deltas (legacy pandas default padded; the
-            # reference's golden checks only pin _abs columns, so both are
-            # golden-compatible — see SURVEY.md §7.1).
-            grp[f"{c}_1yr_pct"] = grp[c].pct_change(1, fill_method=None)
-            grp[f"{c}_5yr_pct"] = grp[c].pct_change(4, fill_method=None)
+            # legacy pct_change: ffill-padded numerator AND denominator,
+            # ±inf on zero base kept (reference assets.py:443-444); diff
+            # never pads.
+            filled = grp[c].ffill()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                grp[f"{c}_1yr_pct"] = filled / filled.shift(1) - 1
+                grp[f"{c}_5yr_pct"] = filled / filled.shift(4) - 1
             grp[f"{c}_1yr_abs"] = grp[c].diff(1)
             grp[f"{c}_5yr_abs"] = grp[c].diff(4)
         frames.append(grp)
     df = pd.concat(frames, ignore_index=True)
-    # Engine semantics: pct-change from a zero base is null, not ±inf.
-    df.replace([np.inf, -np.inf], np.nan, inplace=True)
 
     suffixes = ("_1yr_pct", "_5yr_pct", "_1yr_abs", "_5yr_abs")
     delta_cols = [c for c in df.columns if c.endswith(suffixes)]

@@ -40,3 +40,23 @@ def test_as_of_join_semantics(spark):
     assert got[4] == 30.0
     assert got[5] is None   # key absent from right
     assert len(got) == 5    # left rows all preserved exactly once
+
+
+def test_asof_null_payload_from_matched_row(spark):
+    """A NULL payload on the most recent right row must surface as NULL
+    alongside that row's ts — all output fields from ONE right row (DuckDB
+    ASOF JOIN semantics), never value-from-older + ts-from-newer."""
+    from aspep_etl_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, 50, 7.0), (1, 150, None)], ["k", "ts", "v"]
+    )
+    out = {
+        r["ts"]: (r["prev_v"], r["prev_ts"])
+        for r in as_of_join(
+            left, right, "k", "ts", {"v": "prev_v", "ts": "prev_ts"}
+        ).collect()
+    }
+    assert out[100] == (7.0, 50)
+    assert out[200] == (None, 150)  # null v carried WITH its own ts

@@ -40,7 +40,9 @@ def test_full_job_offline(spark, tmp_path):
 
     # S10: re-scan the published pretty-printed JSON arrays with Spark
     combined = read_json_artifact(spark, result["artifacts"]["combined_data"])
-    assert combined.count() == 7
+    # 4 legacy + 3 tidy data rows + 1 retained last-header pseudo-row
+    # (reference iloc[end:] slice quirk, sources/excel.py)
+    assert combined.count() == 8
     ext = read_json_artifact(spark, result["artifacts"]["extended_stats"])
     mo = ext.filter(
         (ext.state_code == "MO") & (ext.gov_function == "corrections") & (ext.year == 2024)

@@ -75,7 +75,9 @@ def test_legacy_grid_to_frame_canonical_columns():
     assert "ft_employment" in pdf.columns and "ft_pay" in pdf.columns
     # empty column dropped
     assert len(pdf.columns) == 5
-    assert len(pdf) == 4
+    # 4 data rows + the retained last header row (reference iloc[end:] quirk)
+    assert len(pdf) == 5
+    assert pdf.iloc[0]["ft_pay"] == "(whole dollars)"  # the retained header row
 
 
 def test_tidy_2024_cleanse():

@@ -70,10 +70,14 @@ def test_legacy_adapter_recovers_exact_values(case):
     year, measures, values, grid = case
     pdf = legacy_grid_to_frame(grid, year)
     assert list(pdf.columns[:2]) == ["state", "gov_function"]
+    # row 0 is the retained last header row (reference iloc[end:] quirk);
+    # true data rows follow it
+    assert pdf.iloc[0]["state"] == "State Name"
+    assert len(pdf) == 1 + len(values)
     for j, m in enumerate(measures):
         assert m in pdf.columns, (year, m, list(pdf.columns))
         for i, row_vals in enumerate(values):
-            got = float(pdf.iloc[i][m])
+            got = float(pdf.iloc[i + 1][m])
             assert math.isclose(got, row_vals[j]), (m, i)
     # trailing empty column dropped
     assert len(pdf.columns) == 2 + len(measures)

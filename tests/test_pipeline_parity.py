@@ -19,7 +19,9 @@ KEYS = ["state_code", "gov_function", "year"]
 
 
 def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.replace([np.inf, -np.inf], np.nan)
+    # NO inf→nan coercion: reference-exact pct deltas carry ±inf and the
+    # comparison must match them against the oracle's ±inf literally
+    # (np.isclose(inf, inf) is True).
     return pdf.sort_values(KEYS).reset_index(drop=True)
 
 

@@ -88,7 +88,9 @@ def test_binaryfile_scale_path_on_real_corpus(spark):
     from aspep_etl_spark.sources.excel import ingest_binary_workbooks
 
     fact = ingest_binary_workbooks(spark, RAW_DIR)
-    assert fact.count() == 36_937
+    # 36,937 true data rows + 21 retained last-header pseudo-rows (the
+    # reference's iloc[header_end:] slice keeps one per legacy year)
+    assert fact.count() == 36_958
     wi = fact.filter(
         "state_code='WI' and gov_function='corrections' and year=2017"
     ).select("total_pay").first()

@@ -113,27 +113,31 @@ def yoy_deltas_wide(
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        gkeys = [pdf[k] for k in cohort_keys]
         g = pdf.groupby(list(cohort_keys), sort=False, dropna=False)
+        # one groupby pass per lag across ALL metric columns (a per-column
+        # Series.groupby costs ~37x the group-dispatch overhead)
+        base_all = pdf[metric_cols].astype(float)
+        shifted = {k: g[metric_cols].shift(k).astype(float) for k in lags}
+        if reference_exact:
+            filled_all = g[metric_cols].ffill().astype(float)
+            fg = filled_all.groupby(
+                [pdf[k] for k in cohort_keys], sort=False, dropna=False
+            )
+            fshift = {k: fg.shift(k) for k in lags}
         add = {}
         for c in metric_cols:
-            base = pdf[c].astype(float)
-            filled_g = None
-            if reference_exact:
-                filled = g[c].ffill().astype(float)
-                filled_g = filled.groupby(gkeys, dropna=False)
             for k in lags:
                 lbl = lag_labels[k]
-                prev = g[c].shift(k).astype(float)
+                prev = shifted[k][c]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     if reference_exact:
                         # legacy pct_change: padded num AND denom, ±inf kept
-                        pct = filled / filled_g.shift(k) - 1
+                        pct = filled_all[c] / fshift[k][c] - 1
                     else:
-                        pct = base / prev - 1
+                        pct = base_all[c] / prev - 1
                         pct[(prev == 0) | np.isinf(pct)] = np.nan  # zero base → null
                 add[f"{c}_{lbl}_pct"] = pct
-                add[f"{c}_{lbl}_abs"] = base - prev
+                add[f"{c}_{lbl}_abs"] = base_all[c] - prev
         yield pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]
 
     ordered = df.repartition(*cohort_keys).sortWithinPartitions(

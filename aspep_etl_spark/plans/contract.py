@@ -1699,3 +1699,8 @@ ORACLE_SQL = {
     "events_sessionize": _EVENTS_SESSION_SQL,
     "embedding_clusters": _EMB_CLUSTERS_SQL,
 }
+
+from .tpch_extra import EXTRA_ORACLE_SQL, EXTRA_QUERIES  # noqa: E402
+
+SPARK_QUERIES.update(EXTRA_QUERIES)
+ORACLE_SQL.update(EXTRA_ORACLE_SQL)

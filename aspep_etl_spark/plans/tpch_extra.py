@@ -1,0 +1,532 @@
+"""Remaining TPC-H-shaped contract queries (Q7-Q22 adapted).
+
+The driver's testdata has no ``partsupp`` table and no commit/receipt
+dates, so Q9/Q11/Q16/Q20 are re-expressed against the columns that exist
+(documented per query); Q21 (receipt-vs-commit lateness) has no faithful
+adaptation and is intentionally absent.  Every query follows the engine's
+oracle-exactness rules (contract.py module docstring): identical aliases
+both sides, rounded aggregates, explicit casts for DuckDB HUGEINT/BIGINT
+widening, deterministic tiebreaks on every top-k.
+
+Scale notes baked into the shapes:
+- only the tiny dims (nation, region) are force-broadcast; customer /
+  supplier / part joins are left to AQE so the same plan holds when those
+  tables are 1000x bigger;
+- scalar thresholds (global sums / averages / maxima) are computed as
+  1-row aggregates and broadcast-cross-joined — never a window over an
+  empty partitioning (which would serialize the whole table through one
+  partition at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table as _t
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral revenue between two nations by ship year
+    (supplier nation x customer nation, symmetric pair filter)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("__cnk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cnk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate)::INT AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold into
+    ASIA-region customers, by order year (conditional-sum ratio)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nat.select(F.col("n_nationkey").alias("__snk"), F.col("n_name").alias("nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("__cnk"), F.col("n_regionkey").alias("__crk"))
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cnk"))
+        .join(F.broadcast(reg), F.col("__crk") == F.col("r_regionkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("volume", _rev())
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 4)
+         AS mkt_share
+FROM (
+  SELECT year(o_orderdate)::INT AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region    ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+)
+GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-line profit by nation/year (adapted: no partsupp, so profit
+# is discounted revenue, not revenue minus supplycost)
+# ---------------------------------------------------------------------------
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted): discounted revenue from parts whose name
+    contains 'widget', grouped by supplier nation x order year.
+
+    Summed in DECIMAL: these fine-grained groups sit close enough to 2dp
+    rounding boundaries that double summation-order noise flips the hash
+    — decimal addition is order-independent, so Spark and DuckDB agree
+    bit-exactly (each per-row product is the same double on both engines
+    before widening)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(
+            F.round(F.sum(_rev().cast("decimal(30,10)")), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(30,10)), 2)::DOUBLE
+         AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)::INT
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item customer ranking
+# ---------------------------------------------------------------------------
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    lineitems in one quarter (deterministic tiebreak on custkey)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — value concentration (adapted: lineitem value per supplier instead
+# of partsupp stock value)
+# ---------------------------------------------------------------------------
+
+def q11_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape (adapted): suppliers whose shipped gross value
+    exceeds 1.5% of the global total — the scalar threshold is a 1-row
+    aggregate broadcast-cross-joined, never a window over ()."""
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(value).alias("__raw"))
+    total = per_supp.agg(F.sum("__raw").alias("__total"))
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .filter(F.col("__raw") > 0.0105 * F.col("__total"))
+        .select(
+            "l_suppkey",
+            F.round(F.col("__raw"), 2).alias("supp_value"),
+            F.round(F.col("__raw") / F.col("__total"), 4).alias("value_share"),
+        )
+    )
+
+
+_Q11_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS raw
+  FROM lineitem GROUP BY l_suppkey
+), total AS (SELECT sum(raw) AS t FROM per_supp)
+SELECT l_suppkey,
+       round(raw, 2)     AS supp_value,
+       round(raw / t, 4) AS value_share
+FROM per_supp CROSS JOIN total
+WHERE raw > 0.0105 * t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# ---------------------------------------------------------------------------
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: histogram of per-customer order counts (left outer
+    join keeps zero-order customers; low-priority orders excluded)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) matching the maximum quarterly revenue
+    — max computed as a broadcast 1-row aggregate, compared on the ROUNDED
+    revenue so the equality is well-defined on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — part/supplier variety (adapted: supplier-part link via lineitem;
+# the "complaints" exclusion becomes an anti-join on negative balances)
+# ---------------------------------------------------------------------------
+
+def q16_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (adapted): distinct suppliers per (brand, type,
+    size) for selected sizes, excluding one brand and anti-joining away
+    negative-balance suppliers (the reference's complaints NOT IN)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    links = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+    )
+    return links.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue that would be lost if
+    below-20%-of-average-quantity orders of one brand stopped — the
+    per-part average is a grouped aggregate joined back (AQE broadcasts
+    the small side), not a correlated rescan."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(part, li.l_partkey == part.p_partkey)
+    avg_qty = branded.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("__limit")
+    )
+    return (
+        branded.join(avg_qty, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#9'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l_quantity) FROM lineitem li2 WHERE li2.l_partkey = p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue over OR'd predicate combos
+# ---------------------------------------------------------------------------
+
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: one disjunction of brand x size x quantity windows
+    — a single scan with the OR pushed into it, no union of scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#5") & (F.col("p_size").between(1, 10))
+         & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#14") & (F.col("p_size").between(5, 25))
+           & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#25") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity").between(20, 45)))
+    )
+    return j.filter(cond).agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#5'  AND p_size BETWEEN 1  AND 10 AND l_quantity BETWEEN 1  AND 15)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 5  AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 45)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess shipped volume (adapted: shipped quantity
+# stands in for partsupp availqty)
+# ---------------------------------------------------------------------------
+
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted): suppliers who shipped more than 80 units
+    of 'red'-named parts in 1996 — semi-join the qualifying supplier set
+    back to the supplier dim."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    qual = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 80.0)
+    )
+    return (
+        supp.join(qual, supp.s_suppkey == qual.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 80.0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity
+# ---------------------------------------------------------------------------
+
+def q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: rich-but-lately-inactive customers per nation —
+    scalar average broadcast, then an anti-join against recent orders
+    (every testdata customer has SOME order, so "inactive" means no
+    order since 2000)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    inactive = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey, count(*)::BIGINT AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+EXTRA_QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q11_value_concentration": q11_value_concentration,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_part_supplier_variety": q16_part_supplier_variety,
+    "q17_small_quantity": q17_small_quantity,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q22_sales_opportunity": q22_sales_opportunity,
+}
+
+EXTRA_ORACLE_SQL = {
+    "q7_volume_shipping": _Q7_SQL,
+    "q8_market_share": _Q8_SQL,
+    "q9_product_profit": _Q9_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q11_value_concentration": _Q11_SQL,
+    "q13_order_distribution": _Q13_SQL,
+    "q15_top_supplier": _Q15_SQL,
+    "q16_part_supplier_variety": _Q16_SQL,
+    "q17_small_quantity": _Q17_SQL,
+    "q19_discounted_revenue": _Q19_SQL,
+    "q20_excess_suppliers": _Q20_SQL,
+    "q22_sales_opportunity": _Q22_SQL,
+}

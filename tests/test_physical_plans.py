@@ -99,3 +99,33 @@ def test_embedding_neardup_no_cartesian_product(spark, sf):
     assert "CartesianProduct" not in plan
     # candidate self-join is a hash join on bucket, not a cross join
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q7_nation_pair_join_broadcasts_and_pushes(spark, sf):
+    """The widest new join chain (Q7: lineitem x orders x supplier x
+    customer x nation x nation): forced-broadcast nation dims, date range
+    pushed into the lineitem scan, no cartesian anywhere."""
+    plan = plan_of(contract.SPARK_QUERIES["q7_volume_shipping"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two nation dims at minimum
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_q11_scalar_threshold_is_broadcast_not_window(spark, sf):
+    """Global-total thresholds must be a broadcast 1-row nested-loop join,
+    never a Window over () (which would serialize the whole aggregate
+    through one partition at scale)."""
+    plan = plan_of(contract.SPARK_QUERIES["q11_value_concentration"](spark, sf), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q16_complaint_exclusion_is_anti_join(spark, sf):
+    plan = plan_of(contract.SPARK_QUERIES["q16_part_supplier_variety"](spark, sf), mode="simple")
+    assert "LeftAnti" in plan
+
+
+def test_q20_qualifying_set_is_semi_join(spark, sf):
+    plan = plan_of(contract.SPARK_QUERIES["q20_excess_suppliers"](spark, sf), mode="simple")
+    assert "LeftSemi" in plan

@@ -83,6 +83,81 @@ def langid_scores(text: Column) -> Column:
     return best
 
 
+def repetition_metrics(text: Column) -> dict[str, Column]:
+    """Within-document repetition signals (Gopher / RefinedWeb-style
+    repetitious-text filters, word-level since the corpus has no line
+    structure):
+
+    - ``distinct_token_ratio``: |distinct tokens| / |tokens|;
+    - ``top_bigram_fraction``: occurrences of the most frequent word
+      bigram / total bigrams (the mode count is an O(d·n) per-doc array
+      scan — bounded by doc length, no shuffle);
+    - ``max_token_run``: longest run of consecutive identical tokens
+      (single left-fold with (current, best) struct state).
+
+    All codegen'd array expressions; assumes ≥2 tokens (callers filter).
+    """
+    toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+    bi = F.expr(
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+    )
+    top_bi = F.expr(
+        "array_max(transform(array_distinct(__bi), "
+        "x -> size(filter(__bi, y -> y = x))))"
+    )
+    max_run = F.expr(
+        "aggregate(sequence(2, size(__toks)), named_struct('cur', 1, 'best', 1), "
+        "(acc, i) -> named_struct("
+        "'cur', CASE WHEN element_at(__toks, i) = element_at(__toks, i - 1) "
+        "            THEN acc.cur + 1 ELSE 1 END, "
+        "'best', greatest(acc.best, CASE WHEN element_at(__toks, i) = element_at(__toks, i - 1) "
+        "                               THEN acc.cur + 1 ELSE 1 END)), "
+        "acc -> acc.best)"
+    )
+    return {
+        "__toks": toks,
+        "__bi": bi,
+        "distinct_token_ratio": F.round(
+            F.size(F.array_distinct(F.col("__toks"))) / F.size(F.col("__toks")), 4
+        ),
+        "top_bigram_fraction": F.round(top_bi / F.size(F.col("__bi")), 4),
+        "max_token_run": max_run.cast("long"),
+    }
+
+
+# PII-ish surface patterns — RE2 ∩ Java compatible (no backrefs, no
+# lookaround) so DuckDB oracles and Spark agree byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+    "url": "https?://[^\\s]+",
+    "phone": "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b",
+    "ipv4": "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+}
+
+
+def pii_pattern_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII-pattern hit counts (training-data scrubbing
+    audit).  One regex pass per pattern, all codegen."""
+    low = F.lower(text)
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(low, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII-pattern hit with a typed placeholder (``[EMAIL]``
+    etc.) — the scrub transform paired with ``pii_pattern_counts``.  URL
+    runs first so an address inside a URL redacts as one URL."""
+    out = text
+    for name in ("url", "email", "phone", "ipv4"):  # order matters: url first
+        # (?i): counts lowercase their input; the redactor must hit the
+        # same spans on the original casing
+        out = F.regexp_replace(out, "(?i)" + PII_PATTERNS[name], f"[{name.upper()}]")
+    return out
+
+
 def fingerprint(text: Column) -> Column:
     """Canonical document fingerprint: md5 over the lowercased text with
     everything but alnum removed — whitespace/punct-insensitive identity."""

@@ -1700,7 +1700,10 @@ ORACLE_SQL = {
     "embedding_clusters": _EMB_CLUSTERS_SQL,
 }
 
+from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
 from .tpch_extra import EXTRA_ORACLE_SQL, EXTRA_QUERIES  # noqa: E402
 
 SPARK_QUERIES.update(EXTRA_QUERIES)
+SPARK_QUERIES.update(LLM_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
+ORACLE_SQL.update(LLM_ORACLE_SQL)

@@ -1,0 +1,165 @@
+"""[EXT] Additional LLM-training-data-pipeline contract queries:
+within-document repetition signals, duplicate-family clustering
+(connected components over near-dup pairs), and embedding quantization
+accounting.  Each has a DuckDB oracle twin (the connected-components
+oracle is a recursive CTE computing the same min-label fixpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.dedup import jaccard_pairs
+from ..operators.quantize import with_quantize_stats
+from ..operators.text import repetition_metrics
+from ..sources.registry import load_table as _t
+
+
+def docs_repetition(spark, sf_dir):
+    """Repetition-quality signals per document (Gopher-style filters):
+    distinct-token ratio, top-bigram fraction, longest identical-token
+    run — one map-only scan, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    m = repetition_metrics(F.col("text"))
+    return (
+        docs.withColumn("__toks", m["__toks"])
+        .filter(F.size("__toks") >= 2)
+        .withColumn("__bi", m["__bi"])
+        .select(
+            "doc_id",
+            m["distinct_token_ratio"].alias("distinct_token_ratio"),
+            m["top_bigram_fraction"].alias("top_bigram_fraction"),
+            m["max_token_run"].alias("max_token_run"),
+        )
+    )
+
+
+_DOCS_REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), base AS (
+  SELECT doc_id, w,
+         [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))] AS bi
+  FROM words WHERE len(w) >= 2
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM base
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+              THEN 0 ELSE 1 END AS is_start
+  FROM toks
+), grp AS (
+  SELECT doc_id, sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM brk
+), runs AS (
+  SELECT doc_id, max(cnt) AS max_token_run FROM (
+    SELECT doc_id, g, count(*) AS cnt FROM grp GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       round(len(list_distinct(b.w))::DOUBLE / len(b.w), 4) AS distinct_token_ratio,
+       round(list_max([len(list_filter(b.bi, y -> y = x)) FOR x IN list_distinct(b.bi)])::DOUBLE
+             / len(b.bi), 4)                                AS top_bigram_fraction,
+       r.max_token_run::BIGINT                              AS max_token_run
+FROM base b JOIN runs r ON b.doc_id = r.doc_id
+"""
+
+
+def dedup_clusters(spark, sf_dir):
+    """Duplicate-family clustering: n-gram Jaccard near-dup pairs →
+    connected components (min-label propagation with pointer jumping) →
+    one row per member doc with its component label and family size."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        cc.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "n_members")
+    )
+
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM tri a JOIN tri b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.05
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), reach AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+), cc AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+), fam AS (
+  SELECT component, count(*)::BIGINT AS n_members FROM cc GROUP BY component
+)
+SELECT cc.node AS doc_id, cc.component, fam.n_members
+FROM cc JOIN fam USING (component)
+"""
+
+
+def embedding_quantization(spark, sf_dir):
+    """Int8 min/max quantization accounting per label: average scale and
+    reconstruction error — the storage-shrink audit before ANN indexing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = with_quantize_stats(emb, "embedding")
+    return q.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("q_scale"), 6).alias("avg_scale"),
+        F.round(F.avg("q_max_err"), 6).alias("avg_max_err"),
+        F.round(F.max("q_max_err"), 6).alias("max_max_err"),
+    )
+
+
+_EMB_QUANT_SQL = """
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT label, e, list_min(e) AS mn,
+         CASE WHEN list_max(e) > list_min(e)
+              THEN (list_max(e) - list_min(e)) / 255.0 ELSE 1.0 END AS scale
+  FROM v
+), err AS (
+  SELECT label, scale,
+         list_max([abs(x - (mn + CAST(floor((x - mn) / scale + 0.5) AS INT) * scale))
+                   FOR x IN e]) AS q_max_err
+  FROM s
+)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(avg(scale), 6)     AS avg_scale,
+       round(avg(q_max_err), 6) AS avg_max_err,
+       round(max(q_max_err), 6) AS max_max_err
+FROM err GROUP BY label
+"""
+
+
+LLM_QUERIES = {
+    "docs_repetition": docs_repetition,
+    "dedup_clusters": dedup_clusters,
+    "embedding_quantization": embedding_quantization,
+}
+
+LLM_ORACLE_SQL = {
+    "docs_repetition": _DOCS_REPETITION_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "embedding_quantization": _EMB_QUANT_SQL,
+}

@@ -1,11 +1,18 @@
 """[EXT] Multimodal column plumbing (SURVEY.md §2.11).
 
 Images/audio/video are opaque ``binary`` payload columns with typed
-metadata maps.  The Spark-side plumbing — schema, partition-friendly batch
-iteration, Arrow-batched pandas UDF signatures — is real and tested; the
-actual codec work is stubbed (``decode_stub``) because media libraries are
-not in this container.  Swapping the stub for PIL/ffmpeg keeps every
-signature and plan shape intact.
+metadata maps.  Feature extraction streams Arrow batches through
+``mapInPandas`` once (the only acceptable shape for Python-side media work
+at scale — per-row UDFs are 10-100× slower) and decodes **real container
+bytes** with the stdlib header codecs in ``functions/media.py`` (PNG IHDR,
+JPEG SOF walk, GIF LSD, BMP DIB, WAV RIFF chunks, MP4 box walk).  Pixel /
+sample decode beyond header metadata would need PIL/libav, which this
+container lacks; swapping those in keeps every signature and plan shape
+intact.
+
+No reference counterpart (the reference pipeline is tabular-only,
+``process_aspep/assets.py``); this module is part of the [EXT]
+training-data-pipeline mandate.
 """
 
 from __future__ import annotations
@@ -18,44 +25,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.media import (
+    make_mp4,
+    make_png,
+    make_wav,
+    parse_media_header,
+)
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
         T.StructField("modality", T.StringType()),
+        T.StructField("format", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_hash", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
     ]
 )
 
-
-def decode_stub(payload: bytes, modality: str) -> dict:
-    """Deterministic fake decoder.
-
-    A real deployment replaces this with PIL / libav decode; the container
-    has neither, so dimensions are derived deterministically from payload
-    bytes (stable across runs, good enough to exercise the plumbing).
-    Raise ``NotImplementedError`` here to surface unstubbed codecs loudly.
-    """
-    import hashlib
-
-    h = hashlib.md5(payload or b"").digest()
-    if modality == "image":
-        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "duration_ms": None}
-    if modality in ("audio", "video"):
-        return {"width": None, "height": None, "duration_ms": 1000 + int.from_bytes(h[2:4], "big")}
-    raise NotImplementedError(f"unknown modality: {modality}")
+_FEATURE_COLS = [f.name for f in FEATURE_SCHEMA.fields]
 
 
 def extract_media_features(assets: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Arrow-batched header decode over binary payloads.
 
-    ``mapInPandas`` streams column batches through Python once — the only
-    acceptable shape for Python-side media work at scale (per-row UDFs are
-    10-100× slower).  Output schema is fixed (FEATURE_SCHEMA) so Catalyst
-    can prune upstream columns.
+    Output schema is fixed (``FEATURE_SCHEMA``) so Catalyst prunes upstream
+    columns to exactly ``asset_id, modality, payload``.  Corrupt or
+    unrecognized payloads yield ``format="unknown"`` with null fields — one
+    bad file must never kill a 100 TB scan; quarantine downstream with
+    ``WHERE format = 'unknown'``.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -67,34 +69,97 @@ def extract_media_features(assets: DataFrame) -> DataFrame:
                 pdf["asset_id"], pdf["modality"], pdf["payload"]
             ):
                 raw = bytes(payload) if payload is not None else b""
-                d = decode_stub(raw, modality)
+                d = parse_media_header(raw)
                 feats.append(
                     {
                         "asset_id": asset_id,
                         "modality": modality,
+                        "format": d["format"],
                         "n_bytes": len(raw),
                         "content_hash": hashlib.md5(raw).hexdigest(),
                         "width": d["width"],
                         "height": d["height"],
                         "duration_ms": d["duration_ms"],
+                        "sample_rate": d["sample_rate"],
+                        "channels": d["channels"],
                     }
                 )
-            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            yield pd.DataFrame(feats, columns=_FEATURE_COLS)
 
     return assets.select("asset_id", "modality", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
 
 
-def documents_as_media(docs: DataFrame, modality: str = "image") -> DataFrame:
-    """Adapter: treat document text bytes as opaque payloads so the binary
-    plumbing is exercisable on the driver's testdata (no media files in the
-    container)."""
-    return docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit(modality).alias("modality"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.create_map(
-            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
-        ).alias("media_meta"),
+_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("media_meta", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: synthesize real media payloads from the documents table so
+    the binary plumbing decodes genuine container bytes on the driver's
+    testdata (no media files ship in the container).
+
+    Deterministic per ``doc_id``: ``doc_id % 3`` picks PNG image / WAV
+    audio / MP4 video, with dimensions/duration derived from the id and
+    text length — so the decoded features are predictable and testable.
+    Synthesis runs in the same Arrow-batched shape real ingest would
+    (``mapInPandas``), keeping the plan scale-identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+            ):
+                did = int(doc_id)
+                n = len(text or "")
+                kind = did % 3
+                if kind == 0:
+                    modality = "image"
+                    payload = make_png(16 + did % 48, 16 + n % 48, fill=did % 256)
+                elif kind == 1:
+                    modality = "audio"
+                    payload = make_wav(250 + (did * 37) % 4000)
+                else:
+                    modality = "video"
+                    payload = make_mp4(
+                        500 + (did * 53) % 8000, 160 + did % 32 * 8, 120 + n % 24 * 8
+                    )
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": modality,
+                        "payload": payload,
+                        "media_meta": {"source": source, "lang": lang},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _MEDIA_SCHEMA.fields])
+
+    return docs.select("doc_id", "text", "source", "lang").mapInPandas(
+        run, schema=_MEDIA_SCHEMA
+    )
+
+
+def media_summary(features: DataFrame) -> DataFrame:
+    """Per-modality/format rollup of decoded header metadata — the sanity
+    dashboard a corpus curator runs first (decode rate, size, dims)."""
+    return (
+        features.groupBy("modality", "format")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.avg("width").alias("avg_width"),
+            F.avg("height").alias("avg_height"),
+            F.avg("duration_ms").alias("avg_duration_ms"),
+            F.count_distinct("content_hash").alias("n_unique"),
+        )
+        .orderBy("modality", "format")
     )

@@ -1221,8 +1221,40 @@ def dedup_simhash_q(spark, sf_dir):
 
 
 def multimodal_features_q(spark, sf_dir):
+    """Synthesize real PNG/WAV/MP4 container bytes from the documents
+    table, then decode them with the stdlib header codecs.  The projection
+    drops n_bytes/content_hash (compression-dependent) so the remaining
+    columns are a pure function of (doc_id, length(text)) — which is what
+    makes the round trip oracle-checkable: DuckDB computes the *expected*
+    decode output from the synthesis spec, Spark computes the *actual*
+    decode of real bytes, and the hashes must agree."""
     docs = _t(spark, sf_dir, "documents")
-    return extract_media_features(documents_as_media(docs))
+    return extract_media_features(documents_as_media(docs)).select(
+        "asset_id",
+        "modality",
+        "format",
+        "width",
+        "height",
+        "duration_ms",
+        "sample_rate",
+        "channels",
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+       CASE doc_id % 3 WHEN 0 THEN CAST(16 + doc_id % 48 AS INT)
+            WHEN 2 THEN CAST(160 + (doc_id % 32) * 8 AS INT) END AS width,
+       CASE doc_id % 3 WHEN 0 THEN CAST(16 + length(coalesce(text, '')) % 48 AS INT)
+            WHEN 2 THEN CAST(120 + (length(coalesce(text, '')) % 24) * 8 AS INT) END AS height,
+       CASE doc_id % 3 WHEN 1 THEN CAST(250 + (doc_id * 37) % 4000 AS INT)
+            WHEN 2 THEN CAST(500 + (doc_id * 53) % 8000 AS INT) END AS duration_ms,
+       CASE doc_id % 3 WHEN 1 THEN CAST(8000 AS INT) END AS sample_rate,
+       CASE doc_id % 3 WHEN 1 THEN CAST(1 AS INT) END AS channels
+FROM documents
+"""
 
 
 def ann_ivf_topk_q(spark, sf_dir):
@@ -1636,10 +1668,10 @@ SPARK_QUERIES = {
     "events_hourly_rollup": events_hourly_rollup_q,
     "events_latest_per_user": events_latest_per_user_q,
     "events_sessionize": events_sessionize_q,
+    "multimodal_features": multimodal_features_q,
     # rows-only (non-SQL-expressible)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
-    "multimodal_features": multimodal_features_q,
     "ann_ivf_topk": ann_ivf_topk_q,
     "streaming_hourly_rollup": streaming_hourly_rollup_q,
     "streaming_sessionize": streaming_sessionize_q,
@@ -1698,6 +1730,7 @@ ORACLE_SQL = {
     "events_latest_per_user": _EVENTS_LATEST_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
     "embedding_clusters": _EMB_CLUSTERS_SQL,
+    "multimodal_features": _MULTIMODAL_SQL,
 }
 
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402

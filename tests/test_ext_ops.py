@@ -118,12 +118,40 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert covered == {f"w{i}" for i in range(10)}
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_decode(spark):
+    """End-to-end: synthesized real container bytes → real header decode.
+
+    Expected values derive from documents_as_media's deterministic mapping
+    (doc_id % 3 → png / wav / mp4 with id- and length-derived params).
+    """
     feats = extract_media_features(documents_as_media(docs(spark))).collect()
     by_id = {r["asset_id"]: r for r in feats}
     assert len(by_id) == 6
-    r1, r4 = by_id[1], by_id[4]
-    assert r1["content_hash"] == r4["content_hash"]  # same payload bytes
-    assert r1["n_bytes"] == 43
-    assert r1["modality"] == "image" and 64 <= r1["width"] < 256
-    assert r1["duration_ms"] is None
+
+    # doc 3: PNG image, width = 16 + 3, height = 16 + len(text=53 chars) % 48
+    r3 = by_id[3]
+    assert (r3["modality"], r3["format"]) == ("image", "png")
+    assert (r3["width"], r3["height"]) == (19, 21)
+    assert r3["duration_ms"] is None
+
+    # doc 1: WAV audio, duration = 250 + (1*37) % 4000
+    r1 = by_id[1]
+    assert (r1["modality"], r1["format"]) == ("audio", "wav")
+    assert r1["duration_ms"] == 287
+    assert r1["sample_rate"] == 8000 and r1["channels"] == 1
+    assert r1["width"] is None
+
+    # doc 4: WAV, duration = 250 + 148 — distinct bytes from doc 1
+    assert by_id[4]["duration_ms"] == 398
+    assert by_id[4]["content_hash"] != r1["content_hash"]
+
+    # doc 2: MP4 video, duration = 500 + (2*53) % 8000,
+    # width = 160 + (2%32)*8, height = 120 + (len(text=43 chars)%24)*8
+    r2 = by_id[2]
+    assert (r2["modality"], r2["format"]) == ("video", "mp4")
+    assert r2["duration_ms"] == 606
+    assert (r2["width"], r2["height"]) == (176, 272)
+
+    # every payload decoded — no format fell through to "unknown"
+    assert all(r["format"] != "unknown" for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)

@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 
 def _sqdist_expr(vec: str, centroid: list[float], dp: int) -> F.Column:
     """round(v·v + c·c − 2 v·c, dp) — the same algebraic form the SQL
-    oracle uses, so both engines round the same quantity."""
+    oracle uses, so both engines round the same quantity.
+
+    The centroid rides in the plan as a k×dim literal array — fine for
+    coarse-quantizer scales (k·dim ≲ 10⁵ components); a non-finite
+    component would serialize as invalid SQL, so fail loudly instead."""
+    import math
+
+    if not all(math.isfinite(x) for x in centroid):
+        raise ValueError(f"non-finite centroid component: {centroid!r}")
     c_arr = f"array({', '.join(f'{x!r}D' for x in centroid)})"
     cc = sum(x * x for x in centroid)
     return F.round(
@@ -56,7 +64,7 @@ def _assign(v: DataFrame, centroids: list[tuple[int, list[float]]], dp: int) -> 
     return v.withColumn("cluster", best["cl"])
 
 
-def lloyd_kmeans_assign(
+def lloyd_kmeans(
     df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -64,11 +72,13 @@ def lloyd_kmeans_assign(
     iters: int = 3,
     round_dp: int = 6,
     keep_cols: tuple[str, ...] = (),
-) -> DataFrame:
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Run ``iters`` Lloyd's update steps from ``init_centroids`` (list of
-    (cluster_id, centroid)), then return the final assignment:
-    (id, *keep_cols, cluster).  Empty clusters drop out of the centroid
-    table, exactly as an AVG-per-cluster SQL formulation drops them."""
+    (cluster_id, centroid)); return the final assignment frame
+    (id, *keep_cols, cluster) AND the final centroid table — callers like
+    IVF need the centroids to route queries.  Empty clusters drop out of
+    the centroid table, exactly as an AVG-per-cluster SQL formulation
+    drops them."""
     v = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
@@ -88,7 +98,34 @@ def lloyd_kmeans_assign(
         centroids = sorted(
             (r["cluster"], [float(x) for x in r["c"]]) for r in upd.collect()
         )
-    return _assign(v, centroids, round_dp).select(id_col, *keep_cols, "cluster")
+    out = _assign(v, centroids, round_dp).select(id_col, *keep_cols, "cluster")
+    return out, centroids
+
+
+def lloyd_kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_centroids: list[tuple[int, list[float]]],
+    iters: int = 3,
+    round_dp: int = 6,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assignment-only view of :func:`lloyd_kmeans`."""
+    out, _ = lloyd_kmeans(
+        df, id_col, vec_col, init_centroids, iters, round_dp, keep_cols
+    )
+    return out
+
+
+def seeded_id_init(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic init without a label column: centroid j = the vector
+    of the j-th smallest ``id_col``.  Expressible identically in SQL
+    (row_number over (order by id)); the driver pull is k rows."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    return [(j, [float(x) for x in r[vec_col]]) for j, r in enumerate(rows)]
 
 
 def seeded_label_init(

@@ -83,66 +83,72 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
+    iters: int = 2,
+    round_dp: int = 6,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k.
+    """IVF (inverted-file) approximate top-k — fully deterministic.
 
-    1. KMeans (seeded) learns ``n_centroids`` coarse centroids.
+    1. The deterministic Lloyd's coarse quantizer
+       (``operators/clustering.py``: id-seeded init, fixed iterations,
+       rounded updates) learns ``n_centroids`` centroids — NOT
+       ``pyspark.ml`` KMeans, whose k-means|| init depends on input
+       partitioning and cannot be cross-checked by an independent engine.
     2. Corpus rows are assigned to their nearest centroid (stored layout —
-       at scale, write the corpus ``partitionBy("ivf_bucket")``).
-    3. Each query probes its ``n_probe`` nearest centroids and ranks only
+       at scale, write the corpus ``partitionBy("ivf_bucket")`` once and
+       amortize across every query batch).
+    3. Each query probes its ``n_probe`` nearest buckets (map-only
+       ``array_sort``+``slice`` over the centroid literal) and ranks only
        those buckets' vectors.
 
     Approximate: recall < 1 when a true neighbor lives outside the probed
-    buckets — the standard IVF trade.
+    buckets — the standard IVF trade.  Deterministic: the DuckDB oracle
+    (`ann_ivf_topk`) unrolls the identical quantizer and probes the same
+    buckets, so the result is hash-exact, not just "close".
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from .clustering import _assign, _sqdist_expr, lloyd_kmeans, seeded_id_init
 
-    ml_corpus = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    init = seeded_id_init(corpus, id_col, vec_col, n_centroids)
+    _, centroids = lloyd_kmeans(
+        corpus.select(id_col, vec_col), id_col, vec_col, init,
+        iters=iters, round_dp=round_dp,
     )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(ml_corpus)
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centers, ["bucket", "centroid"])
 
-    def nearest_buckets(df: DataFrame, vec: str, id_out: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent_df)).withColumn(
-            "dist",
-            F.expr(
-                f"aggregate(zip_with({vec}, centroid, (x, y) -> "
-                f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0D, (a, v) -> a + v)"
-            ),
-        )
-        w = Window.partitionBy(id_out).orderBy(F.asc("dist"), F.asc("bucket"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .select(id_out, "bucket")
+    def _vecd(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("vec"),
         )
 
-    corpus_b = corpus.join(
-        nearest_buckets(corpus.select(id_col, vec_col), vec_col, id_col, 1), id_col
+    norm = F.sqrt(
+        F.expr("aggregate(transform(vec, x -> x * x), 0D, (acc, v) -> acc + v)")
     )
-    q_b = queries.join(
-        nearest_buckets(queries.select(id_col, vec_col), vec_col, id_col, n_probe), id_col
+    # Corpus bucketing is the map-only argmin expression over the centroid
+    # literal — ONE scan, no join, no shuffle (at scale, persist this as the
+    # stored layout with partitionBy("bucket") and amortize across batches).
+    c = _assign(_vecd(corpus), centroids, round_dp).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("vec_n"),
+        norm.alias("norm_n"),
+        F.col("cluster").alias("bucket"),
     )
-
-    c = (
-        with_norm(corpus_b, id_col, vec_col)
-        .join(corpus_b.select(id_col, "bucket"), id_col)
-        .withColumnsRenamed({id_col: "neighbor_id", "vec": "vec_n", "norm": "norm_n"})
+    # Each query row fans out to its n_probe buckets in the same map-only
+    # pass that computes its norm; each corpus row lives in exactly one
+    # bucket, so (query, neighbor) pairs stay unique.
+    cands = F.array(
+        *[
+            F.struct(
+                _sqdist_expr("vec", cv, round_dp).alias("d"),
+                F.lit(int(cl)).alias("cl"),
+            )
+            for cl, cv in centroids
+        ]
     )
-    # Each query row fans out to its n_probe buckets; each corpus row lives
-    # in exactly one bucket, so (query, neighbor) pairs stay unique.
-    q = (
-        with_norm(q_b.dropDuplicates([id_col]), id_col, vec_col)
-        .join(q_b.select(id_col, "bucket"), id_col)
-        .withColumnsRenamed({id_col: "query_id", "vec": "vec_q", "norm": "norm_q"})
-    )
+    q = _vecd(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("vec_q"),
+        norm.alias("norm_q"),
+        F.explode(F.slice(F.array_sort(cands), 1, n_probe)).alias("p"),
+    ).withColumn("bucket", F.col("p.cl")).drop("p")
 
     scored = (
         c.join(F.broadcast(q), "bucket")

@@ -1258,9 +1258,94 @@ FROM documents
 
 
 def ann_ivf_topk_q(spark, sf_dir):
+    """IVF ANN through the deterministic Lloyd's coarse quantizer — the
+    whole path (init, iterations, bucket assignment, probing, ranking) is
+    reproducible in SQL, so this is hash-exact against DuckDB, not just
+    rows-checked.  Recall vs brute force is covered separately by
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, iters=2)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("knn_rank").cast("long").alias("knn_rank")
+    )
+
+
+def _ivf_sql(
+    k_cent: int = 8, iters: int = 2, dp: int = 6, n_probe: int = 3, topk: int = 5
+) -> str:
+    """Unroll `ann_ivf_topk_q`'s deterministic IVF in DuckDB: id-seeded
+    init, the same rounded-distance Lloyd's iterations as `_lloyd_sql`,
+    probe the ``n_probe`` nearest buckets per query, brute-force cosine
+    within probed buckets only."""
+
+    def assign(prev: str) -> str:
+        return (
+            f"SELECT v.vec_id, v.e, {prev}.cl,\n"
+            f"       row_number() OVER (PARTITION BY v.vec_id ORDER BY\n"
+            f"         round(list_dot_product(v.e, v.e) + list_dot_product({prev}.c, {prev}.c)\n"
+            f"               - 2 * list_dot_product(v.e, {prev}.c), {dp}), {prev}.cl) AS rn\n"
+            f"    FROM v, {prev}"
+        )
+
+    parts = [
+        f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c0 AS (
+  SELECT rn - 1 AS cl, e AS c FROM (
+    SELECT e, row_number() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= {k_cent}
+)"""
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+a{t} AS (
+  SELECT vec_id, e, cl FROM (
+    {assign(prev)}) WHERE rn = 1
+),
+c{t} AS (
+  SELECT cl, list(m ORDER BY pos) AS c FROM (
+    SELECT cl, pos, round(avg(val), {dp}) AS m FROM (
+      SELECT cl, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM a{t})
+    GROUP BY cl, pos)
+  GROUP BY cl
+)"""
+        )
+        prev = f"c{t}"
+    parts.append(
+        f""",
+af AS (
+  SELECT vec_id, e, cl FROM (
+    {assign(prev)}) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, {prev}.cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             round(list_dot_product(v.e, v.e) + list_dot_product({prev}.c, {prev}.c)
+                   - 2 * list_dot_product(v.e, {prev}.c), {dp}), {prev}.cl) AS rn
+    FROM v, {prev} WHERE v.vec_id < 10) WHERE rn <= {n_probe}
+),
+s AS (
+  SELECT qp.vec_id AS qid, af.vec_id AS nid,
+         round(list_dot_product(qv.e, af.e) /
+               (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(af.e, af.e))), 4) AS cosine
+  FROM qp
+  JOIN v qv ON qv.vec_id = qp.vec_id
+  JOIN af ON af.cl = qp.cl
+  WHERE qp.vec_id <> af.vec_id
+), r AS (
+  SELECT qid AS query_id, nid AS neighbor_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS knn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, knn_rank::BIGINT AS knn_rank
+FROM r WHERE knn_rank <= {topk}"""
+    )
+    return "".join(parts)
+
+
+_ANN_IVF_SQL = _ivf_sql(k_cent=8, iters=2, dp=6, n_probe=3, topk=5)
 
 
 def streaming_hourly_rollup_q(spark, sf_dir):
@@ -1669,10 +1754,10 @@ SPARK_QUERIES = {
     "events_latest_per_user": events_latest_per_user_q,
     "events_sessionize": events_sessionize_q,
     "multimodal_features": multimodal_features_q,
+    "ann_ivf_topk": ann_ivf_topk_q,
     # rows-only (non-SQL-expressible)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
-    "ann_ivf_topk": ann_ivf_topk_q,
     "streaming_hourly_rollup": streaming_hourly_rollup_q,
     "streaming_sessionize": streaming_sessionize_q,
     "aspep_extended_pipeline": aspep_extended_pipeline,
@@ -1731,6 +1816,7 @@ ORACLE_SQL = {
     "events_sessionize": _EVENTS_SESSION_SQL,
     "embedding_clusters": _EMB_CLUSTERS_SQL,
     "multimodal_features": _MULTIMODAL_SQL,
+    "ann_ivf_topk": _ANN_IVF_SQL,
 }
 
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402

@@ -15,10 +15,14 @@ dependency).  Each round:
    (Kiveris et al., "Connected Components in MapReduce and Beyond",
    SoCC'14 — the large-star/small-star family).
 
-Convergence is checked with a count of changed labels per round (an action
-per iteration — inherent to any fixpoint on Spark; the loop is in the
-driver but ALL data movement is distributed joins).  Labels and edges are
-persisted per round and unpersisted as soon as superseded.
+Each round ends in an eager ``localCheckpoint`` of the label frame: that
+single materialization both TRUNCATES LINEAGE (a bare ``persist`` leaves
+the logical plan growing join-on-derived-self per iteration — analysis
+time compounds superlinearly on deep graphs) and serves as the
+convergence action (the changed-flag is computed inside the round and
+probed with a ``limit(1).count()`` on the already-materialized frame, so
+there is no extra per-round join).  The loop is in the driver but ALL
+data movement is distributed joins.
 """
 
 from __future__ import annotations
@@ -52,7 +56,7 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         for _ in range(max_iters):
@@ -62,16 +66,15 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("component").alias("__nc"))
             )
-            stepped = (
-                labels.join(neigh, labels.node == neigh.src, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("__nc"), F.col("component"))
-                    ).alias("component"),
-                )
+            stepped = labels.join(neigh, labels.node == neigh.src, "left").select(
+                "node",
+                F.col("component").alias("__old"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nc"), F.col("component"))
+                ).alias("component"),
             )
-            # 2) pointer-jump: component = component-of(component)
+            # 2) pointer-jump: component = component-of(component); the
+            # changed-flag rides along so convergence needs no extra join
             lookup = stepped.select(
                 F.col("node").alias("__ln"), F.col("component").alias("__lc")
             )
@@ -80,17 +83,15 @@ def connected_components(
                 .select(
                     "node",
                     F.coalesce(F.col("__lc"), F.col("component")).alias("component"),
+                    (
+                        F.coalesce(F.col("__lc"), F.col("component"))
+                        != F.col("__old")
+                    ).alias("__chg"),
                 )
-                .persist()
+                .localCheckpoint()  # eager: materializes AND truncates lineage
             )
-            changed = (
-                jumped.join(labels.withColumnRenamed("component", "__old"), "node")
-                .filter(F.col("component") != F.col("__old"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = jumped
+            changed = jumped.filter(F.col("__chg")).limit(1).count()
+            labels = jumped.select("node", "component")
             if changed == 0:
                 return labels
         raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..operators.components import connected_components
 from ..operators.dedup import jaccard_pairs
 from ..operators.quantize import with_quantize_stats
-from ..operators.text import repetition_metrics
+from ..operators.text import pii_pattern_counts, redact_pii, repetition_metrics
 from ..sources.registry import load_table as _t
 
 
@@ -152,14 +152,95 @@ FROM err GROUP BY label
 """
 
 
+def pii_scan(spark, sf_dir):
+    """PII scrubbing, oracle-checked end-to-end.  The synthetic corpus has
+    no PII signal, so the query SYNTHESIZES it deterministically in-plan —
+    every doc gets a doc_id-derived email, every 3rd a phone, every 5th an
+    IPv4, every 7th a URL — then scans (typed hit counts) and redacts
+    (typed placeholders), returning an md5 of the redacted text so the
+    DuckDB twin must reproduce the scrub byte-for-byte.  All codegen regex;
+    one map-only pass, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), sid, F.lit("@example.com"),
+            F.when(
+                sid % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((sid % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((sid % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                sid % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), (sid % 256).cast("string"),
+                    F.lit("."), ((sid * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                sid % 7 == 0,
+                F.concat(F.lit(" see https://tracker.example/u/"), sid),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = pii_pattern_counts(F.col("text"))
+    return salted.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(redact_pii(F.col("text"))).alias("redacted_hash"),
+    )
+
+
+_PII_SCAN_SQL = """
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' see https://tracker.example/u/' || doc_id
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::BIGINT AS n_email,
+       len(regexp_extract_all(lower(text), 'https?://[^\\s]+'))::BIGINT AS n_url,
+       len(regexp_extract_all(lower(text), '\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b'))::BIGINT AS n_phone,
+       len(regexp_extract_all(lower(text), '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS n_ipv4,
+       md5(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '(?i)https?://[^\\s]+', '[URL]', 'g'),
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '(?i)\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b', '[PHONE]', 'g'),
+           '(?i)\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IPV4]', 'g')
+       ) AS redacted_hash
+FROM salted
+"""
+
+
 LLM_QUERIES = {
     "docs_repetition": docs_repetition,
+    "pii_scan": pii_scan,
     "dedup_clusters": dedup_clusters,
     "embedding_quantization": embedding_quantization,
 }
 
 LLM_ORACLE_SQL = {
     "docs_repetition": _DOCS_REPETITION_SQL,
+    "pii_scan": _PII_SCAN_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "embedding_quantization": _EMB_QUANT_SQL,
 }

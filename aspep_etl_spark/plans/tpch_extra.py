@@ -467,6 +467,75 @@ WHERE s_suppkey IN (
 
 
 # ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting
+# ---------------------------------------------------------------------------
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted): the testdata has no l_commitdate /
+    l_receiptdate, so "late" is re-expressed as shipped more than 365 days
+    after the order date.  The multi-exists structure is preserved exactly:
+    for finished ('F') orders, count each supplier's late lineitems where
+    the order involves ANOTHER supplier (EXISTS → left_semi) but NO other
+    supplier was late on it (NOT EXISTS → left_anti).  All three joins
+    shuffle on l_orderkey — co-partitioned, one exchange reused; the
+    supplier name lookup broadcasts.  Reference shape:
+    TPC-H spec Q21 (no reference-repo counterpart; [EXT] shape sweep)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "__late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY")
+    )
+    l1 = lo.filter(F.col("__late") & (F.col("o_orderstatus") == "F")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = (
+        lo.filter(F.col("__late"))
+        .select(F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3"))
+    )
+    waiting = l1.join(
+        l2,
+        (l1.l_orderkey == l2.__ok2) & (l1.l_suppkey != l2.__sk2),
+        "left_semi",
+    ).join(
+        l3,
+        (l1.l_orderkey == l3.__ok3) & (l1.l_suppkey != l3.__sk3),
+        "left_anti",
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+        .select("s_name", "numwait")
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 365 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 365 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q22 — global sales opportunity
 # ---------------------------------------------------------------------------
 
@@ -513,6 +582,7 @@ EXTRA_QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "q19_discounted_revenue": q19_discounted_revenue,
     "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_supplier": q21_waiting_supplier,
     "q22_sales_opportunity": q22_sales_opportunity,
 }
 
@@ -528,5 +598,6 @@ EXTRA_ORACLE_SQL = {
     "q17_small_quantity": _Q17_SQL,
     "q19_discounted_revenue": _Q19_SQL,
     "q20_excess_suppliers": _Q20_SQL,
+    "q21_waiting_supplier": _Q21_SQL,
     "q22_sales_opportunity": _Q22_SQL,
 }

@@ -129,3 +129,13 @@ def test_q16_complaint_exclusion_is_anti_join(spark, sf):
 def test_q20_qualifying_set_is_semi_join(spark, sf):
     plan = plan_of(contract.SPARK_QUERIES["q20_excess_suppliers"](spark, sf), mode="simple")
     assert "LeftSemi" in plan
+
+
+def test_q21_multi_exists_is_semi_plus_anti_join(spark, sf):
+    """Q21's EXISTS/NOT EXISTS pair must compile to one LeftSemi and one
+    LeftAnti on l_orderkey (not subquery re-scans), with the supplier
+    name lookup broadcast."""
+    plan = plan_of(contract.SPARK_QUERIES["q21_waiting_supplier"](spark, sf), mode="simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan

@@ -10,38 +10,29 @@ is identical on every engine an oracle might run on.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def quantize_stats(vec_col: str) -> dict[str, Column]:
-    """Per-vector int8 quantization signals: scale and max absolute
-    reconstruction error of dequantize(quantize(x)).
+def with_quantize_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach per-vector int8 quantization signals:
 
-    q_i = floor((x_i - min) / scale + 0.5) with scale = (max - min)/255
-    (constant vectors get scale 1 so they quantize to all-zero losslessly).
+    - ``q_scale``: (max − min) / 255, with constant vectors getting scale 1
+      so they quantize to all-zero losslessly;
+    - ``q_max_err``: max absolute error of dequantize(quantize(x)) where
+      q_i = floor((x_i − min) / scale + 0.5).
+
+    Built entirely from ``Column`` objects (no pseudo-column plumbing), so
+    it composes like any other ``withColumns`` call; Catalyst CSEs the
+    repeated min/scale subtrees.
     """
-    e = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     mn = F.array_min(e)
     mx = F.array_max(e)
     scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
-    return {
-        "q_scale": scale,
-        "q_max_err": F.expr(
-            "array_max(transform(__e, x -> abs(x - (__mn + "
-            "CAST(floor((x - __mn) / __scale + 0.5D) AS INT) * __scale))))"
-        ),
-        "__e": e,
-        "__mn": mn,
-        "__scale": scale,
-    }
 
+    def dequant(x: Column) -> Column:
+        return mn + F.floor((x - mn) / scale + F.lit(0.5)).cast("int") * scale
 
-def with_quantize_stats(df, vec_col: str = "embedding"):
-    """Attach q_scale / q_max_err columns (helpers dropped)."""
-    cols = quantize_stats(vec_col)
-    return (
-        df.withColumns({"__e": cols["__e"], "__mn": cols["__mn"], "__scale": cols["__scale"]})
-        .withColumns({"q_scale": F.col("__scale"), "q_max_err": cols["q_max_err"]})
-        .drop("__e", "__mn", "__scale")
-    )
+    err = F.array_max(F.transform(e, lambda x: F.abs(x - dequant(x))))
+    return df.withColumns({"q_scale": scale, "q_max_err": err})

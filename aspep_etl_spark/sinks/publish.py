@@ -48,12 +48,61 @@ def upsert_year_partitions(df: DataFrame, path: str, partition_col: str = "year"
     )
 
 
-def _json_scalar(v):
+def _fmt_float(x: float) -> str:
+    """Reproduce the reference serializer's double formatting byte-for-byte
+    (pandas ``to_json`` / vendored ujson, ``double_precision=10``):
+    ``%.10f`` with trailing zeros stripped inside [1e-15, 1e16], repr-style
+    exponent notation outside, and exact zero (either sign) as ``0.0``.
+    NaN/±inf are handled by the caller (→ null)."""
+    if x == 0.0:
+        return "0.0"
+    ax = abs(x)
+    if 1e-15 <= ax <= 1e16:
+        s = f"{x:.10f}".rstrip("0")
+        return s + "0" if s.endswith(".") else s
+    mant, exp = f"{x:.10e}".split("e")
+    mant = mant.rstrip("0").rstrip(".")
+    return f"{mant}e{exp}"
+
+
+def _fmt_string(s: str) -> str:
+    """JSON string literal the way the reference serializer writes it:
+    ensure-ASCII ``\\uXXXX`` escapes plus the ujson quirk of escaping
+    forward slashes (``/`` → ``\\/``)."""
+    return json.dumps(s).replace("/", "\\/")
+
+
+def _fmt_scalar(v) -> str:
     if v is None:
-        return None
-    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
-        return None
-    return v
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return "null"
+        return _fmt_float(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return _fmt_string(v)
+    return _fmt_string(str(v))  # dates etc. — stringified, like default=str
+
+
+def render_records_json(records: list[dict], indent: int = 4) -> str:
+    """Serialize records exactly as the reference artifact writer does
+    (pandas ``to_json(orient="records", indent=4)``, assets.py:325,380,486):
+    no space after ``:``, indent-nested braces, ``[\\n\\n]`` for empty."""
+    if not records:
+        return "[\n\n]"
+    pad_k = " " * (indent * 2)
+    pad_b = " " * indent
+    blocks = []
+    for rec in records:
+        body = ",\n".join(
+            f"{pad_k}{_fmt_string(str(k))}:{_fmt_scalar(v)}" for k, v in rec.items()
+        )
+        blocks.append(f"{pad_b}{{\n{body}\n{pad_b}}}")
+    return "[\n" + ",\n".join(blocks) + "\n]"
 
 
 #: write_json_array refuses DataFrames larger than this — the single-file
@@ -83,12 +132,26 @@ def write_json_array(
             f"write_json_array: more than {max_rows} rows — this artifact is "
             f"driver-side single-file JSON; write the parquet store instead"
         )
-    records = [
-        {k: _json_scalar(v) for k, v in row.asDict().items()} for row in rows
-    ]
+    records = [row.asDict() for row in rows]
+    # pandas dtype parity: the reference pipeline holds any numeric column
+    # containing a missing value as float64, so its integers serialize as
+    # "0.0" there — reproduce that column-level coercion or the bytes (and
+    # round-trips through pandas) diverge.
+    null_cols = {
+        c
+        for c in df.columns
+        if any(r[c] is None for r in records)
+        and any(
+            isinstance(r[c], int) and not isinstance(r[c], bool) for r in records
+        )
+    }
+    for r in records:
+        for c in null_cols:
+            if isinstance(r[c], int) and not isinstance(r[c], bool):
+                r[c] = float(r[c])
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
-        json.dump(records, f, indent=indent, default=str)
+        f.write(render_records_json(records, indent=indent))
     return path
 
 
@@ -120,9 +183,11 @@ def publish_dir(
     ``uploader(local_path, bucket, key, extra_args) -> None`` performs the
     actual transfer — inject a ``boto3`` client's ``upload_file`` in
     production, a recorder in tests (this container has no network, and
-    the engine takes no boto3 dependency).  A failed upload is logged into
-    the result as ``url=None`` and does not abort the walk, matching the
-    reference's per-file error handling.
+    the engine takes no boto3 dependency).  A file that fails anywhere in
+    its publish step — gzip OR upload — is quarantined per-file and
+    OMITTED from the result list, exactly like the reference
+    (assets.py:565-566 appends only successful uploads); one unreadable
+    file never aborts the walk.
     """
     results: list[dict] = []
     for root, _, files in sorted(os.walk(out_dir)):
@@ -133,18 +198,19 @@ def publish_dir(
             )
             is_text = filename.endswith(_TEXT_EXTS)
             extra_args: dict = {"ACL": "public-read"}
-            send_path = local_path
-            if is_text:
-                send_path = gzip_publish(local_path)
-                extra_args.update(
-                    {"ContentType": "text/plain", "ContentEncoding": "gzip"}
-                )
             try:
+                send_path = local_path
+                if is_text:
+                    send_path = gzip_publish(local_path)
+                    extra_args.update(
+                        {"ContentType": "text/plain", "ContentEncoding": "gzip"}
+                    )
                 if uploader is None:
                     raise RuntimeError("publish_dir: no uploader injected")
                 uploader(send_path, bucket, key, extra_args)
-                url = f"https://{bucket}.s3.amazonaws.com/{key}"
             except Exception:  # noqa: BLE001 — per-file quarantine
-                url = None
-            results.append({"file": filename, "url": url})
+                continue
+            results.append(
+                {"file": filename, "url": f"https://{bucket}.s3.amazonaws.com/{key}"}
+            )
     return results

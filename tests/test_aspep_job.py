@@ -51,6 +51,16 @@ def test_full_job_offline(spark, tmp_path):
     # cohort-stat pseudo rows present with scope label
     assert ext.filter(ext.state_code == "US-median").count() > 0
 
+    # byte-parity of the published artifact with the reference serializer:
+    # round-tripping the file through pandas to_json(orient="records",
+    # indent=4) — the exact call the reference makes (assets.py:325) —
+    # must reproduce our bytes identically (key order, ':' spacing, float
+    # shape, null form)
+    import pandas as pd
+
+    raw = open(result["artifacts"]["derived_stats"]).read()
+    assert pd.DataFrame(json.loads(raw)).to_json(orient="records", indent=4) == raw
+
     # golden-check style point lookup straight from the artifact file
     with open(result["artifacts"]["derived_stats"]) as f:
         rows = json.load(f)

@@ -70,6 +70,9 @@ def test_publish_dir_walks_gzips_and_returns_urls(tmp_path):
     (tmp_path / "combined.json").write_text(json.dumps([{"a": 1}]))
     (tmp_path / "sub" / "stats.csv").write_text("a,b\n1,2\n")
     (tmp_path / "raw.parquet").write_bytes(b"\x00binary")
+    # unreadable text file: gzip step fails → quarantined like an upload
+    # failure (gzip runs INSIDE the per-file try), walk must continue
+    (tmp_path / "broken.json").symlink_to(tmp_path / "does-not-exist")
 
     calls = []
 
@@ -81,7 +84,10 @@ def test_publish_dir_walks_gzips_and_returns_urls(tmp_path):
     res = publish_dir(str(tmp_path), "my-bucket", prefix="aspep/v1", uploader=uploader)
     by_file = {r["file"]: r["url"] for r in res}
     assert by_file["combined.json"] == "https://my-bucket.s3.amazonaws.com/aspep/v1/combined.json"
-    assert by_file["stats.csv"] is None  # quarantined, walk continued
+    # quarantined file is OMITTED (reference appends only successes) and
+    # the walk continued past it
+    assert "stats.csv" not in by_file
+    assert "broken.json" not in by_file  # gzip failure quarantined too
     assert by_file["raw.parquet"] == "https://my-bucket.s3.amazonaws.com/aspep/v1/raw.parquet"
 
     sent = {k: (p, dict(e)) for p, b, k, e in calls}
@@ -92,3 +98,55 @@ def test_publish_dir_walks_gzips_and_returns_urls(tmp_path):
         assert json.load(f) == [{"a": 1}]
     _, bin_extra = sent["aspep/v1/raw.parquet"]
     assert "ContentEncoding" not in bin_extra  # binary uploaded as-is
+
+
+def test_json_array_byte_parity_with_reference_serializer(spark, tmp_path):
+    """BYTE-level parity of S8: write_json_array must emit exactly what the
+    reference's pandas ``to_json(orient="records", indent=4)`` emits
+    (assets.py:325,380,486) — no space after ':', ``\\/`` slash escapes,
+    ``\\uXXXX`` non-ASCII, ujson double_precision=10 float shape, and the
+    ``[\\n\\n]`` empty-frame form.  pandas itself is the oracle."""
+    import pandas as pd
+
+    records = [
+        {
+            "government_function": "Fire Protection",  # plain string
+            "slug": "fire—protection/x",  # unicode + slash escape
+            "year": 2017,  # int
+            "total_pay": 42327514.0,  # float with .0
+            "ratio": 0.30000000000000004,  # rounds to 0.3 at dp=10
+            "tiny": 1e-7,  # decimal, not exponent
+            "huge": 1.5e20,  # exponent form
+            "missing": None,  # null
+            "flag": True,  # bool
+            "precise": 1234.5678901234567,  # 10-dp rounding
+        },
+        {
+            "government_function": "Police Protection",
+            "slug": None,
+            "year": 2024,
+            "total_pay": float("nan"),  # NaN → null
+            "ratio": -17.125,
+            "tiny": 5e-17,  # small exponent form
+            "huge": 1e16,  # decimal boundary
+            "missing": "ok",
+            "flag": False,
+            "precise": 123456789.123456789,
+        },
+    ]
+    expected = pd.DataFrame(records).to_json(orient="records", indent=4)
+
+    df = spark.createDataFrame(
+        pd.DataFrame(records).astype(object).where(pd.notnull(pd.DataFrame(records)))
+    )
+    path = str(tmp_path / "parity.json")
+    write_json_array(df, path)
+    got = open(path).read()
+    assert got == expected
+
+    # empty-frame shape
+    from aspep_etl_spark.sinks.publish import render_records_json
+
+    assert render_records_json([]) == pd.DataFrame([]).to_json(
+        orient="records", indent=4
+    )

@@ -311,3 +311,40 @@ def embedding_near_dup_pairs_bucketed(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str] | None = None,
+    length_band: int = 16,
+    max_distance: int = 12,
+) -> DataFrame:
+    """Edit-distance near-dup verification with blocking ([EXT]).
+
+    Levenshtein is O(len²) per pair — never run it all-pairs.  Candidates
+    are confined to rows sharing a block key: the caller's ``block_cols``
+    plus a text-length band of ``length_band`` chars (two texts whose
+    lengths differ by more than the band can't be within a small edit
+    distance anyway, so banding is both a blocker and a sound-ish filter).
+    One shuffle on the block key; the JVM ``levenshtein`` verifies each
+    candidate pair exactly.  Output: (id_a, id_b, lev) with
+    ``lev <= max_distance``, id_a < id_b.
+    """
+    blocks = [F.col(c) for c in (block_cols or [])] + [
+        F.floor(F.length(F.col(text_col)) / F.lit(length_band)).alias("__band")
+    ]
+    t = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text"), *blocks
+    )
+    keys = (block_cols or []) + ["__band"]
+    a = t.withColumnsRenamed({"__id": "id_a", "__text": "__ta"})
+    b = t.withColumnsRenamed({"__id": "id_b", "__text": "__tb"})
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("lev", F.levenshtein(F.col("__ta"), F.col("__tb")))
+        .filter(F.col("lev") <= max_distance)
+        .select("id_a", "id_b", "lev")
+    )

@@ -1820,9 +1820,12 @@ ORACLE_SQL = {
 }
 
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
+from .relational_extra import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 from .tpch_extra import EXTRA_ORACLE_SQL, EXTRA_QUERIES  # noqa: E402
 
 SPARK_QUERIES.update(EXTRA_QUERIES)
 SPARK_QUERIES.update(LLM_QUERIES)
+SPARK_QUERIES.update(REL_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
 ORACLE_SQL.update(LLM_ORACLE_SQL)
+ORACLE_SQL.update(REL_ORACLE_SQL)

@@ -1,0 +1,322 @@
+"""[EXT] Relational-surface contract queries beyond the reference's own
+operator set: deterministic sampling / dataset splits, pivot / unpivot,
+bucketed interval (range) join, time-range rolling windows, exact grouped
+percentiles, decile bucketing, and edit-distance near-dup verification.
+
+Each query has a DuckDB oracle twin; cross-engine determinism is designed
+in (md5-hash selection for sampling, total-order tie-breaks for ntile,
+rounded aggregates where float summation order differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import levenshtein_pairs
+from ..operators.ranges import interval_join
+from ..operators.sampling import hash_sample, split_column
+from ..sources.registry import load_table as _t
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+# ---------------------------------------------------------------------------
+# sampling / splits
+# ---------------------------------------------------------------------------
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic 20% sample, stratified by language: selection is a
+    pure function of md5(salt|lang|doc_id), so it is reproducible across
+    runs, partitionings, and engines — ``df.sample`` can guarantee none
+    of that.  Map-only; the filter rides the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, ["lang", "doc_id"], 0.2, salt="sample").select(
+        "doc_id", "lang"
+    )
+
+
+_SAMPLE_SQL = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('sample' || '|' || lang || '|' || doc_id::VARCHAR), 1, 8) < '33333333'
+"""
+
+
+def docs_split(spark, sf_dir):
+    """Train/val/test assignment (80/10/10) by key hash — every row lands
+    in exactly one split, forever, on any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        split_column(["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}).alias(
+            "split"
+        ),
+    )
+
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN h < 'cccccccc' THEN 'train'
+            WHEN h < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, substr(md5('split' || '|' || doc_id::VARCHAR), 1, 8) AS h
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot
+# ---------------------------------------------------------------------------
+
+
+def events_pivot(spark, sf_dir):
+    """Wide per-user activity profile via Spark's pivot relational
+    operator.  The pivot value list is explicit, so the plan is a single
+    groupBy (no extra distinct-values job) — at scale an implicit pivot
+    adds a full scan just to learn the columns."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error
+FROM events GROUP BY user_id
+"""
+
+_UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def lineitem_unpivot(spark, sf_dir):
+    """Wide→long melt of the lineitem metrics (Spark ``unpivot`` — the
+    inverse of pivot; map-only fan-out, no shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(m).cast("double") for m in _UNPIVOT_METRICS],
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=_UNPIVOT_METRICS,
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity::DOUBLE AS val
+FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice::DOUBLE
+FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount::DOUBLE
+FROM lineitem WHERE l_orderkey < 500
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax::DOUBLE
+FROM lineitem WHERE l_orderkey < 500
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval join / rolling window
+# ---------------------------------------------------------------------------
+
+
+def events_interval_join(spark, sf_dir):
+    """Point-in-interval join through the BUCKETED range-join operator
+    (equi-join on coarse time buckets + band filter — no
+    BroadcastNestedLoopJoin): ten 2-day campaign windows every 3 days,
+    each aggregating the events that fall inside it."""
+    ev = _t(spark, sf_dir, "events")
+    windows = spark.range(10).select(
+        F.col("id").alias("window_id"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") * 3).cast("int"))
+        ).alias("w_start"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), (F.col("id") * 3 + 2).cast("int")
+            )
+        ).alias("w_end"),
+    )
+    joined = interval_join(
+        ev, windows, "ts", "w_start", "w_end", bucket_width_s=86_400
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_INTERVAL_SQL = """
+WITH w AS (
+  SELECT i AS window_id,
+         TIMESTAMP '2024-01-01' + INTERVAL '1 day' * (i * 3) AS s,
+         TIMESTAMP '2024-01-01' + INTERVAL '1 day' * (i * 3 + 2) AS e
+  FROM generate_series(0, 9) t(i)
+)
+SELECT window_id, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 4) AS sum_value
+FROM w JOIN events ON ts >= s AND ts < e
+GROUP BY window_id
+"""
+
+
+def events_rolling_hour(spark, sf_dir):
+    """Per-user trailing-1-hour activity via a time-RANGE window frame
+    (microsecond ordering so the frame bound is exact, matching DuckDB's
+    INTERVAL arithmetic).  One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 4) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# percentiles / deciles
+# ---------------------------------------------------------------------------
+
+
+def events_value_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (linear interpolation — the same
+    definition DuckDB's quantile_cont uses).  At reference scales exact is
+    affordable; the documented fallback beyond that is
+    ``percentile_approx``."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.9, 0.99)]))
+    agg = ev.groupBy("event_type").agg(pct.alias("q"))
+    return agg.select(
+        "event_type",
+        *[
+            F.round(F.col("q")[i], 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p90", "p99"])
+        ],
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+       round(q[3], 6) AS p90, round(q[4], 6) AS p99
+FROM (SELECT event_type,
+             quantile_cont(value, [0.25, 0.5, 0.9, 0.99]) AS q
+      FROM events GROUP BY event_type)
+"""
+
+
+def orders_price_deciles(spark, sf_dir):
+    """NTILE decile profile of order value.  The orderBy carries a
+    total-order tie-break (o_orderkey) — without it NTILE assignment at
+    tie boundaries is engine-dependent.  Global sort of a dimension-sized
+    table; at fact scale use percent_rank over pre-aggregated buckets
+    instead (documented)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_DECILES_SQL = """
+SELECT decile, count(*)::BIGINT AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM (SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders)
+GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+
+def dedup_levenshtein(spark, sf_dir):
+    """Edit-distance verification of near-dup candidates, blocked by
+    (lang, 16-char length band) so the quadratic distance never runs
+    all-pairs.  One shuffle on the block key."""
+    docs = _t(spark, sf_dir, "documents")
+    return levenshtein_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], length_band=16, max_distance=12
+    )
+
+
+_LEVENSHTEIN_SQL = """
+WITH t AS (
+  SELECT doc_id, text, lang, floor(length(text) / 16)::BIGINT AS band
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text)::INT AS lev
+FROM t a JOIN t b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 12
+"""
+
+
+REL_QUERIES = {
+    "sample_stratified": sample_stratified,
+    "docs_split": docs_split,
+    "events_pivot": events_pivot,
+    "lineitem_unpivot": lineitem_unpivot,
+    "events_interval_join": events_interval_join,
+    "events_rolling_hour": events_rolling_hour,
+    "events_value_percentiles": events_value_percentiles,
+    "orders_price_deciles": orders_price_deciles,
+    "dedup_levenshtein": dedup_levenshtein,
+}
+
+REL_ORACLE_SQL = {
+    "sample_stratified": _SAMPLE_SQL,
+    "docs_split": _SPLIT_SQL,
+    "events_pivot": _PIVOT_SQL,
+    "lineitem_unpivot": _UNPIVOT_SQL,
+    "events_interval_join": _INTERVAL_SQL,
+    "events_rolling_hour": _ROLLING_SQL,
+    "events_value_percentiles": _PERCENTILES_SQL,
+    "orders_price_deciles": _DECILES_SQL,
+    "dedup_levenshtein": _LEVENSHTEIN_SQL,
+}

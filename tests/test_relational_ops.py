@@ -1,0 +1,105 @@
+"""[EXT] relational-surface operators: deterministic sampling/splits,
+bucketed interval join, edit-distance blocking — handcrafted inputs with
+known answers plus plan-shape pins."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from aspep_etl_spark.operators.dedup import levenshtein_pairs
+from aspep_etl_spark.operators.ranges import interval_join
+from aspep_etl_spark.operators.sampling import hash_sample, split_column
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in hash_sample(df, ["k"], 0.3).collect())
+    b = sorted(
+        r["k"] for r in hash_sample(df.repartition(7), ["k"], 0.3).collect()
+    )
+    assert a == b  # selection is a pure function of the key, not layout
+    assert 0.25 < len(a) / 2000 < 0.35  # rate holds statistically
+    # nested rates: a 10% sample is a subset of the 30% sample (same salt)
+    c = {r["k"] for r in hash_sample(df, ["k"], 0.1).collect()}
+    assert c <= set(a)
+
+
+def test_split_column_partitions_exactly(spark):
+    df = spark.range(3000).withColumnRenamed("id", "k")
+    out = df.select(
+        "k", split_column(["k"], {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s")
+    )
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # every row in exactly one
+    assert sum(counts.values()) == 3000
+    assert 0.75 < counts["train"] / 3000 < 0.85
+    # deterministic across recomputation
+    again = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == again
+
+
+def test_interval_join_boundaries_and_multi_bucket(spark):
+    ts = datetime.datetime
+    points = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1, 0, 0, 0)),   # == start → included
+            (2, ts(2024, 1, 3, 0, 0, 0)),   # == end → excluded
+            (3, ts(2024, 1, 2, 12, 0, 0)),  # mid-interval
+            (4, ts(2024, 2, 1, 0, 0, 0)),   # outside everything
+            (5, ts(2024, 1, 2, 23, 59, 59)),  # overlap zone of i10/i20
+        ],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, ts(2024, 1, 1, 0, 0, 0), ts(2024, 1, 3, 0, 0, 0)),  # spans 3 buckets
+            (20, ts(2024, 1, 2, 6, 0, 0), ts(2024, 1, 4, 0, 0, 0)),  # overlaps i10
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, "ts", "w_start", "w_end", bucket_width_s=86_400
+        ).collect()
+    }
+    # point 2 sits exactly at i10's end (excluded) but inside i20
+    assert got == {(1, 10), (2, 20), (3, 10), (3, 20), (5, 10), (5, 20)}
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed strategy must compile to a hash/sort-merge equi-join
+    on __bucket — a BroadcastNestedLoopJoin here is exactly the
+    scale-killer the operator exists to avoid."""
+    from aspep_etl_spark.plans import contract
+
+    plan = (
+        contract.SPARK_QUERIES["events_interval_join"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_levenshtein_pairs_blocking_and_threshold(spark):
+    rows = [
+        (1, "the quick brown fox jumps", "en"),
+        (2, "the quick brown fox jumped", "en"),   # lev 2, same band
+        (3, "the quick brown fox jumps", "en"),    # exact dup of 1 → lev 0
+        (4, "a completely different document here", "en"),  # other band
+        (5, "the quick brown fox jumps", "es"),    # same text, other lang block
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        (r["id_a"], r["id_b"]): r["lev"]
+        for r in levenshtein_pairs(
+            df, "doc_id", "text", block_cols=["lang"], length_band=16, max_distance=5
+        ).collect()
+    }
+    assert got[(1, 3)] == 0
+    assert got[(1, 2)] == 2 and got[(2, 3)] == 2
+    assert all(5 not in pair for pair in got)  # lang block separates
+    assert all(4 not in pair for pair in got)  # length band separates

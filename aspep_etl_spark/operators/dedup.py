@@ -348,3 +348,44 @@ def levenshtein_pairs(
         .filter(F.col("lev") <= max_distance)
         .select("id_a", "id_b", "lev")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination ([EXT]): flag corpus documents that share
+    ``min_overlap``+ distinct word-``n``-grams with any benchmark/eval
+    document — the standard leakage check before training on crawled data.
+
+    Same posting-list shape as `jaccard_pairs`: one shuffle on ``shingle``;
+    the benchmark side is eval-set-sized, so its postings broadcast.
+    ``max_shingle_df`` frequency-caps boilerplate shingles at corpus scale
+    (changes recall, documented trade).  Output per contaminated doc:
+    (id, n_benchmark_docs, max_shared, total_shared).
+    """
+    c = shingles(corpus, id_col, text_col, n)
+    b = shingles(benchmark, id_col, text_col, n).withColumnRenamed(
+        id_col, "__bench_id"
+    )
+    if max_shingle_df is not None:
+        df_counts = c.groupBy("shingle").count().filter(
+            F.col("count") <= max_shingle_df
+        )
+        c = c.join(df_counts.select("shingle"), "shingle")
+    pair = (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy(id_col, "__bench_id")
+        .agg(F.count("*").alias("__shared"))
+        .filter(F.col("__shared") >= min_overlap)
+    )
+    return pair.groupBy(id_col).agg(
+        F.count("*").alias("n_benchmark_docs"),
+        F.max("__shared").alias("max_shared"),
+        F.sum("__shared").alias("total_shared"),
+    )

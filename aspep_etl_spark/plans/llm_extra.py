@@ -231,9 +231,44 @@ FROM salted
 """
 
 
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: treat doc_id < 25 as the held-out eval
+    set and flag training-corpus docs (doc_id >= 25) sharing 3+ distinct
+    trigram shingles with any eval doc — the leakage check every serious
+    pretraining pipeline runs.  Posting-list join on shingle (one
+    shuffle); eval postings broadcast."""
+    from ..operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+    return decontaminate(corpus, bench, "doc_id", "text", n=3, min_overlap=3)
+
+
+_DECONTAMINATE_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), pair AS (
+  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+  FROM sh c JOIN sh b USING (sh)
+  WHERE c.doc_id >= 25 AND b.doc_id < 25
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT doc_id, count(*)::BIGINT AS n_benchmark_docs,
+       max(shared)::BIGINT AS max_shared, sum(shared)::BIGINT AS total_shared
+FROM pair GROUP BY doc_id
+"""
+
+
 LLM_QUERIES = {
     "docs_repetition": docs_repetition,
     "pii_scan": pii_scan,
+    "docs_decontaminate": docs_decontaminate,
     "dedup_clusters": dedup_clusters,
     "embedding_quantization": embedding_quantization,
 }
@@ -241,6 +276,7 @@ LLM_QUERIES = {
 LLM_ORACLE_SQL = {
     "docs_repetition": _DOCS_REPETITION_SQL,
     "pii_scan": _PII_SCAN_SQL,
+    "docs_decontaminate": _DECONTAMINATE_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "embedding_quantization": _EMB_QUANT_SQL,
 }

@@ -297,6 +297,73 @@ WHERE levenshtein(a.text, b.text) <= 12
 """
 
 
+# ---------------------------------------------------------------------------
+# CDC merge / streaming debounce
+# ---------------------------------------------------------------------------
+
+
+def orders_upsert_merge(spark, sf_dir):
+    """Latest-wins CDC merge through `upsert_latest`: a synthetic update
+    batch (every 10th order, price bumped by an exact +100.0 so no
+    rounding enters the hash) versioned above the base snapshot.  One
+    shuffle on the merge key.  The price delta is additive on purpose —
+    IEEE addition is bit-identical across engines, multiplication +
+    rounding is not."""
+    from ..operators.setops import upsert_latest
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    return upsert_latest(base, updates, ["o_orderkey"], "version")
+
+
+_UPSERT_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+), upd AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, 2 AS version
+  FROM orders WHERE o_orderkey % 10 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM u
+)
+SELECT o_orderkey, o_totalprice, version FROM r WHERE rn = 1
+"""
+
+
+def events_debounce(spark, sf_dir):
+    """Batch twin of the streaming debounce: deterministic min-event_id
+    survivor per (user, event_type, minute) — the oracle-checkable face of
+    `streaming_debounce`."""
+    from ..streaming.dedup import debounce_batch
+
+    return debounce_batch(_t(spark, sf_dir, "events"))
+
+
+_DEBOUNCE_SQL = """
+SELECT user_id, event_type,
+       date_trunc('minute', ts)::VARCHAR AS minute,
+       min(event_id) AS event_id,
+       count(*)::BIGINT AS n_collapsed
+FROM events
+GROUP BY user_id, event_type, date_trunc('minute', ts)
+"""
+
+
+def streaming_debounce_q(spark, sf_dir):
+    from ..streaming.dedup import run_streaming_debounce
+
+    return run_streaming_debounce(spark, f"{sf_dir}/events.parquet")
+
+
 REL_QUERIES = {
     "sample_stratified": sample_stratified,
     "docs_split": docs_split,
@@ -307,6 +374,10 @@ REL_QUERIES = {
     "events_value_percentiles": events_value_percentiles,
     "orders_price_deciles": orders_price_deciles,
     "dedup_levenshtein": dedup_levenshtein,
+    "orders_upsert_merge": orders_upsert_merge,
+    "events_debounce": events_debounce,
+    # rows-only (streaming survivor is arrival-order-dependent by design)
+    "streaming_debounce": streaming_debounce_q,
 }
 
 REL_ORACLE_SQL = {
@@ -319,4 +390,6 @@ REL_ORACLE_SQL = {
     "events_value_percentiles": _PERCENTILES_SQL,
     "orders_price_deciles": _DECILES_SQL,
     "dedup_levenshtein": _LEVENSHTEIN_SQL,
+    "orders_upsert_merge": _UPSERT_SQL,
+    "events_debounce": _DEBOUNCE_SQL,
 }

@@ -130,3 +130,21 @@ def test_streaming_rollup_matches_batch(spark, sf_dir):
     }
     assert batch == stream
     assert len(batch) > 100
+
+
+def test_streaming_debounce_matches_batch_keyset(spark, sf_dir):
+    """dropDuplicatesWithinWatermark keeps an arrival-order-dependent
+    survivor, so equality with the batch twin is on the DEDUP KEY SET and
+    cardinality — exactly one surviving event per debounce key."""
+    from aspep_etl_spark.sources.registry import load_table
+    from aspep_etl_spark.streaming.dedup import debounce_batch, run_streaming_debounce
+
+    batch = debounce_batch(load_table(spark, sf_dir, "events"))
+    b_keys = {
+        (r["user_id"], r["event_type"], r["minute"]) for r in batch.collect()
+    }
+    stream = run_streaming_debounce(spark, f"{sf_dir}/events.parquet").collect()
+    s_keys = {(r["user_id"], r["event_type"], r["minute"]) for r in stream}
+    assert s_keys == b_keys
+    assert len(stream) == len(s_keys)  # exactly one survivor per key
+    assert len(b_keys) >= 1000

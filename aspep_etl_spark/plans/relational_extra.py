@@ -297,6 +297,81 @@ WHERE levenshtein(a.text, b.text) <= 12
 """
 
 
+def events_hopping_window(spark, sf_dir):
+    """Overlapping (hopping) time windows — ``F.window`` with a 2h width /
+    1h slide, so every event lands in exactly two windows.  Same
+    partial+final aggregation plan as a tumbling rollup; the fan-out is
+    map-side."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_HOPPING_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS s, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+)
+SELECT s::VARCHAR AS win_start, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
+FROM h GROUP BY s, event_type
+"""
+
+
+def docs_domain_mix(spark, sf_dir):
+    """Domain-mixing table for training-data curation: per (source, lang)
+    token counts, corpus share, and a temperature-0.5 sampling weight
+    (w ∝ share^0.5, normalized) — the knob that up-samples small
+    high-quality domains.  Two tiny aggregates + one broadcast of two
+    scalar totals; the heavy token counting is a map-only regex."""
+    from ..operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("__tot"),
+        F.sum(F.sqrt(F.col("n_tokens"))).alias("__tot_w"),
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
+        F.round(F.sqrt(F.col("n_tokens")) / F.col("__tot_w"), 6).alias("mix_weight"),
+    )
+
+
+_DOMAIN_MIX_SQL = """
+WITH per AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT sum(n_tokens) AS t, sum(sqrt(n_tokens)) AS tw FROM per
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(n_tokens / t, 6) AS token_share,
+       round(sqrt(n_tokens) / tw, 6) AS mix_weight
+FROM per, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC merge / streaming debounce
 # ---------------------------------------------------------------------------
@@ -376,6 +451,8 @@ REL_QUERIES = {
     "dedup_levenshtein": dedup_levenshtein,
     "orders_upsert_merge": orders_upsert_merge,
     "events_debounce": events_debounce,
+    "events_hopping_window": events_hopping_window,
+    "docs_domain_mix": docs_domain_mix,
     # rows-only (streaming survivor is arrival-order-dependent by design)
     "streaming_debounce": streaming_debounce_q,
 }
@@ -392,4 +469,6 @@ REL_ORACLE_SQL = {
     "dedup_levenshtein": _LEVENSHTEIN_SQL,
     "orders_upsert_merge": _UPSERT_SQL,
     "events_debounce": _DEBOUNCE_SQL,
+    "events_hopping_window": _HOPPING_SQL,
+    "docs_domain_mix": _DOMAIN_MIX_SQL,
 }

@@ -1819,6 +1819,7 @@ ORACLE_SQL = {
     "ann_ivf_topk": _ANN_IVF_SQL,
 }
 
+from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
 from .relational_extra import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 from .tpch_extra import EXTRA_ORACLE_SQL, EXTRA_QUERIES  # noqa: E402
@@ -1826,6 +1827,8 @@ from .tpch_extra import EXTRA_ORACLE_SQL, EXTRA_QUERIES  # noqa: E402
 SPARK_QUERIES.update(EXTRA_QUERIES)
 SPARK_QUERIES.update(LLM_QUERIES)
 SPARK_QUERIES.update(REL_QUERIES)
+SPARK_QUERIES.update(CURATION_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
 ORACLE_SQL.update(LLM_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
+ORACLE_SQL.update(CURATION_ORACLE_SQL)

@@ -372,6 +372,75 @@ FROM per, tot
 """
 
 
+def user_event_type_sets(spark, sf_dir):
+    """Nested-type aggregation: the sorted distinct event-type set per
+    user (``collect_set`` + ``array_sort``), serialized to a join string
+    so the value-hash comparator sees a scalar.  One shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+
+
+_TYPE_SETS_SQL = """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def events_value_distribution(spark, sf_dir):
+    """Distribution window functions — percent_rank and cume_dist of each
+    event's value within its type.  The (value, event_id) tie-break makes
+    both engine-independent; one shuffle on event_type."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+_DISTRIBUTION_SQL = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+def user_modal_event(spark, sf_dir):
+    """Grouped mode with a deterministic tie-break (max count, then
+    alphabetically first type) via a single struct-min aggregate over the
+    per-(user, type) counts — no window pass needed on the second
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    best = F.min(
+        F.struct((-F.col("cnt")).alias("nc"), F.col("event_type").alias("t"))
+    )
+    return counts.groupBy("user_id").agg(
+        best.getField("t").alias("modal_type"),
+        (-best.getField("nc")).alias("modal_count"),
+    )
+
+
+_MODAL_SQL = """
+SELECT user_id, event_type AS modal_type, cnt AS modal_count
+FROM (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+  FROM (SELECT user_id, event_type, count(*)::BIGINT AS cnt
+        FROM events GROUP BY user_id, event_type)
+) WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # CDC merge / streaming debounce
 # ---------------------------------------------------------------------------
@@ -453,6 +522,9 @@ REL_QUERIES = {
     "events_debounce": events_debounce,
     "events_hopping_window": events_hopping_window,
     "docs_domain_mix": docs_domain_mix,
+    "user_event_type_sets": user_event_type_sets,
+    "events_value_distribution": events_value_distribution,
+    "user_modal_event": user_modal_event,
     # rows-only (streaming survivor is arrival-order-dependent by design)
     "streaming_debounce": streaming_debounce_q,
 }
@@ -471,4 +543,7 @@ REL_ORACLE_SQL = {
     "events_debounce": _DEBOUNCE_SQL,
     "events_hopping_window": _HOPPING_SQL,
     "docs_domain_mix": _DOMAIN_MIX_SQL,
+    "user_event_type_sets": _TYPE_SETS_SQL,
+    "events_value_distribution": _DISTRIBUTION_SQL,
+    "user_modal_event": _MODAL_SQL,
 }

@@ -29,6 +29,7 @@ def as_of_join(
     ts: str,
     payload: dict[str, str],
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join.
 
@@ -36,6 +37,9 @@ def as_of_join(
     may be included, e.g. ``{"value": "prev_value", "ts": "prev_ts"}``).
     ``right_tiebreak``: column deciding among right rows sharing (key, ts)
     — highest wins (required for determinism if duplicates exist).
+    ``direction``: "backward" matches the most recent right row with
+    ``right.ts <= left.ts``; "forward" the earliest with
+    ``right.ts >= left.ts`` (same plan, sort reversed).
 
     All payload columns come from the SAME matched right row: each right
     row is carried as one non-null struct and a single
@@ -65,9 +69,13 @@ def as_of_join(
     l_tagged = left.withColumn("__side", F.lit(1))
     unioned = union_by_name([l_tagged, r_tagged])
 
-    # right rows sort before left rows at equal ts → "<=" as-of semantics
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # right rows sort before left rows at equal ts → inclusive as-of
+    # semantics; forward is the same carry over the reversed sort
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = Window.partitionBy(key).orderBy(
-        F.col(ts).asc(), F.col("__side").asc()
+        ts_order, F.col("__side").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = unioned.withColumn(
         "__match", F.last(F.col("__carry"), ignorenulls=True).over(w)

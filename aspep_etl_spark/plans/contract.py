@@ -1410,6 +1410,55 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def events_asof_forward(spark, sf_dir):
+    """Forward as-of: each purchase picks up the NEXT click's value for
+    the same user (``right.ts >= left.ts``) — the same union-sort-carry
+    plan with the sort reversed."""
+    from ..operators.asof import as_of_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = as_of_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        payload={"value": "next_click_value", "ts": "next_click_ts"},
+        right_tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "purchase_value",
+        "next_click_value",
+        F.col("next_click_ts").cast("string").alias("next_click_ts"),
+    )
+
+
+_ASOF_FWD_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click')
+  WHERE rn = 1
+), purchases AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts_str, p.purchase_value,
+       c.value AS next_click_value, CAST(c.ts AS VARCHAR) AS next_click_ts
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
 def events_funnel(spark, sf_dir):
     """Ordered funnel analysis ([EXT]): signup → click → purchase per user,
     each stage's first occurrence strictly after the previous stage.  Three
@@ -1736,6 +1785,7 @@ SPARK_QUERIES = {
     "q18_large_orders": q18_large_orders,
     "agg_cube": agg_cube,
     "events_asof_join": events_asof_join,
+    "events_asof_forward": events_asof_forward,
     "events_funnel": events_funnel,
     "q4_order_priority": q4_order_priority,
     "q12_priority_buckets": q12_priority_buckets,
@@ -1798,6 +1848,7 @@ ORACLE_SQL = {
     "q18_large_orders": _Q18_SQL,
     "agg_cube": _CUBE_SQL,
     "events_asof_join": _ASOF_SQL,
+    "events_asof_forward": _ASOF_FWD_SQL,
     "events_funnel": _FUNNEL_SQL,
     "q4_order_priority": _Q4_SQL,
     "q12_priority_buckets": _Q12_SQL,

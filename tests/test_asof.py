@@ -60,3 +60,31 @@ def test_asof_null_payload_from_matched_row(spark):
     }
     assert out[100] == (7.0, 50)
     assert out[200] == (None, 150)  # null v carried WITH its own ts
+
+
+def test_as_of_join_forward_direction(spark):
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts("2024-01-01T10:00:00")),  # equal ts → matches 10:00 row
+            (2, "u1", ts("2024-01-01T11:00:00")),  # after all rights → nulls
+            (3, "u1", ts("2024-01-01T09:00:00")),  # next right is 09:30
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts("2024-01-01T09:30:00"), 10.0, 100),
+            ("u1", ts("2024-01-01T10:00:00"), 20.0, 101),
+        ],
+        ["user_id", "ts", "value", "event_id"],
+    )
+    out = as_of_join(
+        left, right, key="user_id", ts="ts",
+        payload={"value": "next_value"}, right_tiebreak="event_id",
+        direction="forward",
+    )
+    got = {r["event_id"]: r["next_value"] for r in out.collect()}
+    assert got[1] == 20.0   # inclusive equal ts
+    assert got[2] is None   # nothing at or after 11:00
+    assert got[3] == 10.0   # earliest following right

@@ -265,10 +265,56 @@ FROM pair GROUP BY doc_id
 """
 
 
+def docs_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram LM score per document — average token
+    log10-probability under the corpus's own unigram distribution, the
+    cheapest perplexity proxy for quality ranking (low score = unusual
+    token mix).  Two shuffles: the vocab count and the per-doc aggregate;
+    the token→frequency join is AQE-broadcastable at dim-sized vocabs and
+    a plain shuffle join at web-corpus vocabs."""
+    from ..operators.text import WORD_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log10(F.col("c") / F.col("t"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS t FROM freq
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(log10(c / t)), 6) AS avg_logprob
+FROM toks JOIN freq USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 LLM_QUERIES = {
     "docs_repetition": docs_repetition,
     "pii_scan": pii_scan,
     "docs_decontaminate": docs_decontaminate,
+    "docs_unigram_logprob": docs_unigram_logprob,
     "dedup_clusters": dedup_clusters,
     "embedding_quantization": embedding_quantization,
 }
@@ -277,6 +323,7 @@ LLM_ORACLE_SQL = {
     "docs_repetition": _DOCS_REPETITION_SQL,
     "pii_scan": _PII_SCAN_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,
+    "docs_unigram_logprob": _UNIGRAM_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "embedding_quantization": _EMB_QUANT_SQL,
 }

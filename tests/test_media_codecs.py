@@ -168,3 +168,39 @@ def test_mp4_round_trip():
     assert d["duration_ms"] == 7350
     assert (d["width"], d["height"]) == (1920, 1080)
     assert parse_media_header(make_mp4(100))["width"] is None  # zero dims → null
+
+
+# ---------------------------------------------------------------------------
+# property tests — any dimension round-trips
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=4096),
+    h=st.integers(min_value=1, max_value=4096),
+)
+def test_image_dims_always_round_trip(w, h):
+    assert parse_media_header(make_png(w, h))["width"] == w
+    assert parse_media_header(make_jpeg(w, h))["height"] == h
+    d = parse_media_header(make_bmp(w, h))
+    assert (d["width"], d["height"]) == (w, h)
+    if w <= 65535 and h <= 65535:  # GIF LSD is u16
+        assert parse_media_header(make_gif(w, h))["width"] == w
+
+
+@settings(max_examples=40, deadline=None)
+@given(ms=st.integers(min_value=1, max_value=86_400_000))
+def test_durations_always_round_trip(ms):
+    assert parse_media_header(make_wav(ms))["duration_ms"] == ms
+    assert parse_media_header(make_mp4(ms))["duration_ms"] == ms
+
+
+@settings(max_examples=60, deadline=None)
+@given(raw=st.binary(min_size=0, max_size=256))
+def test_random_bytes_never_raise(raw):
+    d = parse_media_header(raw)
+    assert d["format"] is not None  # always a dict, never an exception

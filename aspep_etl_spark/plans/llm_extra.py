@@ -310,11 +310,71 @@ GROUP BY doc_id
 """
 
 
+def embedding_top_component(spark, sf_dir):
+    """Top principal component of the embedding corpus via deterministic
+    distributed power iteration (pinned e₀ init, 3 rounds, rounded
+    aggregation boundaries) — whole computation unrolls to the DuckDB
+    oracle below.  Output: (pos, loading), 64 rows."""
+    from ..operators.eigen import top_eigenvector
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return top_eigenvector(emb, "embedding", iters=3, round_dp=6)
+
+
+def _power_iter_sql(dim: int = 64, iters: int = 3, dp: int = 6) -> str:
+    """Unroll the power iteration as CTEs: same init, same rounded
+    weighted sums, same rounded normalization, 1-based DuckDB subscripts
+    shifted to Spark's 0-based posexplode positions."""
+    parts = [
+        f"""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+mu AS (
+  SELECT list(m ORDER BY pos) AS m FROM (
+    SELECT pos, round(avg(val), {dp}) AS m FROM (
+      SELECT unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v)
+    GROUP BY pos)
+), c AS (
+  SELECT list_transform(range(1, {dim + 1}), i -> e[i] - m[i]) AS c FROM v, mu
+), v0 AS (
+  SELECT list_concat([1.0], list_transform(range(1, {dim}), x -> 0.0)) AS vv
+)"""
+    ]
+    prev = "v0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+w{t} AS (
+  SELECT pos, round(sum(s * cv), {dp}) AS w FROM (
+    SELECT list_dot_product(c, {prev}.vv) AS s,
+           unnest(c) AS cv, (generate_subscripts(c, 1) - 1)::INT AS pos
+    FROM c, {prev}) GROUP BY pos
+), n{t} AS (
+  SELECT round(sqrt(sum(w * w)), {dp}) AS n FROM w{t}
+)"""
+        )
+        if t < iters:
+            parts.append(
+                f""",
+v{t} AS (
+  SELECT list(round(w / n, {dp}) ORDER BY pos) AS vv FROM w{t}, n{t}
+)"""
+            )
+            prev = f"v{t}"
+    parts.append(
+        f"""
+SELECT pos, round(w / n, {dp}) AS loading FROM w{iters}, n{iters}"""
+    )
+    return "".join(parts)
+
+
+_TOP_COMPONENT_SQL = _power_iter_sql(dim=64, iters=3, dp=6)
+
+
 LLM_QUERIES = {
     "docs_repetition": docs_repetition,
     "pii_scan": pii_scan,
     "docs_decontaminate": docs_decontaminate,
     "docs_unigram_logprob": docs_unigram_logprob,
+    "embedding_top_component": embedding_top_component,
     "dedup_clusters": dedup_clusters,
     "embedding_quantization": embedding_quantization,
 }
@@ -324,6 +384,7 @@ LLM_ORACLE_SQL = {
     "pii_scan": _PII_SCAN_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,
     "docs_unigram_logprob": _UNIGRAM_SQL,
+    "embedding_top_component": _TOP_COMPONENT_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "embedding_quantization": _EMB_QUANT_SQL,
 }

@@ -502,10 +502,154 @@ GROUP BY user_id, event_type, date_trunc('minute', ts)
 """
 
 
+def events_session_window(spark, sf_dir):
+    """Native ``F.session_window`` aggregation (30-min gap): per-user
+    sessions with start / end (last event + gap) / size / value.  The
+    DuckDB twin re-derives the identical sessions with lag/running-sum
+    gap logic on microsecond epochs — new session when the gap is >= the
+    timeout, matching session_window's strict window-end merge rule."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            F.col("w.end").cast("string").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH l AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+)
+SELECT user_id,
+       CAST(min(ts) AS VARCHAR) AS session_start,
+       CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def streaming_debounce_q(spark, sf_dir):
     from ..streaming.dedup import run_streaming_debounce
 
     return run_streaming_debounce(spark, f"{sf_dir}/events.parquet")
+
+
+def dq_audit(spark, sf_dir):
+    """Declarative data-quality gate over three tables: per-rule violation
+    counts via ONE conditional-aggregate scan per table, one grouped pass
+    for the uniqueness rule, and one anti-join for the foreign key — the
+    dbt-test/Deequ shape, as a single audit DataFrame."""
+    from ..operators.quality_checks import (
+        accepted_values,
+        in_range,
+        not_null,
+        referential_check,
+        run_checks,
+        unique_key,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    audits = [
+        run_checks(
+            orders,
+            "orders",
+            [
+                not_null("o_orderkey"),
+                unique_key("o_orderkey"),
+                accepted_values("o_orderstatus", ["P", "O", "F"]),
+                in_range("o_totalprice", 0.0, 1e7),
+            ],
+        ),
+        run_checks(
+            li,
+            "lineitem",
+            [not_null("l_orderkey"), in_range("l_discount", 0.0, 0.1)],
+        ),
+        referential_check(li, orders.select("o_orderkey"), "l_orderkey", "o_orderkey", "lineitem"),
+        run_checks(
+            ev,
+            "events",
+            [
+                not_null("user_id"),
+                accepted_values(
+                    "event_type", ["click", "view", "purchase", "signup", "error"]
+                ),
+            ],
+        ),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+_DQ_SQL = """
+SELECT 'orders' AS "table", 'not_null:o_orderkey' AS rule,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+FROM orders
+UNION ALL
+SELECT 'orders', 'unique:o_orderkey', v::BIGINT, v = 0 FROM (
+  SELECT coalesce(sum(n - 1), 0) AS v FROM (
+    SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+UNION ALL
+SELECT 'orders', 'accepted_values:o_orderstatus',
+       sum(CASE WHEN o_orderstatus NOT IN ('P','O','F') THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN o_orderstatus NOT IN ('P','O','F') THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'orders', 'range:o_totalprice',
+       sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 1e7) OR o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 1e7) OR o_totalprice IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'lineitem', 'not_null:l_orderkey',
+       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'range:l_discount',
+       sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) OR l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) OR l_discount IS NULL THEN 1 ELSE 0 END) = 0
+FROM lineitem
+UNION ALL
+SELECT 'lineitem', 'fk:l_orderkey->o_orderkey', v::BIGINT, v = 0 FROM (
+  SELECT count(*) AS v FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'events', 'not_null:user_id',
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0
+FROM events
+UNION ALL
+SELECT 'events', 'accepted_values:event_type',
+       sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)::BIGINT,
+       sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) = 0
+FROM events
+"""
 
 
 REL_QUERIES = {
@@ -525,6 +669,8 @@ REL_QUERIES = {
     "user_event_type_sets": user_event_type_sets,
     "events_value_distribution": events_value_distribution,
     "user_modal_event": user_modal_event,
+    "dq_audit": dq_audit,
+    "events_session_window": events_session_window,
     # rows-only (streaming survivor is arrival-order-dependent by design)
     "streaming_debounce": streaming_debounce_q,
 }
@@ -546,4 +692,6 @@ REL_ORACLE_SQL = {
     "user_event_type_sets": _TYPE_SETS_SQL,
     "events_value_distribution": _DISTRIBUTION_SQL,
     "user_modal_event": _MODAL_SQL,
+    "dq_audit": _DQ_SQL,
+    "events_session_window": _SESSION_WINDOW_SQL,
 }

@@ -502,6 +502,31 @@ GROUP BY user_id, event_type, date_trunc('minute', ts)
 """
 
 
+def events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form of rollup/cube, both
+    already covered): one aggregation producing per-type totals, per-user
+    totals, and the grand total in a single shuffle, with grouping()
+    flags disambiguating genuine nulls from aggregation nulls."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, count(*) AS n,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(user_id) AS INT) AS g_user
+        FROM __ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT event_type, user_id, count(*)::BIGINT AS n,
+       grouping(event_type)::INT AS g_type, grouping(user_id)::INT AS g_user
+FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
 def events_session_window(spark, sf_dir):
     """Native ``F.session_window`` aggregation (30-min gap): per-user
     sessions with start / end (last event + gap) / size / value.  The
@@ -671,6 +696,7 @@ REL_QUERIES = {
     "user_modal_event": user_modal_event,
     "dq_audit": dq_audit,
     "events_session_window": events_session_window,
+    "events_grouping_sets": events_grouping_sets,
     # rows-only (streaming survivor is arrival-order-dependent by design)
     "streaming_debounce": streaming_debounce_q,
 }
@@ -694,4 +720,5 @@ REL_ORACLE_SQL = {
     "user_modal_event": _MODAL_SQL,
     "dq_audit": _DQ_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
+    "events_grouping_sets": _GROUPING_SETS_SQL,
 }

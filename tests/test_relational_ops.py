@@ -103,3 +103,19 @@ def test_levenshtein_pairs_blocking_and_threshold(spark):
     assert got[(1, 2)] == 2 and got[(2, 3)] == 2
     assert all(5 not in pair for pair in got)  # lang block separates
     assert all(4 not in pair for pair in got)  # length band separates
+
+
+def test_approximate_aggregates_within_bounds(spark, sf_dir):
+    """approx_count_distinct and percentile_approx have no cross-engine
+    oracle (HLL/KLL internals differ by engine) — what matters at scale
+    is the error bound, so pin THAT against exact answers."""
+    from aspep_etl_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact_users = ev.select("user_id").distinct().count()
+    approx = ev.agg(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact_users) / exact_users < 0.1
+
+    exact_median = ev.agg(F.expr("percentile(value, 0.5)")).collect()[0][0]
+    appr_median = ev.agg(F.expr("percentile_approx(value, 0.5, 10000)")).collect()[0][0]
+    assert abs(appr_median - exact_median) <= abs(exact_median) * 0.05 + 1e-9

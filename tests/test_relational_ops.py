@@ -119,3 +119,27 @@ def test_approximate_aggregates_within_bounds(spark, sf_dir):
     exact_median = ev.agg(F.expr("percentile(value, 0.5)")).collect()[0][0]
     appr_median = ev.agg(F.expr("percentile_approx(value, 0.5, 10000)")).collect()[0][0]
     assert abs(appr_median - exact_median) <= abs(exact_median) * 0.05 + 1e-9
+
+
+def test_hash_sample_full_rate_keeps_everything(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    assert hash_sample(df, ["k"], 1.0).count() == 500
+    assert hash_sample(df, ["k"], 0.0).count() == 0
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    import datetime as dt
+
+    points = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12)), (2, dt.datetime(2024, 6, 1))],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        ["iid", "w_start", "w_end"],
+    )
+    out = interval_join(
+        points, intervals, "ts", "w_start", "w_end", 86_400, how="left"
+    ).collect()
+    by_pid = {r["pid"]: r["iid"] for r in out}
+    assert by_pid == {1: 10, 2: None}  # unmatched point survives with nulls

@@ -369,12 +369,71 @@ SELECT pos, round(w / n, {dp}) AS loading FROM w{iters}, n{iters}"""
 _TOP_COMPONENT_SQL = _power_iter_sql(dim=64, iters=3, dp=6)
 
 
+def docs_pack_sequences(spark, sf_dir):
+    """Offset-based sequence packing for pretraining batches: chunk the
+    corpus (32-token windows, stride 24), shard by doc hash, and assign
+    each chunk to the 512-token pack its running token offset lands in —
+    the window-expressible packing variant (a pack may exceed the budget
+    by at most one chunk; exact first-fit needs stateful iteration).
+    One shuffle on the shard key; packs form within shards exactly as
+    they would per-task at scale."""
+    from pyspark.sql import Window
+
+    from ..operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")) / F.lit(512)
+        ).cast("long"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), nz AS (
+  SELECT * FROM toks WHERE len(w) > 0
+), starts AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w) - 1, 0) + 1, 24)) AS s FROM nz
+), chunks AS (
+  SELECT doc_id, (s // 24)::INT AS chunk_idx,
+         len(w[s + 1 : s + 32])::BIGINT AS n,
+         (doc_id % 8)::INT AS shard
+  FROM starts
+), packed AS (
+  SELECT shard, doc_id, n,
+         floor((sum(n) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+                             ROWS UNBOUNDED PRECEDING) - n) / 512)::BIGINT AS pack_id
+  FROM chunks
+)
+SELECT shard, pack_id, count(*)::BIGINT AS n_chunks,
+       sum(n)::BIGINT AS n_tokens, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM packed GROUP BY shard, pack_id
+"""
+
+
 LLM_QUERIES = {
     "docs_repetition": docs_repetition,
     "pii_scan": pii_scan,
     "docs_decontaminate": docs_decontaminate,
     "docs_unigram_logprob": docs_unigram_logprob,
     "embedding_top_component": embedding_top_component,
+    "docs_pack_sequences": docs_pack_sequences,
     "dedup_clusters": dedup_clusters,
     "embedding_quantization": embedding_quantization,
 }
@@ -385,6 +444,7 @@ LLM_ORACLE_SQL = {
     "docs_decontaminate": _DECONTAMINATE_SQL,
     "docs_unigram_logprob": _UNIGRAM_SQL,
     "embedding_top_component": _TOP_COMPONENT_SQL,
+    "docs_pack_sequences": _PACK_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "embedding_quantization": _EMB_QUANT_SQL,
 }

@@ -677,6 +677,101 @@ FROM events
 """
 
 
+def orders_profile(spark, sf_dir):
+    """Ingestion-time column audit via `table_profile` — null count,
+    exact cardinality, string-cast bounds per column, ONE scan for the
+    whole suite.  The double column is pre-rounded so its text form is
+    engine-stable."""
+    from ..operators.profile import table_profile
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice"), 2)
+    )
+    return table_profile(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"]
+    )
+
+
+_PROFILE_SQL = """
+SELECT 'o_orderkey' AS "column",
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+       min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT o_orderstatus)::BIGINT,
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT o_orderdate)::BIGINT,
+       min(o_orderdate)::VARCHAR, max(o_orderdate)::VARCHAR
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT round(o_totalprice, 2))::BIGINT,
+       min(round(o_totalprice, 2))::VARCHAR, max(round(o_totalprice, 2))::VARCHAR
+FROM orders
+"""
+
+
+def events_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram (drift-monitoring shape): bin counts
+    plus within-bin means — one hash-agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bin", F.floor(F.col("value") / 50.0).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT event_type, floor(value / 50.0)::BIGINT AS bin,
+       count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type, floor(value / 50.0)
+"""
+
+
+def orders_zorder_key(spark, sf_dir):
+    """Morton (Z-order) layout keys over (customer, order-day) — the sort
+    key that clusters two-dimensional range scans into few contiguous
+    zones (Delta OPTIMIZE ZORDER / Iceberg sort-order shape).  Pure bit
+    arithmetic; the oracle runs the identical generated expression."""
+    from ..operators.profile import zorder_key
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "day_no", F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_no",
+        zorder_key("o_custkey", "day_no", bits=16).alias("zkey"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.profile import zorder_sql
+
+    expr = zorder_sql("o_custkey", "day_no", bits=16)
+    return f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS day_no
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, day_no, {expr} AS zkey FROM d
+"""
+
+
 REL_QUERIES = {
     "sample_stratified": sample_stratified,
     "docs_split": docs_split,
@@ -697,6 +792,9 @@ REL_QUERIES = {
     "dq_audit": dq_audit,
     "events_session_window": events_session_window,
     "events_grouping_sets": events_grouping_sets,
+    "orders_profile": orders_profile,
+    "events_value_histogram": events_value_histogram,
+    "orders_zorder_key": orders_zorder_key,
     # rows-only (streaming survivor is arrival-order-dependent by design)
     "streaming_debounce": streaming_debounce_q,
 }
@@ -721,4 +819,7 @@ REL_ORACLE_SQL = {
     "dq_audit": _DQ_SQL,
     "events_session_window": _SESSION_WINDOW_SQL,
     "events_grouping_sets": _GROUPING_SETS_SQL,
+    "orders_profile": _PROFILE_SQL,
+    "events_value_histogram": _HISTOGRAM_SQL,
+    "orders_zorder_key": _zorder_oracle(),
 }

@@ -143,3 +143,26 @@ def test_interval_join_left_keeps_unmatched_points(spark):
     ).collect()
     by_pid = {r["pid"]: r["iid"] for r in out}
     assert by_pid == {1: 10, 2: None}  # unmatched point survives with nulls
+
+
+def test_zorder_key_locality_property(spark):
+    """Z-curve math: the interleaved key's high bits are exactly the
+    interleave of the coordinates' high bits, so points inside any
+    2^k x 2^k block share a zkey prefix — the property that makes
+    min/max zone pruning work on two range predicates at once."""
+    from aspep_etl_spark.operators.profile import zorder_key
+
+    def z_py(x, y):
+        out = 0
+        for i in range(16):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 256)]
+    df = spark.createDataFrame(pts, ["x", "y"]).select(
+        "x", "y", zorder_key("x", "y").alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == z_py(r["x"], r["y"])  # engine matches the definition
+        for k in (4, 8):  # block-prefix property
+            assert r["z"] >> (2 * k) == z_py(r["x"] >> k, r["y"] >> k)

@@ -163,3 +163,38 @@ def media_summary(features: DataFrame) -> DataFrame:
         )
         .orderBy("modality", "format")
     )
+
+
+def files_as_media(binary_df: DataFrame) -> DataFrame:
+    """Adapter from Spark's ``binaryFile`` source (path, modificationTime,
+    length, content) to the media asset frame — the REAL ingest path for a
+    media lake: ``spark.read.format("binaryFile").load(dir)`` →
+    ``files_as_media`` → ``extract_media_features``.  The asset id is a
+    deterministic hash of the path; the modality is resolved from the
+    decoded container (sniffed from magic bytes), not the file extension."""
+    from ..functions.media import AUDIO_FORMATS, IMAGE_FORMATS, VIDEO_FORMATS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.media import sniff_format
+
+        modality_of = {f: "image" for f in IMAGE_FORMATS}
+        modality_of.update({f: "audio" for f in AUDIO_FORMATS})
+        modality_of.update({f: "video" for f in VIDEO_FORMATS})
+        import zlib as _zlib
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                fmt = sniff_format(raw)
+                rows.append(
+                    {
+                        "asset_id": _zlib.crc32(path.encode()) & 0x7FFFFFFF,
+                        "modality": modality_of.get(fmt, "unknown"),
+                        "payload": raw,
+                        "media_meta": {"path": path, "format": fmt or "unknown"},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _MEDIA_SCHEMA.fields])
+
+    return binary_df.select("path", "content").mapInPandas(run, schema=_MEDIA_SCHEMA)

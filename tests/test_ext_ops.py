@@ -155,3 +155,34 @@ def test_multimodal_real_decode(spark):
     # every payload decoded — no format fell through to "unknown"
     assert all(r["format"] != "unknown" for r in feats)
     assert all(r["n_bytes"] > 0 for r in feats)
+
+
+def test_binaryfile_media_ingest_end_to_end(spark, tmp_path):
+    """The real media-lake ingest path: synthesized container files on
+    disk → spark.read.format("binaryFile") → files_as_media →
+    extract_media_features, with modality resolved from magic bytes (a
+    deliberately WRONG file extension must not matter)."""
+    from aspep_etl_spark.functions.media import make_mp4, make_png, make_wav
+    from aspep_etl_spark.operators.multimodal import extract_media_features, files_as_media
+
+    (tmp_path / "a.png").write_bytes(make_png(31, 17))
+    (tmp_path / "b.wav").write_bytes(make_wav(1234))
+    (tmp_path / "c.mp4").write_bytes(make_mp4(5678, 640, 480))
+    (tmp_path / "mislabeled.png").write_bytes(make_wav(99))  # wav bytes, png name
+    (tmp_path / "garbage.bin").write_bytes(b"\x00\x01\x02 not a container")
+
+    bin_df = spark.read.format("binaryFile").load(str(tmp_path))
+    feats = extract_media_features(files_as_media(bin_df))
+    by_fmt = {}
+    for r in feats.collect():
+        by_fmt.setdefault(r["format"], []).append(r)
+
+    (png,) = by_fmt["png"]
+    assert (png["width"], png["height"]) == (31, 17) and png["modality"] == "image"
+    wavs = sorted(by_fmt["wav"], key=lambda r: r["duration_ms"])
+    assert [w["duration_ms"] for w in wavs] == [99, 1234]
+    assert all(w["modality"] == "audio" for w in wavs)  # magic bytes win
+    (mp4,) = by_fmt["mp4"]
+    assert (mp4["width"], mp4["height"], mp4["duration_ms"]) == (640, 480, 5678)
+    (unk,) = by_fmt["unknown"]
+    assert unk["width"] is None and unk["n_bytes"] > 0

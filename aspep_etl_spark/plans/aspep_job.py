@@ -44,10 +44,18 @@ def run_aspep_job(
     fetch_bytes=None,
     grids_by_year: dict | None = None,
     gzip_artifacts: bool = False,
+    golden_checks: bool = False,
 ) -> dict:
     """Run the full pipeline.  Network edges are injectable; alternatively
     pass pre-parsed ``grids_by_year`` to skip scrape/download/Excel-decode
     entirely (the offline/test path).  Returns artifact paths + quarantine.
+
+    ``golden_checks=True`` evaluates the reference's 16 runtime asset
+    checks (plans/golden_checks.py) against the produced frames and adds
+    the audit under ``result["golden_checks"]`` — the engine-side
+    equivalent of the reference's pipeline-attached check gate.  Only
+    meaningful on the real corpus; synthetic fixtures won't contain the
+    golden cells.
     """
     bad_files: list = []
     if grids_by_year is None:
@@ -89,4 +97,12 @@ def run_aspep_job(
     }
     if gzip_artifacts:
         artifacts = {k: gzip_publish(p) for k, p in artifacts.items()}
-    return {"artifacts": artifacts, "bad_files": bad_files, "store": paths.store_dir}
+    result = {"artifacts": artifacts, "bad_files": bad_files, "store": paths.store_dir}
+    if golden_checks:
+        from .golden_checks import run_golden_checks
+
+        result["golden_checks"] = run_golden_checks(
+            spark,
+            {"combine_years": fact, "derive_stats": stats, "derive_extended_stats": ext},
+        ).collect()
+    return result

@@ -127,3 +127,27 @@ def test_extended_stats_goldens_on_real_data(real_frames):
         assert act is not None and math.isclose(act, exp, rel_tol=1e-3), (
             code, fn, year, col, act, exp,
         )
+
+
+def test_runtime_golden_checks_on_real_data(spark, real_frames):
+    """The engine-side asset-check gate (plans/golden_checks.py — the
+    reference's runtime asset checks, asset_checks.py:14-31) must pass all
+    16 checks against the real-corpus pipeline outputs in one audit frame,
+    and must FAIL loudly when pointed at a frame missing the cells."""
+    from aspep_etl_spark.plans.golden_checks import run_golden_checks
+
+    fact, stats, ext = real_frames
+    audit = run_golden_checks(
+        spark,
+        {"combine_years": fact, "derive_stats": stats, "derive_extended_stats": ext},
+    ).collect()
+    assert len(audit) == 16
+    failed = [r for r in audit if not r["passed"]]
+    assert failed == [], failed
+
+    # negative control: a filtered frame loses its golden cells → failures
+    broken = run_golden_checks(
+        spark, {"combine_years": fact.filter("year < 2010")}
+    ).collect()
+    assert any(not r["passed"] for r in broken)
+    assert all(not r["passed"] for r in broken if r["year"] >= 2010)

@@ -21,6 +21,7 @@ import math
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_canonical_store(
@@ -214,3 +215,56 @@ def publish_dir(
                 {"file": filename, "url": f"https://{bucket}.s3.amazonaws.com/{key}"}
             )
     return results
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str = "year",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction for a partitioned parquet store — the
+    maintenance job every streaming/incremental writer eventually needs
+    (thousands of kilobyte files turn a scan into a metadata stampede).
+
+    Per partition: estimate on-disk size, rewrite with
+    ``repartition(ceil(size / target))`` via dynamic partition overwrite
+    (only touched partitions rewrite; concurrent readers of other
+    partitions are unaffected).  Returns per-partition file counts
+    before/after.  At lake scale this is what table formats call OPTIMIZE;
+    the pure-parquet version is the same rewrite without the transaction
+    log."""
+    import math as _math
+
+    before: dict = {}
+    sizes: dict = {}
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        pdir = os.path.join(path, entry)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        before[entry] = len(files)
+        sizes[entry] = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+
+    df = spark.read.parquet(path)
+    for entry, size in sizes.items():
+        value = entry.split("=", 1)[1]
+        n_files = max(1, _math.ceil(size / target_file_bytes))
+        part = df.filter(F.col(partition_col) == value).repartition(n_files)
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    after = {
+        entry: len(
+            [
+                f
+                for f in os.listdir(os.path.join(path, entry))
+                if f.endswith(".parquet")
+            ]
+        )
+        for entry in before
+    }
+    return {"before": before, "after": after}

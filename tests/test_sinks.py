@@ -150,3 +150,31 @@ def test_json_array_byte_parity_with_reference_serializer(spark, tmp_path):
     assert render_records_json([]) == pd.DataFrame([]).to_json(
         orient="records", indent=4
     )
+
+
+def test_compact_partitions_merges_small_files(spark, tmp_path):
+    """OPTIMIZE-style maintenance: a store fragmented into many small
+    files per partition compacts to size-targeted file counts with data
+    and partition layout unchanged."""
+    from aspep_etl_spark.sinks.publish import compact_partitions
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, 2003 + i % 2, f"v{i}") for i in range(2000)], ["id", "year", "v"]
+    )
+    # fragment: 20 writer tasks per partition
+    df.repartition(20).write.partitionBy("year").parquet(path)
+    frag = sum(
+        1
+        for e in (tmp_path / "store").rglob("*.parquet")
+    )
+    assert frag >= 30  # genuinely fragmented
+
+    report = compact_partitions(spark, path, "year", target_file_bytes=64 * 1024 * 1024)
+    assert set(report["before"]) == {"year=2003", "year=2004"}
+    assert all(n == 1 for n in report["after"].values())  # tiny data → 1 file
+
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    assert back.filter("year = 2004").count() == 1000
+    assert {r["v"] for r in back.filter("id < 3").collect()} == {"v0", "v1", "v2"}

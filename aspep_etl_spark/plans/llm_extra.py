@@ -427,6 +427,79 @@ FROM packed GROUP BY shard, pack_id
 """
 
 
+def ann_negative_samples(spark, sf_dir):
+    """Contrastive-training negative mining: for each query vector, K
+    deterministic random negatives — corpus vectors hash-ranked by
+    md5(query|candidate) — EXCLUDING the query's true top-20 cosine
+    neighbors (so negatives are genuinely non-positive).  The exclusion
+    set is small per query, so the anti-join broadcasts; the hash ranking
+    is engine-reproducible, which is what makes sampled negatives
+    regression-testable at all.
+
+    The candidate cross join is queries × corpus — bounded by the query
+    batch (10 here); at 100 TB corpora, pre-sample candidates with
+    `hash_sample` before ranking instead of enumerating the corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    positives = brute_force_topk(emb, queries, k=20).select(
+        "query_id", "neighbor_id"
+    )
+    cand = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+        emb.select(F.col("vec_id").alias("cand_id"))
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    cand = cand.join(
+        positives,
+        (cand.query_id == positives.query_id) & (cand.cand_id == positives.neighbor_id),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy("__h", "cand_id")
+    return (
+        cand.withColumn(
+            "__h",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("query_id").cast("string"), F.col("cand_id").cast("string")
+                )
+            ),
+        )
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("query_id", F.col("cand_id").alias("negative_id"), "neg_rank")
+    )
+
+
+_NEG_SAMPLES_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+s AS (
+  SELECT qid, nid,
+         round(list_dot_product(qe, ne) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))), 4) AS cosine
+  FROM q, c WHERE qid <> nid
+), pos AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+    FROM s) WHERE rn <= 20
+), cand AS (
+  SELECT q.qid, c.nid FROM q, c
+  WHERE q.qid <> c.nid
+    AND NOT EXISTS (SELECT 1 FROM pos WHERE pos.qid = q.qid AND pos.nid = c.nid)
+)
+SELECT qid AS query_id, nid AS negative_id, neg_rank
+FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY md5(qid::VARCHAR || '|' || nid::VARCHAR), nid)
+           AS neg_rank
+  FROM cand)
+WHERE neg_rank <= 5
+"""
+
+
 LLM_QUERIES = {
     "docs_repetition": docs_repetition,
     "pii_scan": pii_scan,
@@ -434,6 +507,7 @@ LLM_QUERIES = {
     "docs_unigram_logprob": docs_unigram_logprob,
     "embedding_top_component": embedding_top_component,
     "docs_pack_sequences": docs_pack_sequences,
+    "ann_negative_samples": ann_negative_samples,
     "dedup_clusters": dedup_clusters,
     "embedding_quantization": embedding_quantization,
 }
@@ -445,6 +519,7 @@ LLM_ORACLE_SQL = {
     "docs_unigram_logprob": _UNIGRAM_SQL,
     "embedding_top_component": _TOP_COMPONENT_SQL,
     "docs_pack_sequences": _PACK_SQL,
+    "ann_negative_samples": _NEG_SAMPLES_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "embedding_quantization": _EMB_QUANT_SQL,
 }

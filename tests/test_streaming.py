@@ -148,3 +148,81 @@ def test_streaming_debounce_matches_batch_keyset(spark, sf_dir):
     assert s_keys == b_keys
     assert len(stream) == len(s_keys)  # exactly one survivor per key
     assert len(b_keys) >= 1000
+
+
+def test_watermark_drops_late_events_across_batches(spark, tmp_path):
+    """The watermark must actually EVICT state and DROP late rows — batch
+    equality on a single availableNow batch never exercises that.
+
+    Semantics pinned here (empirically verified): a late row arriving in
+    the SAME micro-batch where its window is finalized still merges;
+    dropping happens once the window\'s state has been evicted.  So the
+    scenario needs three files: (1) data advancing the watermark past the
+    07:00 window, (2) an innocuous batch during which that window is
+    finalized and emitted, (3) a genuinely late 07:20 event — which must
+    NOT appear anywhere — plus an in-watermark 11:30 event that must."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    sch = "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ts = lambda s: f"2024-01-01 {s}"  # noqa: E731
+
+    def mk(rows):
+        return spark.createDataFrame(rows, sch).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    mk(
+        [
+            (1, ts("07:10:00"), 1, "click", 1.0, None),
+            (2, ts("07:40:00"), 1, "click", 1.0, None),
+            (3, ts("12:00:00"), 2, "click", 1.0, None),  # watermark → 10:00
+        ]
+    ).coalesce(1).write.parquet(src, mode="overwrite")
+    time.sleep(1.2)
+    # batch 2: 07:00 window finalizes (emitted with count 2, state evicted)
+    mk([(9, ts("12:30:00"), 2, "click", 1.0, None)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.2)
+    mk(
+        [
+            (4, ts("07:20:00"), 3, "click", 1.0, None),  # LATE → dropped
+            (5, ts("11:30:00"), 3, "click", 1.0, None),  # within watermark → kept
+            (6, ts("23:00:00"), 3, "click", 1.0, None),  # closes remaining windows
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(mk([]).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").cast("string").alias("h"), "n")
+    )
+    import tempfile
+
+    name = "late_drop_rollup"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")  # append emits only watermark-closed windows
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = {r["h"]: r["n"] for r in spark.table(name).collect()}
+    assert got == {
+        ts("07:00:00"): 2,  # late event 4 NOT here — dropped after eviction
+        ts("11:00:00"): 1,  # the in-watermark batch-3 event
+        ts("12:00:00"): 2,  # 12:00 + 12:30
+        # 23:00 window never closes → never emitted in append mode
+    }

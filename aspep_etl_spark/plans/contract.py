@@ -554,6 +554,7 @@ LIMIT 100
 # ---------------------------------------------------------------------------
 
 def dedup_exact_q(spark, sf_dir):
+    """Exact dedup: min-id survivor + dup count per identical text (one hash-agg shuffle)."""
     docs = _t(spark, sf_dir, "documents")
     out = exact_dedup(docs, ["text"], "doc_id")
     return out.select(
@@ -568,6 +569,7 @@ FROM documents GROUP BY text
 
 
 def dedup_ngram_jaccard_q(spark, sf_dir):
+    """Trigram-Jaccard near-dup pairs via posting lists (one shuffle on shingle)."""
     docs = _t(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
 
@@ -597,6 +599,7 @@ WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.05
 
 
 def text_quality_q(spark, sf_dir):
+    """Per-document quality metrics: token count, punctuation/stopword ratios, token length."""
     docs = _t(spark, sf_dir, "documents")
     m = quality_metrics(F.col("text"))
     return docs.select(
@@ -627,6 +630,7 @@ FROM base
 
 
 def text_langid_q(spark, sf_dir):
+    """Function-word n-gram language identification (codegen regex, no Python)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", langid_scores(F.col("text")).alias("pred_lang"))
 
@@ -651,6 +655,7 @@ FROM s
 
 
 def text_fingerprint_q(spark, sf_dir):
+    """Canonical md5 fingerprint over normalized text (whitespace/punct-insensitive identity)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
 
@@ -662,6 +667,7 @@ FROM documents
 
 
 def ann_cosine_topk_q(spark, sf_dir):
+    """Exact brute-force cosine top-k: broadcast query set over one corpus scan."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = brute_force_topk(emb, queries, k=5)
@@ -689,6 +695,8 @@ FROM r WHERE knn_rank <= 5
 
 
 def dedup_embedding_cosine_q(spark, sf_dir):
+    """Embedding near-dup pairs through the BUCKETED (leader/IVF) candidate
+    path — hash-matches the all-pairs oracle with no cross join in the plan."""
     emb = _t(spark, sf_dir, "embeddings")
     # The synthetic embeddings top out at cosine ≈ 0.51; 0.4 exercises the
     # threshold path with a non-trivial result set.  Runs through the
@@ -717,6 +725,7 @@ WHERE a.vec_id < b.vec_id
 
 
 def events_hourly_rollup_q(spark, sf_dir):
+    """Tumbling 1-hour event rollup (batch twin of the streaming path)."""
     return hourly_rollup_batch(_t(spark, sf_dir, "events"))
 
 
@@ -728,6 +737,7 @@ FROM events GROUP BY 1, 2
 
 
 def events_latest_per_user_q(spark, sf_dir):
+    """Latest event per user (top-1 window with event_id tie-break)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
@@ -1211,11 +1221,13 @@ def aspep_extended_pipeline(spark, sf_dir):
     return derive_extended_stats(stats)
 
 def dedup_minhash_lsh_q(spark, sf_dir):
+    """MinHash+LSH banded candidate pairs (zero-shuffle signatures; XXH64 twin tests)."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.2)
 
 
 def dedup_simhash_q(spark, sf_dir):
+    """64-bit SimHash per document (map-only; hamming-ordering tests)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text")
 
@@ -1349,10 +1361,12 @@ _ANN_IVF_SQL = _ivf_sql(k_cent=8, iters=2, dp=6, n_probe=3, topk=5)
 
 
 def streaming_hourly_rollup_q(spark, sf_dir):
+    """Structured Streaming tumbling rollup (availableNow; batch-equality tested)."""
     return run_streaming_rollup(spark, f"{sf_dir}/events.parquet")
 
 
 def streaming_sessionize_q(spark, sf_dir):
+    """applyInPandasWithState gap sessionizer (availableNow; multi-batch tested)."""
     from ..streaming.stateful import run_streaming_sessionize
 
     return run_streaming_sessionize(spark, f"{sf_dir}/events.parquet")

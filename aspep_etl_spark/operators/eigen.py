@@ -58,9 +58,15 @@ def top_eigenvector(
         )
     ]
     dim = len(mu)
+    # MATERIALIZATION FENCE (see PERF.md / operators/dedup.py): the
+    # posexplode in weighted_sum would otherwise re-evaluate the
+    # cast+zip_with centering per EMITTED ELEMENT (O(dim²) per row), and
+    # the driver loop would rebuild it from the scan every iteration.
+    # Persisted for the loop AND the returned plan's final pass; sweep
+    # with cache.free_cached_blocks after consuming, like the dedup ops.
     centered = e.select(
         F.expr(f"zip_with(e, {_lit_arr(mu)}, (x, m) -> x - m)").alias("c")
-    )
+    ).persist()
 
     def weighted_sum(v: list[float]) -> DataFrame:
         """w_p = round(Σᵢ (cᵢ·v) · cᵢ[p], dp) — map-only score + one

@@ -1407,6 +1407,41 @@ def events_asof_join(spark, sf_dir):
     )
 
 
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution ([EXT]): each purchase matched to the latest
+    same-user click within a 2h horizon — the batch twin of the
+    stream-stream join (streaming/attribution.py; both sides watermarked,
+    the range predicate is what bounds join state)."""
+    from ..streaming.attribution import attribution_pairs, last_touch
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return last_touch(attribution_pairs(clicks, purchases, horizon_seconds=7200))
+
+
+_ATTRIBUTION_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.purchase_id, p.user_id, p.pts, c.click_id, c.cts,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.cts DESC, c.click_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+    AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 2 HOUR
+)
+SELECT purchase_id, user_id, CAST(pts AS VARCHAR) AS purchase_ts, click_id,
+       (epoch_us(pts) - epoch_us(cts))::BIGINT AS lag_us
+FROM j WHERE rn = 1
+"""
+
+
 _ASOF_SQL = """
 WITH clicks AS (
   SELECT user_id, ts, value
@@ -1799,6 +1834,7 @@ SPARK_QUERIES = {
     "q18_large_orders": q18_large_orders,
     "agg_cube": agg_cube,
     "events_asof_join": events_asof_join,
+    "events_attribution": events_attribution,
     "events_asof_forward": events_asof_forward,
     "events_funnel": events_funnel,
     "q4_order_priority": q4_order_priority,
@@ -1862,6 +1898,7 @@ ORACLE_SQL = {
     "q18_large_orders": _Q18_SQL,
     "agg_cube": _CUBE_SQL,
     "events_asof_join": _ASOF_SQL,
+    "events_attribution": _ATTRIBUTION_SQL,
     "events_asof_forward": _ASOF_FWD_SQL,
     "events_funnel": _FUNNEL_SQL,
     "q4_order_priority": _Q4_SQL,

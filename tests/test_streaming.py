@@ -324,3 +324,39 @@ def test_foreachbatch_upsert_sink_multi_batch_and_replay(spark, tmp_path):
     )
     again = {(r["k"], r["v"], r["ver"]) for r in spark.read.parquet(store).collect()}
     assert again == got
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir):
+    """Genuine stream-stream join (both sides watermarked, time-range
+    predicate bounding state): the availableNow run must emit exactly the
+    batch pair set."""
+    from pyspark.sql import functions as F
+
+    from aspep_etl_spark.sources.registry import load_table
+    from aspep_etl_spark.streaming.attribution import (
+        attribution_pairs,
+        run_streaming_attribution,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    batch = {
+        (r["purchase_id"], r["user_id"], r["purchase_ts"], r["click_id"])
+        for r in attribution_pairs(clicks, purchases, 7200)
+        .select(
+            "purchase_id", "user_id",
+            F.col("purchase_ts").cast("string").alias("purchase_ts"), "click_id",
+        )
+        .collect()
+    }
+    streamed = {
+        (r["purchase_id"], r["user_id"], r["purchase_ts"], r["click_id"])
+        for r in run_streaming_attribution(
+            spark, f"{sf_dir}/events.parquet", 7200
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) >= 5  # sf0.001: 9 in-horizon pairs

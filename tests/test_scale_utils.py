@@ -91,3 +91,29 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """register_views publishes the canonical names for plain spark.sql,
+    with the events nanos-timestamp wrinkle normalized, and skips absent
+    tables instead of failing."""
+    from pyspark.sql import functions as F
+
+    from aspep_etl_spark.sources.registry import register_views
+
+    names = register_views(spark, sf_dir)
+    assert set(names) >= {"lineitem", "orders", "events", "documents"}
+    row = spark.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY 1 ORDER BY 1 LIMIT 1"
+    ).collect()[0]
+    assert row["n"] > 0
+    # events.ts must arrive as a usable timestamp through the view
+    ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
+    assert ts_type == "timestamp"
+    assert spark.sql("SELECT max(ts) FROM events").collect()[0][0] is not None
+    # subset dirs: nonexistent tables are skipped
+    import tempfile
+
+    empty = tempfile.mkdtemp()
+    assert register_views(spark, empty) == []

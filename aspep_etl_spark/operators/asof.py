@@ -47,7 +47,12 @@ def as_of_join(
     payload value on that row surfaces as NULL (DuckDB ASOF JOIN
     semantics) — never mixed with fields of an older row.
     """
-    r = right
+    # SQL as-of semantics under NULL: `right.ts <= left.ts` is UNKNOWN when
+    # either side is null, so a null-ts right row matches nothing (drop it
+    # before the union — under asc nulls-first it would otherwise become a
+    # phantom "earliest" match) and a null-ts left row matches nothing
+    # (its payload is forced null after the carry).
+    r = right.filter(F.col(ts).isNotNull())
     if right_tiebreak is not None:
         w_dedup = Window.partitionBy(key, ts).orderBy(F.desc(right_tiebreak))
         r = (
@@ -78,7 +83,11 @@ def as_of_join(
         ts_order, F.col("__side").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     carried = unioned.withColumn(
-        "__match", F.last(F.col("__carry"), ignorenulls=True).over(w)
+        "__match",
+        F.when(
+            F.col(ts).isNotNull(),
+            F.last(F.col("__carry"), ignorenulls=True).over(w),
+        ),
     )
     return (
         carried.filter(F.col("__side") == 1)

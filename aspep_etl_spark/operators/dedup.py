@@ -360,22 +360,38 @@ def levenshtein_pairs(
 
     Levenshtein is O(len²) per pair — never run it all-pairs.  Candidates
     are confined to rows sharing a block key: the caller's ``block_cols``
-    plus a text-length band of ``length_band`` chars (two texts whose
-    lengths differ by more than the band can't be within a small edit
-    distance anyway, so banding is both a blocker and a sound-ish filter).
-    One shuffle on the block key; the JVM ``levenshtein`` verifies each
-    candidate pair exactly.  Output: (id_a, id_b, lev) with
-    ``lev <= max_distance``, id_a < id_b.
+    plus a text-length band of ``length_band`` chars.  Banding is SOUND:
+    a length difference ≤ ``max_distance`` (a lower bound on edit
+    distance) means the two bands differ by at most
+    ``max_distance // length_band + 1``, so one join side emits that
+    many neighboring bands and no qualifying pair can straddle out of
+    reach (an earlier version joined on exact band equality and silently
+    dropped pairs across a band boundary — lengths 15 vs 16 never met).
+    The oracle twin is the pure spec (length-filtered all pairs), so the
+    gate verifies the blocking, not mirrors it.  One shuffle on the block
+    key; the JVM ``levenshtein`` verifies each candidate pair exactly.
+    Output: (id_a, id_b, lev) with ``lev <= max_distance``, id_a < id_b.
     """
-    blocks = [F.col(c) for c in (block_cols or [])] + [
-        F.floor(F.length(F.col(text_col)) / F.lit(length_band)).alias("__band")
-    ]
+    band = F.floor(F.length(F.col(text_col)) / F.lit(length_band))
     t = df.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text"), *blocks
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text"),
+        *[F.col(c) for c in (block_cols or [])],
+        band.alias("__band"),
     )
     keys = (block_cols or []) + ["__band"]
     a = t.withColumnsRenamed({"__id": "id_a", "__text": "__ta"})
-    b = t.withColumnsRenamed({"__id": "id_b", "__text": "__tb"})
+    # the right side fans out to every band within reach of a qualifying
+    # pair; each candidate pair then meets at exactly one key (a's band)
+    span = max_distance // length_band + 1
+    b = (
+        t.withColumnsRenamed({"__id": "id_b", "__text": "__tb"})
+        .withColumn(
+            "__band",
+            F.explode(
+                F.array(*[F.col("__band") + F.lit(d) for d in range(-span, span + 1)])
+            ),
+        )
+    )
     # Two sound prunings (result set unchanged, so the SQL oracle needn't
     # mirror them): |len(a)−len(b)| is a lower bound on edit distance, and
     # the thresholded levenshtein runs the banded O(len·k) DP instead of

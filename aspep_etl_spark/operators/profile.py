@@ -24,7 +24,11 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     aggs = []
     for c in cols:
         aggs += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__n_{c}"),
+            # coalesce: SUM over zero rows is NULL; an empty table must
+            # profile as 0 nulls, not null-propagate through the audit
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__n_{c}"),
             F.count_distinct(F.col(c)).alias(f"__d_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__lo_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__hi_{c}"),

@@ -48,9 +48,12 @@ def run_checks(
 
     out = None
     if row_rules:
+        # coalesce: SUM over zero rows is NULL — an empty table (routine
+        # for an empty partition at scale) must report 0 violations and
+        # pass=true, not a NULL that neither passes nor fails the gate
         agg = df.agg(
             *[
-                F.sum(F.when(pred, 1).otherwise(0)).alias(name)
+                F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)).alias(name)
                 for name, pred in row_rules
             ]
         )

@@ -18,8 +18,9 @@ quality thresholds, md5 split assignment) — an integration-level
 correctness check across six operators in one hash.
 
 Scale shape: every stage is the already-audited operator plan (posting
-lists, one keyed shuffle per dedup family step, map-only filters); the
-funnel adds only count aggregates.
+lists, one keyed shuffle per dedup family step, map-only filters); with
+``materialize=True`` each stage runs ONCE and the funnel adds only count
+aggregates over the persisted frames.
 """
 
 from __future__ import annotations
@@ -42,16 +43,27 @@ def curate_documents(
     bench_max_id: int = 25,
     jaccard_threshold: float = 0.5,
     decontam_overlap: int = 3,
+    materialize: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the curation chain; returns every intermediate stage so callers
-    (and tests) can audit the funnel."""
+    (and tests) can audit the funnel.
+
+    ``materialize=True`` persists each stage frame — REQUIRED when a
+    caller consumes several stages (the funnel reads all six): without
+    it, every consumer re-executes the whole upstream dedup/decontam
+    chain, which at corpus scale is multiple redundant full passes.
+    Sweep with ``cache.free_cached_blocks`` after consuming."""
+
+    def _m(df: DataFrame) -> DataFrame:
+        return df.persist() if materialize else df
+
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") < bench_max_id)
-    corpus = docs.filter(F.col("doc_id") >= bench_max_id)
+    corpus = _m(docs.filter(F.col("doc_id") >= bench_max_id))
 
     # 1: exact dedup — deterministic min-id survivor per identical text
     survivors = corpus.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    s1 = corpus.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    s1 = _m(corpus.join(survivors.select("doc_id"), "doc_id", "left_semi"))
 
     # 2: near-dup families — component label IS the min id, so the
     # survivor is exactly the node whose label equals itself
@@ -60,13 +72,13 @@ def curate_documents(
     losers = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    s2 = s1.join(losers, "doc_id", "left_anti")
+    s2 = _m(s1.join(losers, "doc_id", "left_anti"))
 
     # 3: benchmark decontamination
     contaminated = decontaminate(
         s2, bench, "doc_id", "text", n=3, min_overlap=decontam_overlap
     ).select("doc_id")
-    s3 = s2.join(contaminated, "doc_id", "left_anti")
+    s3 = _m(s2.join(contaminated, "doc_id", "left_anti"))
 
     # 4: quality gate (same thresholds as docs_quality_filter)
     m = quality_metrics(F.col("text"))
@@ -81,6 +93,7 @@ def curate_documents(
         )
         .drop("__nt", "__sr", "__ml")
     )
+    s4 = _m(s4)
 
     # 5: redact + split
     curated = s4.withColumn("text", redact_pii(F.col("text"))).withColumn(
@@ -105,8 +118,10 @@ def _stage_count(df: DataFrame, label: str) -> DataFrame:
 
 def llm_curation_funnel(spark, sf_dir):
     """Stage-by-stage funnel of the curation pipeline (+ per-split tail
-    counts) — the integration contract query."""
-    st = curate_documents(spark, sf_dir)
+    counts) — the integration contract query.  Stages are materialized:
+    the six count branches would otherwise each re-execute the whole
+    upstream chain."""
+    st = curate_documents(spark, sf_dir, materialize=True)
     funnel = (
         _stage_count(st["corpus"], "0_raw")
         .unionAll(_stage_count(st["exact"], "1_exact"))

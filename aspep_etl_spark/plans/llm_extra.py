@@ -515,21 +515,21 @@ def docs_weighted_sample(spark, sf_dir):
         F.sum(token_count(F.col("text"))).alias("n_tokens")
     )
     tot = per.agg(F.sum(F.sqrt(F.col("n_tokens"))).alias("__tw"))
+    # explicit floor on BOTH engines: Spark cast(long) truncates but
+    # DuckDB CAST AS BIGINT rounds — without floor the thresholds
+    # silently differ by one hex unit half the time
+    scaled = F.floor(
+        F.sqrt(F.col("n_tokens")) / F.col("__tw") * 4.0 * F.lit(4294967296.0)
+    ).cast("long")
     rates = per.crossJoin(F.broadcast(tot)).select(
         "source",
         "lang",
-        F.format_string(
-            "%08x",
-            F.least(
-                # explicit floor on BOTH engines: Spark cast(long) truncates
-                # but DuckDB CAST AS BIGINT rounds — without floor the
-                # thresholds silently differ by one hex unit half the time
-                F.floor(
-                    F.sqrt(F.col("n_tokens")) / F.col("__tw") * 4.0 * F.lit(4294967296.0)
-                ).cast("long"),
-                F.lit(4294967295),
-            ),
-        ).alias("__thr"),
+        # saturated domains (rate >= 1) use the 'g' sentinel — it sorts
+        # after every hex digest, so "keep all" really keeps the 1-in-2^32
+        # row whose prefix is 'ffffffff' (same trick as sampling._hex_threshold)
+        F.when(scaled >= F.lit(4294967296), F.lit("g"))
+        .otherwise(F.format_string("%08x", scaled))
+        .alias("__thr"),
     )
     return (
         docs.join(F.broadcast(rates), ["source", "lang"])
@@ -554,8 +554,10 @@ WITH per AS (
   SELECT sum(sqrt(n_tokens)) AS tw FROM per
 ), rates AS (
   SELECT source, lang,
-         printf('%08x', least(CAST(floor(sqrt(n_tokens) / tw * 4.0 * 4294967296.0) AS BIGINT),
-                              4294967295)) AS thr
+         CASE WHEN CAST(floor(sqrt(n_tokens) / tw * 4.0 * 4294967296.0) AS BIGINT) >= 4294967296
+              THEN 'g'
+              ELSE printf('%08x', CAST(floor(sqrt(n_tokens) / tw * 4.0 * 4294967296.0) AS BIGINT))
+         END AS thr
   FROM per, tot
 )
 SELECT d.doc_id, d.source, d.lang

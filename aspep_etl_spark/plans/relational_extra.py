@@ -286,13 +286,17 @@ def dedup_levenshtein(spark, sf_dir):
 
 
 _LEVENSHTEIN_SQL = """
+-- Pure semantic spec (NO band blocking): all same-lang pairs, pre-pruned
+-- only by the sound length-difference lower bound.  The Spark side's
+-- band-neighbor blocking must reproduce exactly this set, so the gate
+-- verifies blocking soundness instead of mirroring the blocker.
 WITH t AS (
-  SELECT doc_id, text, lang, floor(length(text) / 16)::BIGINT AS band
-  FROM documents
+  SELECT doc_id, text, lang, length(text) AS len FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.text, b.text)::INT AS lev
-FROM t a JOIN t b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  AND abs(a.len - b.len) <= 12
 WHERE levenshtein(a.text, b.text) <= 12
 """
 

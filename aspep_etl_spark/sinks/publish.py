@@ -248,9 +248,19 @@ def compact_partitions(
 
     df = spark.read.parquet(path)
     for entry, size in sizes.items():
-        value = entry.split("=", 1)[1]
+        # Directory names carry Hive-escaped values ('a b' → 'a%20b') and
+        # the null partition is '__HIVE_DEFAULT_PARTITION__' — unescape /
+        # special-case BEFORE filtering, or a string partition silently
+        # matches zero rows and the "compaction" leaves its files alone.
+        from urllib.parse import unquote
+
+        raw = entry.split("=", 1)[1]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            pred = F.col(partition_col).isNull()
+        else:
+            pred = F.col(partition_col) == unquote(raw)
         n_files = max(1, _math.ceil(size / target_file_bytes))
-        part = df.filter(F.col(partition_col) == value).repartition(n_files)
+        part = df.filter(pred).repartition(n_files)
         (
             part.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

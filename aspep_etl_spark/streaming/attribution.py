@@ -91,25 +91,9 @@ def run_streaming_attribution(
     watermarked, availableNow, append memory sink) and return the
     materialized pairs.  State bound: clicks are dropped once the
     purchase-side watermark passes ``click_ts + horizon``."""
-    import os
-    import tempfile
+    from .events import events_stream, run_to_memory
 
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(events_path)
-    if os.path.isfile(events_path):
-        base, fname = os.path.dirname(events_path), os.path.basename(events_path)
-        stream = (
-            spark.readStream.schema(static.schema)
-            .option("pathGlobFilter", fname)
-            .parquet(base)
-        )
-    else:
-        stream = spark.readStream.schema(static.schema).parquet(events_path)
-    if isinstance(static.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
+    stream = events_stream(spark, events_path)
     clicks = stream.filter(F.col("event_type") == "click").withWatermark(
         "ts", watermark
     )
@@ -122,15 +106,4 @@ def run_streaming_attribution(
         F.col("purchase_ts").cast("string").alias("purchase_ts"),
         "click_id",
     )
-    name = "events_attribution_stream"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory(out, "events_attribution_stream", "append")

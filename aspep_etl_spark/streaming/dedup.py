@@ -14,7 +14,6 @@ without limit.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,25 +46,10 @@ def run_streaming_debounce(spark: SparkSession, events_path: str) -> DataFrame:
     """Debounce through Structured Streaming with Trigger.AvailableNow:
     readStream → watermark → ``dropDuplicatesWithinWatermark`` on the
     debounce key → append-mode memory sink."""
-    import os
+    from .events import events_stream, run_to_memory
 
-    from pyspark.sql import types as T
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(events_path)
-    if os.path.isfile(events_path):
-        base, fname = os.path.dirname(events_path), os.path.basename(events_path)
-        stream = (
-            spark.readStream.schema(static.schema)
-            .option("pathGlobFilter", fname)
-            .parquet(base)
-        )
-    else:
-        stream = spark.readStream.schema(static.schema).parquet(events_path)
-    if isinstance(static.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = (
-        _with_minute(stream)
+        _with_minute(events_stream(spark, events_path))
         .withWatermark("minute", "2 hours")
         .dropDuplicatesWithinWatermark(DEBOUNCE_KEYS)
         .select(
@@ -75,15 +59,4 @@ def run_streaming_debounce(spark: SparkSession, events_path: str) -> DataFrame:
             "event_id",
         )
     )
-    name = "events_debounce_stream"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory(out, "events_debounce_stream", "append")

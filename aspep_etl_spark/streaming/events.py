@@ -16,6 +16,51 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """The ONE events file-stream reader: static-schema ``readStream``
+    (file streams need an explicit schema), single-file paths handled via
+    a parent-dir glob, and the driver parquet's TIMESTAMP(NANOS) wrinkle
+    rebuilt with INTEGER division (nanos epochs exceed 2^53 — see
+    sources/registry.py).  Every streaming runner in this package goes
+    through here; the recipe is subtle enough that hand-copies drifted."""
+    import os
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    if os.path.isfile(events_path):
+        base, fname = os.path.dirname(events_path), os.path.basename(events_path)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", fname)
+            .parquet(base)
+        )
+    else:
+        stream = spark.readStream.schema(static.schema).parquet(events_path)
+    if isinstance(static.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_to_memory(out: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a bounded streaming plan (availableNow) into a memory sink
+    and return the materialized table — the verification-run shape; a
+    live deployment keeps the same plan and swaps the sink."""
+    spark = out.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
 def _rollup(events: DataFrame, streaming: bool) -> DataFrame:
     e = events
     if streaming:
@@ -74,37 +119,5 @@ def run_streaming_rollup(spark: SparkSession, events_path: str) -> DataFrame:
     run; production would `writeStream.format("delta").outputMode("append")`
     with the watermark bounding state.
     """
-    from pyspark.sql import types as T
-
-    # The driver's events parquet stores ts as TIMESTAMP(NANOS); read nanos
-    # as long and rebuild a microsecond timestamp (see sources/registry.py).
-    import os
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(events_path)
-    # File-stream sources need a directory: stream the parent dir with a
-    # glob filter when handed a single file.
-    if os.path.isfile(events_path):
-        base, fname = os.path.dirname(events_path), os.path.basename(events_path)
-        stream = (
-            spark.readStream.schema(static.schema)
-            .option("pathGlobFilter", fname)
-            .parquet(base)
-        )
-    else:
-        stream = spark.readStream.schema(static.schema).parquet(events_path)
-    if isinstance(static.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    out = _rollup(stream, streaming=True)
-    name = "events_hourly_rollup_stream"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    out = _rollup(events_stream(spark, events_path), streaming=True)
+    return run_to_memory(out, "events_hourly_rollup_stream", "complete")

@@ -16,7 +16,6 @@ file) and the two-micro-batch (maxFilesPerTrigger=1) cases.
 
 from __future__ import annotations
 
-import tempfile
 
 import pandas as pd
 
@@ -98,33 +97,13 @@ def run_streaming_sessionize(
     spark: SparkSession, events_path: str, gap_seconds: int = 1800
 ) -> DataFrame:
     """Stateful sessionization over a bounded stream (availableNow)."""
-    import os
+    from .events import events_stream, run_to_memory
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static = spark.read.parquet(events_path)
-    base, fname = os.path.dirname(events_path), os.path.basename(events_path)
-    stream = (
-        spark.readStream.schema(static.schema).option("pathGlobFilter", fname).parquet(base)
-    )
-    if isinstance(static.schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
+    sessions = events_stream(spark, events_path).groupBy("user_id").applyInPandasWithState(
         _session_fn(gap_seconds),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = "events_sessionize_stream"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name)
+    return run_to_memory(sessions, "events_sessionize_stream", "append")

@@ -88,3 +88,47 @@ def test_as_of_join_forward_direction(spark):
     assert got[1] == 20.0   # inclusive equal ts
     assert got[2] is None   # nothing at or after 11:00
     assert got[3] == 10.0   # earliest following right
+
+
+def test_asof_null_timestamps_match_nothing(spark):
+    """SQL as-of semantics under NULL: `right.ts <= left.ts` is UNKNOWN
+    when either ts is null — a null-ts right row must never be a phantom
+    'earliest' match, and a null-ts left row gets null payload, in BOTH
+    directions."""
+    ts = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, "u1", ts("2024-01-01T10:00:00")),  # no real predecessor
+            (2, "u1", None),                        # null-ts left row
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", None, 9.0, 50),                       # null-ts right row
+            ("u1", ts("2024-01-01T11:00:00"), 7.0, 51),  # after left #1
+        ],
+        "user_id string, ts timestamp, value double, event_id long",
+    )
+    back = {
+        r["event_id"]: r["prev_value"]
+        for r in as_of_join(
+            left, right, key="user_id", ts="ts",
+            payload={"value": "prev_value"}, right_tiebreak="event_id",
+        ).collect()
+    }
+    # backward: #1 has no right row at/before 10:00 (the null-ts row is NOT
+    # a match); #2 has null ts → null
+    assert back == {1: None, 2: None}
+
+    fwd = {
+        r["event_id"]: r["next_value"]
+        for r in as_of_join(
+            left, right, key="user_id", ts="ts",
+            payload={"value": "next_value"}, right_tiebreak="event_id",
+            direction="forward",
+        ).collect()
+    }
+    # forward: #1 matches the 11:00 row; #2 (null ts) must stay null, not
+    # pick up the earliest right row
+    assert fwd == {1: 7.0, 2: None}

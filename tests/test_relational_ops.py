@@ -166,3 +166,35 @@ def test_zorder_key_locality_property(spark):
         assert r["z"] == z_py(r["x"], r["y"])  # engine matches the definition
         for k in (4, 8):  # block-prefix property
             assert r["z"] >> (2 * k) == z_py(r["x"] >> k, r["y"] >> k)
+
+
+def test_levenshtein_pairs_across_band_boundary(spark):
+    """Regression: pairs whose text lengths straddle a band boundary
+    (15 vs 16 chars at band=16 → bands 0 vs 1) must still be found —
+    exact-band joins silently dropped them."""
+    docs = spark.createDataFrame(
+        [(1, "a" * 15, "en"), (2, "a" * 16, "en"), (3, "b" * 80, "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["lev"])
+        for r in levenshtein_pairs(
+            docs, "doc_id", "text", block_cols=["lang"],
+            length_band=16, max_distance=12,
+        ).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_quality_checks_and_profile_on_empty_table(spark):
+    """Regression: SUM over zero rows is NULL — an empty table must audit
+    as 0 violations / pass=true and profile as 0 nulls, never NULL."""
+    from aspep_etl_spark.operators.profile import table_profile
+    from aspep_etl_spark.operators.quality_checks import not_null, run_checks
+
+    empty = spark.createDataFrame([], "k long, v string")
+    audit = run_checks(empty, "t", [not_null("v")]).collect()
+    assert audit and all(r["n_violations"] == 0 and r["pass"] is True for r in audit)
+
+    prof = {r["column"]: r["n_nulls"] for r in table_profile(empty, ["k", "v"]).collect()}
+    assert prof == {"k": 0, "v": 0}

@@ -178,3 +178,31 @@ def test_compact_partitions_merges_small_files(spark, tmp_path):
     assert back.count() == 2000
     assert back.filter("year = 2004").count() == 1000
     assert {r["v"] for r in back.filter("id < 3").collect()} == {"v0", "v1", "v2"}
+
+
+def test_compact_partitions_hive_escaped_and_null_values(spark, tmp_path):
+    """Regression: string partition values with Hive-escaped characters
+    ('x:y' → 'x%3Ay' on disk) and the null partition must be matched for
+    rewrite — the raw directory token matched zero rows and silently left
+    those partitions uncompacted."""
+    from aspep_etl_spark.sinks.publish import compact_partitions
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, "x:y" if i % 2 == 0 else None) for i in range(40)], "v long, part string"
+    )
+    # fragment: many tiny files per partition
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    import os
+
+    assert os.path.isdir(f"{path}/part=x%3Ay")
+    assert os.path.isdir(f"{path}/part=__HIVE_DEFAULT_PARTITION__")
+
+    report = compact_partitions(spark, path, partition_col="part")
+    for entry, n_before in report["before"].items():
+        assert n_before > 1, entry
+        assert report["after"][entry] == 1, entry  # tiny data → one file
+    back = spark.read.parquet(path)
+    assert back.count() == 40
+    assert back.filter("part IS NULL").count() == 20
+    assert back.filter("part = 'x:y'").count() == 20

@@ -1,12 +1,17 @@
 """Testdata table loaders (TESTDATA.md tables; driver contract
 __spark_entry__.py — every queries() entry reads through here).
 
-Handles the one parquet physical-type wrinkle in the driver's data: the
-``events`` table stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark 4
-refuses outright ([PARQUET_TYPE_ILLEGAL]).  The loader flips the session to
-``nanosAsLong`` and rebuilds a microsecond TIMESTAMP with **integer**
-division — nanosecond epochs (~1.7e18) exceed 2^53, so a double-division
-round-trip would corrupt timestamps by whole microseconds.
+Handles the parquet physical-type wrinkle in the driver's data: the
+``events`` table has stored ``ts`` either as INT64 TIMESTAMP(NANOS) —
+which Spark 4 refuses outright ([PARQUET_TYPE_ILLEGAL]) — or, in newer
+generations, as TIMESTAMP(MICROS) with ``isAdjustedToUTC=false``, which
+Spark reads as TIMESTAMP_NTZ (watermarks and several time functions
+require plain TIMESTAMP).  The loader normalizes both to a microsecond
+TIMESTAMP: the nanos path flips the session to ``nanosAsLong`` and
+rebuilds with **integer** division (nanosecond epochs ~1.7e18 exceed
+2^53, so a double-division round-trip would corrupt timestamps by whole
+microseconds); the NTZ path casts, which in this UTC container maps
+wall-clock to the identical instant DuckDB's naive TIMESTAMP shows.
 """
 
 from __future__ import annotations
@@ -32,8 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # built its own SparkSession without this flag.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """The ONE events file-stream reader: static-schema ``readStream``
     (file streams need an explicit schema), single-file paths handled via
-    a parent-dir glob, and the driver parquet's TIMESTAMP(NANOS) wrinkle
-    rebuilt with INTEGER division (nanos epochs exceed 2^53 — see
-    sources/registry.py).  Every streaming runner in this package goes
-    through here; the recipe is subtle enough that hand-copies drifted."""
+    a parent-dir glob, and the driver parquet's ``ts`` wrinkle normalized
+    to a plain TIMESTAMP — TIMESTAMP(NANOS) rebuilt with INTEGER division
+    (nanos epochs exceed 2^53) and TIMESTAMP_NTZ cast (watermarks refuse
+    NTZ; see sources/registry.py).  Every streaming runner in this package
+    goes through here; the recipe is subtle enough that hand-copies
+    drifted."""
     import os
 
     from pyspark.sql import types as T
@@ -38,8 +40,11 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
         )
     else:
         stream = spark.readStream.schema(static.schema).parquet(events_path)
-    if isinstance(static.schema["ts"].dataType, T.LongType):
+    ts_type = static.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -6,9 +6,11 @@ map-side partial aggregation (Catalyst's partial+final hash agg).  The
 reference runs two separate pandas groupbys (assets.py:366-367); fusing them
 halves the shuffle volume, which matters when the fact table is 100 TB.
 
-Median is exact (`F.median`, Spark ≥3.4).  At extreme scale swap in
-``percentile_approx(c, 0.5, accuracy)`` — the golden-check budget is
-rel_tol=1e-3 (reference asset_checks.py:60), well within approx reach.
+Median is exact (`F.median`, Spark ≥3.4) by default.  At extreme scale
+request ``"median_approx"`` instead — ``percentile_approx(c, 0.5,
+accuracy)`` is a mergeable sketch (partial+final, no per-group sort),
+and the golden-check budget is rel_tol=1e-3 (reference
+asset_checks.py:60), well within approx reach at the default accuracy.
 """
 
 from __future__ import annotations
@@ -17,6 +19,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .setops import union_by_name
+
+#: percentile_approx accuracy (max rank error = 1/accuracy) for the
+#: "median_approx" stat; 10⁴ keeps grouped medians well inside the
+#: reference's rel 1e-3 golden budget while staying sketch-sized.
+APPROX_MEDIAN_ACCURACY = 10_000
+
+_STAT_FNS = {
+    "median": F.median,
+    "mean": F.avg,
+    "median_approx": lambda c: F.percentile_approx(
+        c, F.lit(0.5), F.lit(APPROX_MEDIAN_ACCURACY)
+    ),
+}
+
+
+def grouped_stats_fused(
+    df: DataFrame,
+    group_keys: list[str],
+    stat_cols: list[str],
+    stats: tuple[str, ...] = ("median", "mean"),
+) -> DataFrame:
+    """ONE aggregation computing every (stat, column) pair — a single
+    shuffle with map-side partial agg; output columns are ``__{stat}__{col}``.
+    """
+    agg_exprs = [
+        _STAT_FNS[s](F.col(c)).alias(f"__{s}__{c}")
+        for c in stat_cols
+        for s in stats
+    ]
+    return df.groupBy(*group_keys).agg(*agg_exprs)
 
 
 def grouped_stats(
@@ -30,12 +62,7 @@ def grouped_stats(
     Returns {stat_name: DataFrame[group_keys..., stat_cols...]} — the fused
     aggregate is computed once and each per-stat view is a cheap projection.
     """
-    agg_exprs = []
-    for c in stat_cols:
-        for s in stats:
-            fn = {"median": F.median, "mean": F.avg}[s]
-            agg_exprs.append(fn(F.col(c)).alias(f"__{s}__{c}"))
-    fused = df.groupBy(*group_keys).agg(*agg_exprs)
+    fused = grouped_stats_fused(df, group_keys, stat_cols, stats)
     out = {}
     for s in stats:
         out[s] = fused.select(

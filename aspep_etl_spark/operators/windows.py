@@ -65,6 +65,13 @@ def _schema_plus_doubles(df: DataFrame, new_cols: list[str]):
     return T.StructType(fields)
 
 
+#: Rows buffered per kernel invocation before a chunk is flushed.  Bounds
+#: kernel memory at ~chunk × row-width regardless of partition size (a
+#: skewed cohort key can put an arbitrary fraction of the data in one
+#: shuffle partition — the kernel must stream, not concat the partition).
+WIDE_CHUNK_ROWS = 1 << 16
+
+
 def yoy_deltas_wide(
     df: DataFrame,
     cohort_keys: list[str],
@@ -73,6 +80,7 @@ def yoy_deltas_wide(
     lags: tuple[int, ...] = (1, 4),
     lag_labels: dict[int, str] | None = None,
     reference_exact: bool = False,
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Wide-fan-out twin of ``yoy_deltas`` as an Arrow-batched kernel.
 
@@ -80,13 +88,21 @@ def yoy_deltas_wide(
     columns Catalyst plan/codegen time dominates the stacked-window
     expression form — the kernel keeps the plan O(1) in column count.
 
-    Partition-level vectorization: rows are hash-partitioned by cohort and
-    sorted (cohort, order) within partitions; the kernel concatenates each
-    partition's Arrow batches once and computes every shift via pandas
-    ``groupby().shift()`` — vectorized across ALL cohorts simultaneously.
-    (A per-group ``applyInPandas`` costs ~10 ms of pandas overhead per
-    cohort — ruinous with thousands of small cohorts.)  Semantics identical
-    to ``yoy_deltas`` (pinned by the parity suite).
+    Partition-level vectorization with BOUNDED memory: rows are
+    hash-partitioned by cohort and sorted (cohort, order) within
+    partitions; the kernel accumulates Arrow batches only up to
+    ``chunk_rows`` (default ``WIDE_CHUNK_ROWS``) and flushes each chunk
+    through pandas ``groupby().shift()`` — vectorized across all cohorts
+    in the chunk at once.  A ``max(lags)``-row keyed carry (raw values for
+    the shift, forward-filled values for the legacy ``pct_change`` mode)
+    is prepended to the next chunk, so a cohort that straddles a chunk —
+    or a single cohort larger than executor memory — streams instead of
+    OOMing.  Chunk boundaries are invisible to the semantics: the carry
+    rows reproduce exactly the lag window and ffill state the split
+    removed.  (A per-group ``applyInPandas`` costs ~10 ms of pandas
+    overhead per cohort — ruinous with thousands of small cohorts.)
+    Semantics identical to ``yoy_deltas`` (pinned by the parity suite and
+    a chunked-vs-unchunked equality test).
 
     ``reference_exact=True`` reproduces legacy-pandas ``pct_change``
     instead (reference assets.py:443-444): the series is forward-filled
@@ -107,23 +123,40 @@ def yoy_deltas_wide(
     ]
     out_schema = _schema_plus_doubles(df, new_cols)
     out_names = [f.name for f in out_schema.fields]
+    keys = list(cohort_keys)
+    max_lag = max(lags)
+    flush_at = chunk_rows or WIDE_CHUNK_ROWS
 
-    def kernel(batches):
-        parts = list(batches)  # whole partition: cohorts must not straddle batches
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        g = pdf.groupby(list(cohort_keys), sort=False, dropna=False)
+    def process(pdf, tail_raw, tail_fill):
+        """Compute derived cols for ``pdf`` given the carry from the previous
+        chunk; return (out_frame, new_tail_raw, new_tail_fill)."""
+        pdf = pdf.reset_index(drop=True)
+        ctx = 0 if tail_raw is None else len(tail_raw)
+        kr = pdf[keys + metric_cols]
+        if ctx:
+            kr = pd.concat([tail_raw, kr], ignore_index=True)
+        g = kr.groupby(keys, sort=False, dropna=False)
         # one groupby pass per lag across ALL metric columns (a per-column
         # Series.groupby costs ~37x the group-dispatch overhead)
         base_all = pdf[metric_cols].astype(float)
-        shifted = {k: g[metric_cols].shift(k).astype(float) for k in lags}
+        shifted = {
+            k: g[metric_cols].shift(k).astype(float).iloc[ctx:].reset_index(drop=True)
+            for k in lags
+        }
+        filled_full = fshift = None
         if reference_exact:
-            filled_all = g[metric_cols].ffill().astype(float)
-            fg = filled_all.groupby(
-                [pdf[k] for k in cohort_keys], sort=False, dropna=False
+            kf = pdf[keys + metric_cols]
+            if ctx:
+                kf = pd.concat([tail_fill, kf], ignore_index=True)
+            gf = kf.groupby(keys, sort=False, dropna=False)
+            filled_full = gf[metric_cols].ffill().astype(float)
+            fg = filled_full.groupby(
+                [kf[k] for k in keys], sort=False, dropna=False
             )
-            fshift = {k: fg.shift(k) for k in lags}
+            fshift = {
+                k: fg.shift(k).iloc[ctx:].reset_index(drop=True) for k in lags
+            }
+            filled = filled_full.iloc[ctx:].reset_index(drop=True)
         add = {}
         for c in metric_cols:
             for k in lags:
@@ -132,13 +165,48 @@ def yoy_deltas_wide(
                 with np.errstate(divide="ignore", invalid="ignore"):
                     if reference_exact:
                         # legacy pct_change: padded num AND denom, ±inf kept
-                        pct = filled_all[c] / fshift[k][c] - 1
+                        pct = filled[c] / fshift[k][c] - 1
                     else:
                         pct = base_all[c] / prev - 1
                         pct[(prev == 0) | np.isinf(pct)] = np.nan  # zero base → null
                 add[f"{c}_{lbl}_pct"] = pct
                 add[f"{c}_{lbl}_abs"] = base_all[c] - prev
-        yield pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]
+        out = pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]
+        new_tail_raw = kr.iloc[-max_lag:].reset_index(drop=True)
+        if reference_exact:
+            new_tail_fill = kr.iloc[-max_lag:][keys].reset_index(drop=True).join(
+                filled_full.iloc[-max_lag:].reset_index(drop=True)
+            )
+        else:
+            new_tail_fill = None
+        return out, new_tail_raw, new_tail_fill
+
+    def kernel(batches):
+        buf, n = [], 0
+        tail_raw = tail_fill = None
+        for b in batches:
+            if not len(b):
+                continue
+            buf.append(b)
+            n += len(b)
+            if n < flush_at:
+                continue
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            # exact chunk_rows slices (an incoming Arrow batch may be much
+            # larger than flush_at — slice it, don't process it whole)
+            start = 0
+            while n - start >= flush_at:
+                out, tail_raw, tail_fill = process(
+                    pdf.iloc[start : start + flush_at], tail_raw, tail_fill
+                )
+                yield out
+                start += flush_at
+            rest = pdf.iloc[start:]
+            buf, n = ([rest], len(rest)) if len(rest) else ([], 0)
+        if n:
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            out, _, _ = process(pdf, tail_raw, tail_fill)
+            yield out
 
     ordered = df.repartition(*cohort_keys).sortWithinPartitions(
         *cohort_keys, *order_keys
@@ -151,12 +219,24 @@ def ranks_wide(
     cohort_keys: list[str],
     rank_cols: list[str],
     signed_cols: list[str],
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Wide-fan-out twin of ``cohort_ranks`` + ``signed_delta_ranks``: one
     shuffle on the cohort keys; ranks for every family computed via
     partition-level pandas ``groupby().rank()`` — vectorized across all
-    cohorts in the partition at once (pandas ``rank(method="min")`` IS the
-    reference semantics)."""
+    cohorts in a chunk at once (pandas ``rank(method="min")`` IS the
+    reference semantics).
+
+    Memory is bounded per chunk, not per partition: rows are sorted by the
+    cohort keys within each shuffle partition, the kernel accumulates
+    Arrow batches up to ``chunk_rows`` (default ``WIDE_CHUNK_ROWS``) and
+    flushes every COMPLETE cohort run, carrying the trailing (possibly
+    incomplete) cohort into the next chunk.  Exact min-ties rank needs
+    full-cohort visibility, so the worst case degrades to buffering the
+    single largest cohort — not the whole partition — and a skewed cohort
+    KEY (many cohorts hashed to one partition) streams fine.
+    """
+    import numpy as np
     import pandas as pd
 
     new_cols = [f"{c}_rank" for c in rank_cols] + [
@@ -164,13 +244,11 @@ def ranks_wide(
     ]
     out_schema = _schema_plus_doubles(df, new_cols)
     out_names = [f.name for f in out_schema.fields]
+    keys = list(cohort_keys)
+    flush_at = chunk_rows or WIDE_CHUNK_ROWS
 
-    def kernel(batches):
-        parts = list(batches)  # whole partition: cohorts must not straddle batches
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        keys = list(cohort_keys)
+    def process(pdf):
+        pdf = pdf.reset_index(drop=True)
         g = pdf.groupby(keys, sort=False, dropna=False)
         add = {}
         for c in rank_cols:
@@ -181,9 +259,44 @@ def ranks_wide(
             gb_neg = pdf[c].where(v < 0).groupby([pdf[k] for k in keys], dropna=False)
             add[f"{c}_pos_rank"] = gb_pos.rank(method="min", ascending=False)
             add[f"{c}_neg_rank"] = gb_neg.rank(method="min", ascending=True)
-        yield pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]
+        return pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]
 
-    return df.repartition(*cohort_keys).mapInPandas(kernel, schema=out_schema)
+    def kernel(batches):
+        buf, n = [], 0
+        for b in batches:
+            if not len(b):
+                continue
+            buf.append(b)
+            n += len(b)
+            if n < flush_at:
+                continue
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            # rows are cohort-sorted, so cohort runs are contiguous: flush
+            # cohort-aligned slices of ~flush_at rows, carrying the trailing
+            # (possibly still-incomplete) cohort into the next iteration
+            codes = pdf.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
+            start = 0
+            while n - start >= flush_at:
+                end = min(start + flush_at, n)
+                # round the slice end up to its cohort run's end
+                end = start + int(
+                    np.searchsorted(codes[start:], codes[end - 1], side="right")
+                )
+                if end >= n:
+                    # the cohort runs to the buffer's end and may continue in
+                    # the next batch: exact rank cannot split it — keep
+                    # accumulating (bound = largest single cohort)
+                    break
+                yield process(pdf.iloc[start:end])
+                start = end
+            rest = pdf.iloc[start:] if start else pdf
+            buf, n = [rest], len(rest)
+        if n:
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            yield process(pdf)
+
+    ordered = df.repartition(*cohort_keys).sortWithinPartitions(*cohort_keys)
+    return ordered.mapInPandas(kernel, schema=out_schema)
 
 
 def _masked_rank(col, w_keys: list[str], ascending: bool, mask):

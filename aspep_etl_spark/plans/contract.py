@@ -349,25 +349,26 @@ FROM customer GROUP BY 1
 
 
 def a1_grouped_median(spark, sf_dir):
-    """Fused exact grouped median + mean in one shuffle (A1/A2)."""
+    """Fused exact grouped median + mean in one shuffle (A1/A2).
+
+    Selects straight off the fused aggregate — no per-stat self-join (a
+    projection-join of two views of the same agg re-executes the agg on
+    both sides unless ReuseExchange catches it; at 100 TB that's a whole
+    extra scan+shuffle)."""
+    from ..operators.stats import grouped_stats_fused
+
     li = _t(spark, sf_dir, "lineitem")
-    per = grouped_stats(
+    fused = grouped_stats_fused(
         li, ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice"]
     )
-    med, mean = per["median"], per["mean"]
-    m = med.select(
+    return fused.select(
         "l_returnflag",
         "l_linestatus",
-        F.round("l_quantity", 4).alias("median_qty"),
-        F.round("l_extendedprice", 4).alias("median_price"),
+        F.round("__median__l_quantity", 4).alias("median_qty"),
+        F.round("__median__l_extendedprice", 4).alias("median_price"),
+        F.round("__mean__l_quantity", 4).alias("mean_qty"),
+        F.round("__mean__l_extendedprice", 4).alias("mean_price"),
     )
-    a = mean.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.round("l_quantity", 4).alias("mean_qty"),
-        F.round("l_extendedprice", 4).alias("mean_price"),
-    )
-    return m.join(a, ["l_returnflag", "l_linestatus"])
 
 
 _A1_SQL = """
@@ -378,6 +379,32 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_extendedprice), 4)    AS mean_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
+
+
+def a1_grouped_median_approx(spark, sf_dir):
+    """A1 with the sketch-based median ("median_approx"): mergeable
+    percentile_approx partials instead of exact median's per-group sort —
+    the 100 TB path.  No SQL oracle (sketch internals differ from DuckDB's
+    approx_quantile); the error-bound vs exact is pinned in
+    tests/test_relational_ops.py (rel ≤1e-3, reference asset_checks.py:60
+    budget)."""
+    from ..operators.stats import grouped_stats_fused
+
+    li = _t(spark, sf_dir, "lineitem")
+    fused = grouped_stats_fused(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice"],
+        stats=("median_approx", "mean"),
+    )
+    return fused.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("__median_approx__l_quantity", 4).alias("median_qty"),
+        F.round("__median_approx__l_extendedprice", 4).alias("median_price"),
+        F.round("__mean__l_quantity", 4).alias("mean_qty"),
+        F.round("__mean__l_extendedprice", 4).alias("mean_price"),
+    )
 
 
 def a3_stats_union_back(spark, sf_dir):
@@ -1811,6 +1838,7 @@ SPARK_QUERIES = {
     "j1_broadcast_dim_join": j1_broadcast_dim_join,
     "j2_recode_passthrough": j2_recode_passthrough,
     "a1_grouped_median": a1_grouped_median,
+    "a1_grouped_median_approx": a1_grouped_median_approx,
     "a3_stats_union_back": a3_stats_union_back,
     "w1_lag_deltas": w1_lag_deltas,
     "w3_rank_null_parity": w3_rank_null_parity,

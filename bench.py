@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "flagship_ratio_rank",
     "a1_grouped_median",
+    "a1_grouped_median_approx",
     "w1_lag_deltas",
     "w3_rank_null_parity",
     "events_sessionize",

@@ -8,10 +8,16 @@ a float-tolerant fallback report so near-misses are distinguishable from
 real bugs).
 
 Usage: python tools/check_correctness.py [name ...]
+
+A full-registry run (no names given) also writes ``CORRECTNESS_local.json``
+at the repo root — the same per-query shape as the driver's
+``CORRECTNESS_r*.json`` plus a ``mode`` field — so the queries the driver's
+sample misses stay auditable per-round without re-running Spark.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -85,6 +91,7 @@ def main(names: list[str]) -> int:
 
     failures = []
     closes = []
+    report: dict[str, dict] = {}
     for name in targets:
         fn = qs[name]
         t0 = time.time()
@@ -92,6 +99,11 @@ def main(names: list[str]) -> int:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None, "err": str(exc)[:500],
+                "mode": "oracle" if name in oracles else "rows_only",
+            }
             print(f"FAIL  {name:28s} spark error: {exc}")
             continue
         finally:
@@ -100,15 +112,33 @@ def main(names: list[str]) -> int:
             free_cached_blocks(spark)
         if name not in oracles:
             status = "ROWS" if len(sdf) >= 0 else "FAIL"
+            report[name] = {
+                "rows_match": True, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": None,
+                "mode": "rows_only",
+            }
             print(f"{status}  {name:28s} rows={len(sdf)} (rows-only, {time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": f"duckdb: {exc}"[:500], "mode": "oracle",
+            }
             print(f"FAIL  {name:28s} duckdb error: {exc}")
             continue
         exact, close, detail = value_match(canon(sdf), canon(odf))
+        report[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": exact,
+            "spark_rows": len(sdf), "oracle_rows": len(odf),
+            "err": None if exact else detail[:500] or "close-not-exact",
+            "mode": "oracle",
+        }
         if exact:
             print(f"OK    {name:28s} rows={len(sdf)} exact ({time.time()-t0:.1f}s)")
         elif close:
@@ -120,6 +150,28 @@ def main(names: list[str]) -> int:
             failures.append(name)
             print(f"FAIL  {name:28s}{detail[:300]}")
     spark.stop()
+    if not names:  # full-registry run → committed audit snapshot
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_local.json",
+        )
+        n_oracle = sum(1 for r in report.values() if r["mode"] == "oracle")
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "total": len(report),
+                    "oracle_checked": n_oracle,
+                    "rows_only": len(report) - n_oracle,
+                    "exact": len(targets) - len(failures) - len(closes),
+                    "failures": failures,
+                    "close_not_exact": closes,
+                    "queries": report,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out}")
     print(
         f"\n{len(targets) - len(failures) - len(closes)}/{len(targets)} exact; "
         f"failures: {failures}; close-but-not-exact (driver gate would fail): {closes}"

@@ -33,15 +33,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(path)
 
-    # Runtime-settable SQL conf; also works when the caller (the driver)
-    # built its own SparkSession without this flag.
+    # Runtime-settable SQL confs; also works when the caller (the driver)
+    # built its own SparkSession without these flags.  The UTC pin makes
+    # the NTZ→LTZ cast (and every epoch-derived op downstream: cast to
+    # long in sessionize, hourly window alignment) independent of the
+    # host JVM zone, so the loader is self-sufficient rather than
+    # relying on the container default being UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # Explicit LTZ type (not the "timestamp" alias, which resolves
+        # through spark.sql.timestampType and becomes a no-op if a
+        # caller session defaults to TIMESTAMP_NTZ).
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -29,6 +29,9 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
+    # UTC pin: keeps the NTZ cast and window/watermark epoch alignment
+    # host-zone-independent (see sources/registry.py).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     if os.path.isfile(events_path):
@@ -44,7 +47,9 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     if isinstance(ts_type, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(ts_type, T.TimestampNTZType):
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # Explicit LTZ type — the "timestamp" alias resolves through
+        # spark.sql.timestampType and no-ops under an NTZ-default session.
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
 

@@ -1883,13 +1883,20 @@ SPARK_QUERIES = {
     "events_sessionize": events_sessionize_q,
     "multimodal_features": multimodal_features_q,
     "ann_ivf_topk": ann_ivf_topk_q,
-    # rows-only (non-SQL-expressible)
+    # oracled via the XXH64-in-SQL prelude (plans/xxh64_sql.py)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
+    # rows-only (non-SQL-expressible)
     "streaming_hourly_rollup": streaming_hourly_rollup_q,
     "streaming_sessionize": streaming_sessionize_q,
     "aspep_extended_pipeline": aspep_extended_pipeline,
 }
+
+from .xxh64_sql import minhash_lsh_oracle as _minhash_lsh_oracle
+from .xxh64_sql import simhash_oracle as _simhash_oracle
+
+_XXH_MINHASH_SQL = _minhash_lsh_oracle(num_perm=64, bands=16, threshold=0.2)
+_XXH_SIMHASH_SQL = _simhash_oracle()
 
 ORACLE_SQL = {
     "q1_pricing_summary": _Q1_SQL,
@@ -1947,6 +1954,12 @@ ORACLE_SQL = {
     "embedding_clusters": _EMB_CLUSTERS_SQL,
     "multimodal_features": _MULTIMODAL_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    # hash-seeded near-dup estimators: DuckDB has no xxhash64, so these
+    # oracles carry a CREATE MACRO prelude implementing XXH64 in SQL
+    # (plans/xxh64_sql.py; macro-vs-twin exactness pinned in
+    # tests/test_hash_twins.py)
+    "dedup_minhash_lsh": _XXH_MINHASH_SQL,
+    "dedup_simhash": _XXH_SIMHASH_SQL,
 }
 
 from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402

@@ -1,0 +1,293 @@
+"""DuckDB-SQL twin of Spark's ``xxhash64`` expression — promotes the
+MinHash+LSH and SimHash queries from rows-only to full oracle checks.
+
+DuckDB has no xxhash64 function, so the oracle implements the standard
+XXH64 byte algorithm (the same one Spark's ``XxHash64`` expression runs
+JVM-side; reference semantics pinned by ``tests/xxh64_twin.py`` +
+``tests/test_hash_twins.py``) as a prelude of scalar macros executed in
+the same multi-statement SQL string as the final SELECT:
+
+- 64-bit wraparound arithmetic runs in HUGEINT with explicit mod-2^64
+  reduction; multiplication splits into 32-bit halves so no intermediate
+  exceeds 2^98 (signed-128 safe).
+- Rotation is expressed as ``(x % 2^(64-r)) * 2^r + x // 2^(64-r)`` —
+  the two fields are disjoint, so OR becomes +, and no bitwise ops
+  beyond the built-in ``xor`` are needed.
+- DuckDB macros inline textually at bind time, so a parameter referenced
+  twice would DUPLICATE (and re-evaluate) its whole argument tree; every
+  macro that reads a parameter more than once first binds it with the
+  singleton ``list_transform([expr], v -> ...)[1]`` trick, which
+  materializes the value once per row.
+- Loops (the 32-byte stripe accumulator, tail words, trailing bytes)
+  are ``list_reduce`` left-folds seeded by ``list_prepend``-ing the
+  initial accumulator.
+
+The per-seed/per-band fan-outs (64 MinHash permutations, 16 LSH bands,
+64 SimHash bit votes) are unrolled Python-side into plain vectorized
+column expressions — no per-row interpretation, and string hashing runs
+once per DISTINCT shingle/token rather than per occurrence.
+"""
+
+from __future__ import annotations
+
+# XXH64 primes and derived literals (public constants of the algorithm).
+P1 = 11400714785074694791
+P2 = 14029467366897019727
+P3 = 1609587929392839161
+P4 = 9650029242287828579
+P5 = 2870177450012600261
+M64 = 1 << 64
+_H = "::HUGEINT"
+
+
+def _lit(v: int) -> str:
+    return f"{v}::HUGEINT"
+
+
+PRELUDE = f"""
+CREATE OR REPLACE MACRO xx_m64(x) AS x % {_lit(M64)};
+CREATE OR REPLACE MACRO xx_u64(x) AS ((x{_H} % {_lit(M64)}) + {_lit(M64)}) % {_lit(M64)};
+CREATE OR REPLACE MACRO xx_mul64(ma, mb) AS list_transform([ma{_H}], xa ->
+  list_transform([mb{_H}], xb ->
+    xx_m64((xa % {_lit(1 << 32)}) * (xb % {_lit(1 << 32)})
+      + (((xa % {_lit(1 << 32)}) * (xb // {_lit(1 << 32)})
+          + (xa // {_lit(1 << 32)}) * (xb % {_lit(1 << 32)})) % {_lit(1 << 32)})
+        * {_lit(1 << 32)}))[1])[1];
+CREATE OR REPLACE MACRO xx_add64(aa, ab) AS xx_m64(aa + ab);
+CREATE OR REPLACE MACRO xx_rotl(rx, rr) AS list_transform([rx{_H}], xv ->
+  xx_m64((xv % (1{_H} << (64 - rr))) * (1{_H} << rr) + xv // (1{_H} << (64 - rr))))[1];
+CREATE OR REPLACE MACRO xx_fmix(fh) AS list_transform([fh{_H}], g0 ->
+  list_transform([xor(g0, g0 // {_lit(1 << 33)})], g1 ->
+  list_transform([xx_mul64(g1, {_lit(P2)})], g2 ->
+  list_transform([xor(g2, g2 // {_lit(1 << 29)})], g3 ->
+  list_transform([xx_mul64(g3, {_lit(P3)})], g4 ->
+    xor(g4, g4 // {_lit(1 << 32)}))[1])[1])[1])[1])[1];
+CREATE OR REPLACE MACRO xx_rnd(racc, rk) AS
+  xx_mul64(xx_rotl(xx_add64(racc, xx_mul64(rk, {_lit(P2)})), 31), {_lit(P1)});
+CREATE OR REPLACE MACRO xx_rnd0(zk) AS
+  xx_mul64(xx_rotl(xx_mul64(zk, {_lit(P2)}), 31), {_lit(P1)});
+CREATE OR REPLACE MACRO xx_mrg(mh, mv) AS
+  xx_add64(xx_mul64(xor(mh, xx_rnd0(mv)), {_lit(P1)}), {_lit(P4)});
+CREATE OR REPLACE MACRO xx_t8(th, tk) AS
+  xx_add64(xx_mul64(xx_rotl(xor(th, xx_rnd0(tk)), 27), {_lit(P1)}), {_lit(P4)});
+CREATE OR REPLACE MACRO xx_t4(fh, fw) AS
+  xx_add64(xx_mul64(xx_rotl(xor(fh, xx_mul64(fw, {_lit(P1)})), 23), {_lit(P2)}), {_lit(P3)});
+CREATE OR REPLACE MACRO xx_t1(oh, ob) AS
+  xx_mul64(xx_rotl(xor(oh, xx_mul64(ob, {_lit(P5)})), 11), {_lit(P1)});
+CREATE OR REPLACE MACRO xx_sgn(sv) AS list_transform([sv], sx ->
+  CASE WHEN sx >= {_lit(1 << 63)} THEN sx - {_lit(M64)} ELSE sx END)[1];
+CREATE OR REPLACE MACRO xx_w8(wb, wo) AS
+    wb[(wo + 1)::BIGINT]       + wb[(wo + 2)::BIGINT] * {_lit(1 << 8)}
+  + wb[(wo + 3)::BIGINT] * {_lit(1 << 16)} + wb[(wo + 4)::BIGINT] * {_lit(1 << 24)}
+  + wb[(wo + 5)::BIGINT] * {_lit(1 << 32)} + wb[(wo + 6)::BIGINT] * {_lit(1 << 40)}
+  + wb[(wo + 7)::BIGINT] * {_lit(1 << 48)} + wb[(wo + 8)::BIGINT] * {_lit(1 << 56)};
+CREATE OR REPLACE MACRO xx_w4(vb, vo) AS
+    vb[(vo + 1)::BIGINT]       + vb[(vo + 2)::BIGINT] * {_lit(1 << 8)}
+  + vb[(vo + 3)::BIGINT] * {_lit(1 << 16)} + vb[(vo + 4)::BIGINT] * {_lit(1 << 24)};
+CREATE OR REPLACE MACRO xx_strbytes(ss) AS list_transform([hex(encode(ss))], hx ->
+  list_transform(range((length(hx) // 2)::BIGINT), bi ->
+    (16 * (strpos('0123456789ABCDEF', substr(hx, (2 * bi + 1)::INTEGER, 1)) - 1)
+       + (strpos('0123456789ABCDEF', substr(hx, (2 * bi + 2)::INTEGER, 1)) - 1)){_H}))[1];
+CREATE OR REPLACE MACRO xx_int(iv, iseed) AS list_transform(
+  [xor(xx_add64(iseed, {_lit((P5 + 4) % M64)}), xx_mul64(iv % {_lit(1 << 32)}, {_lit(P1)}))], ih ->
+    xx_fmix(xx_add64(xx_mul64(xx_rotl(ih, 23), {_lit(P2)}), {_lit(P3)})))[1];
+CREATE OR REPLACE MACRO xx_long(lv, lseed) AS list_transform(
+  [xor(xx_add64(lseed, {_lit((P5 + 8) % M64)}),
+       xx_mul64(xx_rotl(xx_mul64(xx_u64(lv), {_lit(P2)}), 31), {_lit(P1)}))], lh ->
+    xx_fmix(xx_add64(xx_mul64(xx_rotl(lh, 27), {_lit(P1)}), {_lit(P4)})))[1];
+CREATE OR REPLACE MACRO xx_mulc(ca, clo, chi) AS list_transform([ca{_H}], xa ->
+  xx_m64((xa % {_lit(1 << 32)}) * clo
+    + (((xa % {_lit(1 << 32)}) * chi + (xa // {_lit(1 << 32)}) * clo) % {_lit(1 << 32)})
+      * {_lit(1 << 32)}))[1];
+CREATE OR REPLACE MACRO xx_perm(px) AS list_transform([px{_H}], x0 ->
+  list_transform([xx_m64((x0 % {_lit(1 << 41)}) * {_lit(1 << 23)} + x0 // {_lit(1 << 41)})], r0 ->
+  list_transform([xx_m64(xx_mulc(r0, {_lit(P2 % (1 << 32))}, {_lit(P2 >> 32)}) + {_lit(P3)})], g0 ->
+  list_transform([xor(g0, g0 // {_lit(1 << 33)})], g1 ->
+  list_transform([xx_mulc(g1, {_lit(P2 % (1 << 32))}, {_lit(P2 >> 32)})], g2 ->
+  list_transform([xor(g2, g2 // {_lit(1 << 29)})], g3 ->
+  list_transform([xx_mulc(g3, {_lit(P3 % (1 << 32))}, {_lit(P3 >> 32)})], g4 ->
+    xor(g4, g4 // {_lit(1 << 32)}))[1])[1])[1])[1])[1])[1])[1];
+CREATE OR REPLACE MACRO xx_bytes(bs, bseed) AS list_transform([len(bs){_H}], xn ->
+  list_transform([CASE WHEN xn >= 32 THEN
+      list_reduce(
+        list_prepend(
+          [xx_add64(xx_add64(bseed, {_lit(P1)}), {_lit(P2)}),
+           xx_add64(bseed, {_lit(P2)}),
+           xx_u64(bseed),
+           xx_u64(bseed{_H} - {_lit(P1)} + {_lit(M64)})],
+          list_transform(range((xn // 32)::BIGINT), si ->
+            [xx_w8(bs, 32 * si), xx_w8(bs, 32 * si + 8),
+             xx_w8(bs, 32 * si + 16), xx_w8(bs, 32 * si + 24)])),
+        (ac, st) -> [xx_rnd(ac[1], st[1]), xx_rnd(ac[2], st[2]),
+                     xx_rnd(ac[3], st[3]), xx_rnd(ac[4], st[4])])
+    ELSE NULL END], vs ->
+  list_transform([CASE WHEN xn >= 32 THEN
+      xx_mrg(xx_mrg(xx_mrg(xx_mrg(
+        xx_add64(xx_add64(xx_rotl(vs[1], 1), xx_rotl(vs[2], 7)),
+                 xx_add64(xx_rotl(vs[3], 12), xx_rotl(vs[4], 18))),
+        vs[1]), vs[2]), vs[3]), vs[4])
+    ELSE xx_add64(bseed, {_lit(P5)}) END], h0 ->
+  list_transform([xx_add64(h0, xn)], h1 ->
+  list_transform([list_reduce(
+      list_prepend(h1, list_transform(range(((xn % 32) // 8)::BIGINT), tj ->
+        xx_w8(bs, 32 * (xn // 32) + 8 * tj))),
+      (ta, tk) -> xx_t8(ta, tk))], h2 ->
+  list_transform([CASE WHEN xn % 8 >= 4 THEN xx_t4(h2, xx_w4(bs, xn - (xn % 8)))
+                  ELSE h2 END], h3 ->
+  list_transform([list_reduce(
+      list_prepend(h3, bs[(xn - (xn % 4) + 1)::BIGINT : xn::BIGINT]),
+      (oa, obv) -> xx_t1(oa, obv))], h4 ->
+    xx_fmix(h4))[1])[1])[1])[1])[1])[1])[1];
+"""
+
+
+#: Per-doc token arrays — identical tokenization to operators/text.WORD_RE
+#: and the existing vocab/tfidf oracles.
+_TOKS = (
+    "SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w"
+    " FROM documents"
+)
+
+
+def minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.2) -> str:
+    """Oracle for ``minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.2)``.
+
+    String hashing runs once per DISTINCT shingle; the 64 per-permutation
+    minima, 16 band folds, and the agreement count are unrolled into
+    vectorized column expressions.
+    """
+    rpb = num_perm // bands
+
+    # xx_int(i, base) = fmix(rotl(xor(base + P5+4, (i*P1) mod 2^64), 23)*P2+P3).
+    # The seed offset is hoisted into the `bp` column, the per-permutation xor
+    # mask constant-folds Python-side, and the remaining pipeline runs as
+    # chained MATERIALIZED CTEs — one stage per fmix step, all num_perm
+    # columns per stage.  Materialized columns make repeated references free,
+    # where macro-expanded trees would re-evaluate their argument per
+    # reference (or need per-row singleton-list let-binds — measured ~30 s
+    # for the 1M+ evaluations this fan-out does at sf0.01, vs ~1 s staged).
+    def _mulc(col: str, c: int) -> str:
+        """(col * c) mod 2^64 via 32-bit split, constant folded."""
+        lo, hi = _lit(c % (1 << 32)), _lit(c >> 32)
+        return (
+            f"((({col} % {_lit(1 << 32)}) * {lo}"
+            f" + ((({col} % {_lit(1 << 32)}) * {hi}"
+            f" + ({col} // {_lit(1 << 32)}) * {lo}) % {_lit(1 << 32)})"
+            f" * {_lit(1 << 32)}) % {_lit(M64)})"
+        )
+
+    def _cols(fmt) -> str:
+        return ",\n    ".join(f"{fmt(i)} AS c_{i}" for i in range(num_perm))
+
+    stages = []
+    # rotl(xor(bp, mask_i), 23)
+    stages.append(_cols(lambda i: (
+        f"((xor(bp, {_lit(i * P1 % M64)}) % {_lit(1 << 41)}) * {_lit(1 << 23)}"
+        f" + xor(bp, {_lit(i * P1 % M64)}) // {_lit(1 << 41)}) % {_lit(M64)}"
+    )))
+    # * P2 + P3
+    stages.append(_cols(lambda i: f"({_mulc(f'c_{i}', P2)} + {_lit(P3)}) % {_lit(M64)}"))
+    # fmix: xor-shift 33, * P2, xor-shift 29, * P3, xor-shift 32, to signed
+    stages.append(_cols(lambda i: f"xor(c_{i}, c_{i} // {_lit(1 << 33)})"))
+    stages.append(_cols(lambda i: _mulc(f"c_{i}", P2)))
+    stages.append(_cols(lambda i: f"xor(c_{i}, c_{i} // {_lit(1 << 29)})"))
+    stages.append(_cols(lambda i: _mulc(f"c_{i}", P3)))
+    stages.append(_cols(lambda i: f"xor(c_{i}, c_{i} // {_lit(1 << 32)})"))
+    stages.append(_cols(lambda i: (
+        f"CASE WHEN c_{i} >= {_lit(1 << 63)}"
+        f" THEN c_{i} - {_lit(M64)} ELSE c_{i} END"
+    )))
+    perm_ctes = ",\n".join(
+        f"p{k} AS MATERIALIZED (\n  SELECT shingle,\n    {cols}\n  FROM p{k - 1}\n)"
+        for k, cols in enumerate(stages, start=1)
+    ).replace("FROM p0", "FROM dbase")
+    n_stage = len(stages)
+
+    mh_cols = ",\n    ".join(f"min(c_{i}) AS mh_{i}" for i in range(num_perm))
+
+    def band_expr(b: int) -> str:
+        e = _lit(42)
+        for r in range(rpb):
+            e = f"xx_long(xx_u64(mh_{b * rpb + r}), {e})"
+        return f"xx_sgn({e})"
+
+    band_list = ",\n      ".join(band_expr(b) for b in range(bands))
+    agree = " + ".join(
+        f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    return f"""{PRELUDE}
+WITH toks AS MATERIALIZED ({_TOKS}),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - 2),
+                gi -> w[gi + 1] || ' ' || w[gi + 2] || ' ' || w[gi + 3]))) AS shingle
+  FROM toks WHERE len(w) >= 3
+),
+dbase AS MATERIALIZED (
+  SELECT shingle, xx_add64(xx_bytes(sb, {_lit(42)}), {_lit((P5 + 4) % M64)}) AS bp
+  FROM (SELECT shingle, xx_strbytes(shingle) AS sb
+        FROM (SELECT DISTINCT shingle FROM sh))
+),
+{perm_ctes},
+mh AS MATERIALIZED (
+  SELECT doc_id,
+    {mh_cols}
+  FROM sh JOIN p{n_stage} USING (shingle)
+  GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(range({bands})) AS band,
+         unnest([
+      {band_list}
+    ]) AS band_hash
+  FROM mh
+),
+cand AS (
+  SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
+  FROM bands ba JOIN bands bb USING (band, band_hash)
+  WHERE ba.doc_id < bb.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(({agree}) / {num_perm}.0, 4) AS est_jaccard
+FROM cand c
+JOIN mh x ON x.doc_id = c.id_a
+JOIN mh y ON y.doc_id = c.id_b
+WHERE round(({agree}) / {num_perm}.0, 4) >= {threshold}
+"""
+
+
+def simhash_oracle() -> str:
+    """Oracle for ``simhash(docs, "doc_id", "text")``: dup-weighted token
+    votes (token hashed once per DISTINCT token, weighted by occurrence
+    count), 64 unrolled bit-vote sums, empty-token docs emitting 0."""
+    votes = ",\n    ".join(
+        f"sum(tc.cnt * (2 * ((dh.h // {_lit(1 << b)}) % 2) - 1)) AS v_{b}"
+        for b in range(64)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v_{b} > 0 THEN {_lit(1 << b)} ELSE {_lit(0)} END" for b in range(64)
+    )
+    return f"""{PRELUDE}
+WITH toks AS MATERIALIZED ({_TOKS}),
+tc AS MATERIALIZED (
+  SELECT doc_id, tok, count(*){_H} AS cnt
+  FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+dh AS MATERIALIZED (
+  SELECT tok, xx_bytes(tb, {_lit(42)}) AS h
+  FROM (SELECT tok, xx_strbytes(tok) AS tb FROM (SELECT DISTINCT tok FROM tc))
+),
+votes AS MATERIALIZED (
+  SELECT tc.doc_id,
+    {votes}
+  FROM tc JOIN dh USING (tok)
+  GROUP BY tc.doc_id
+),
+sigs AS (
+  SELECT doc_id, ({bits}) AS raw FROM votes
+)
+SELECT d.doc_id, coalesce(xx_sgn(s.raw), {_lit(0)})::BIGINT AS simhash64
+FROM documents d LEFT JOIN sigs s USING (doc_id)
+"""

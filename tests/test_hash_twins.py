@@ -100,3 +100,46 @@ def test_simhash_exact_vs_twin(docs):
                 bits |= 1 << b
         exp[d] = bits - (1 << 64) if bits >= (1 << 63) else bits
     assert got == exp
+
+
+def test_duckdb_xxh64_prelude_vs_twin():
+    """The XXH64-in-SQL macro prelude (plans/xxh64_sql.py) that powers the
+    dedup_minhash_lsh / dedup_simhash DuckDB oracles must agree with the
+    pure-Python twin on every byte-length class (empty, <32 tail-only,
+    exactly 32, multi-stripe), unicode, and both scalar fold paths."""
+    import random
+
+    import duckdb
+
+    from aspep_etl_spark.plans.xxh64_sql import M64, P1, P5, PRELUDE
+
+    from .xxh64_twin import xxh64_bytes, xxh64_int, xxh64_long
+
+    con = duckdb.connect()
+    con.sql(PRELUDE + "SELECT 1")
+    rng = random.Random(11)
+
+    for n in [0, 1, 3, 4, 7, 8, 15, 16, 31, 32, 33, 63, 64, 100, 129]:
+        s = "".join(rng.choice("abcdef ü€中") for _ in range(n))
+        got = con.sql(
+            "SELECT xx_bytes(sb, 42::HUGEINT) FROM (SELECT xx_strbytes($s) AS sb)",
+            params={"s": s},
+        ).fetchone()[0]
+        assert int(got) == xxh64_bytes(s.encode("utf-8"), 42), (n, s)
+
+    for _ in range(20):
+        v, seed = rng.randrange(64), rng.randrange(1 << 64)
+        got = con.sql(f"SELECT xx_int({v}::HUGEINT, {seed}::HUGEINT)").fetchone()[0]
+        assert int(got) == xxh64_int(v, seed)
+        lv = rng.randrange(-(1 << 63), 1 << 63)
+        got = con.sql(
+            f"SELECT xx_long(xx_u64({lv}::HUGEINT), {seed}::HUGEINT)"
+        ).fetchone()[0]
+        assert int(got) == xxh64_long(lv, seed)
+        # fused permutation chain == hashInt(i, base)
+        base = rng.randrange(1 << 64)
+        got = con.sql(
+            f"SELECT xx_perm(xor({(base + P5 + 4) % M64}::HUGEINT,"
+            f" {v * P1 % M64}::HUGEINT))"
+        ).fetchone()[0]
+        assert int(got) == xxh64_int(v, base)

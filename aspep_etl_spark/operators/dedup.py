@@ -21,6 +21,31 @@ from pyspark.sql import functions as F
 from .text import WORD_RE
 
 
+#: Default document-frequency cap policy for posting-list candidate
+#: generation: drop shingles appearing in more than this fraction of the
+#: corpus (stopword shingles bucket half the corpus together — the pair
+#: fan-out of one hot shingle is O(df²)).  A shingle this common carries
+#: ~no Jaccard signal: two docs whose overlap is ONLY corpus-common
+#: shingles are not near-dups.  The floor keeps tiny corpora exact,
+#: where quadratic fan-out is affordable and recall matters more.
+DEFAULT_SHINGLE_DF_FRACTION = 0.1
+DEFAULT_SHINGLE_DF_FLOOR = 8
+
+
+def shingle_df_cap(
+    n_docs: int,
+    fraction: float = DEFAULT_SHINGLE_DF_FRACTION,
+    floor: int = DEFAULT_SHINGLE_DF_FLOOR,
+) -> int:
+    """The default ``max_shingle_df`` for a corpus of ``n_docs`` documents:
+    ``max(floor, int(fraction * n_docs))``.  Callers that know their corpus
+    size pass ``max_shingle_df=shingle_df_cap(n)`` to bound the worst
+    posting list's pair fan-out at ``O((fraction·n)²)`` instead of
+    ``O(n²)``; skew-stress behavior is pinned in
+    ``tests/test_dedup_skew.py``."""
+    return max(floor, int(fraction * n_docs))
+
+
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """Keep one deterministic survivor (min id) per identity-key group."""
     return df.groupBy(*keys).agg(
@@ -168,6 +193,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: band signatures bucket candidates, then
     candidates are verified with exact Jaccard estimated from the full
@@ -175,6 +201,15 @@ def minhash_lsh_pairs(
 
     The only join is on (band, band_hash) — at scale each bucket holds a
     handful of docs, so candidate volume stays near-linear.
+
+    ``max_bucket_df`` is the skew guard for degenerate buckets: a bucket
+    holding k docs emits O(k²) candidate pairs, and a large exact-dup
+    cluster (boilerplate pages, template spam) puts ALL its members in the
+    same bucket in EVERY band.  Buckets larger than the cap are dropped
+    from candidate generation — a recall trade documented for the scale
+    path (members of an oversized cluster stop pairing with each other;
+    run ``exact_dedup`` first so literal duplicates never reach LSH).
+    Skew behavior is pinned in ``tests/test_dedup_skew.py``.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm)
@@ -198,6 +233,16 @@ def minhash_lsh_pairs(
             "band", "band_hash"
         ),
     )
+    if max_bucket_df is not None:
+        # One window count over the same (band, band_hash) key the self-join
+        # shuffles on — the Exchange is reused, so the guard costs no extra
+        # shuffle of the banded frame.
+        bw = Window.partitionBy("band", "band_hash")
+        bands_long = (
+            bands_long.withColumn("__bucket_df", F.count("*").over(bw))
+            .filter(F.col("__bucket_df") <= max_bucket_df)
+            .drop("__bucket_df")
+        )
     # Candidate generation carries BARE ids only: a candidate pair surfacing
     # from several bands would otherwise drag two ~1 KB signature arrays
     # through the distinct()'s shuffle once per band.  Dedup on (id_a, id_b)

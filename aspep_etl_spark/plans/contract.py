@@ -33,6 +33,7 @@ from ..operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
+    shingle_df_cap,
     simhash,
 )
 from ..operators.filters import filter_significant
@@ -601,6 +602,18 @@ def dedup_ngram_jaccard_q(spark, sf_dir):
     return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
 
 
+def dedup_ngram_jaccard_capped_q(spark, sf_dir):
+    """Scale-path n-gram Jaccard: posting lists frequency-capped at the
+    default df policy (``shingle_df_cap``) — the hot-shingle guard a
+    100 TB run always enables.  ``n_docs`` is a driver scalar (one
+    count over a column-pruned scan), the documented sizing pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    cap = shingle_df_cap(docs.count())
+    return jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.05, max_shingle_df=cap
+    )
+
+
 _NGRAM_JACCARD_SQL = """
 WITH words AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
@@ -613,6 +626,37 @@ WITH words AS (
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM tri a JOIN tri b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.05
+"""
+
+# Same shape as _NGRAM_JACCARD_SQL with the default df-cap policy applied:
+# only shingles whose document frequency is within max(8, floor(0.1·n_docs))
+# generate candidates; per-doc sizes stay FULL shingle counts (the cap prunes
+# the intersection search, not the Jaccard denominator).
+_NGRAM_JACCARD_CAPPED_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+), keep AS (
+  SELECT sh FROM tri GROUP BY sh
+  HAVING count(*) BETWEEN 2 AND
+    greatest(8, floor(0.1 * (SELECT count(*) FROM documents))::BIGINT)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM tri a JOIN tri b USING (sh) JOIN keep USING (sh)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
@@ -1873,6 +1917,7 @@ SPARK_QUERIES = {
     "embedding_clusters": embedding_clusters_q,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_ngram_jaccard_q,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped_q,
     "text_quality": text_quality_q,
     "text_langid": text_langid_q,
     "text_fingerprint": text_fingerprint_q,
@@ -1943,6 +1988,7 @@ ORACLE_SQL = {
     "embedding_norm_stats": _EMB_NORM_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_ngram_jaccard_capped": _NGRAM_JACCARD_CAPPED_SQL,
     "text_quality": _TEXT_QUALITY_SQL,
     "text_langid": _TEXT_LANGID_SQL,
     "text_fingerprint": _TEXT_FINGERPRINT_SQL,

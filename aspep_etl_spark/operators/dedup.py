@@ -317,12 +317,26 @@ def embedding_near_dup_pairs(
     )
 
 
+def canopy_leader_count(n_vecs: int, floor: int = 8, cap: int = 4096) -> int:
+    """sqrt-scaling leader count for canopy/IVF candidate generation.
+
+    Leader assignment costs O(n·L) (broadcast pass) and in-bucket pair
+    work is O(n²·a²/L) — both ~n^1.5 at L=√n, the classic canopy balance.
+    ``floor`` keeps tiny corpora from degenerating to one bucket;
+    ``cap`` bounds the broadcast leader table (the documented
+    centroid-literal size bound: 4096 leaders × a 768-dim float vector is
+    ~12 MB, the edge of comfortable broadcast)."""
+    import math
+
+    return max(floor, min(cap, math.isqrt(max(0, n_vecs))))
+
+
 def embedding_near_dup_pairs_bucketed(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_leaders: int = 32,
+    n_leaders: int | None = None,
     n_assign: int = 4,
     seed: int = 42,
 ) -> DataFrame:
@@ -340,8 +354,13 @@ def embedding_near_dup_pairs_bucketed(
        corpus scan (linear, no shuffle of the corpus).
     3. Candidate pairs = vectors sharing at least one leader bucket.  The
        self-join shuffles on ``bucket`` only and carries BARE ids; quadratic
-       work is confined to rows inside a bucket (≈ n/n_leaders each — at
-       scale grow ``n_leaders`` ~ sqrt(n) to bound bucket size).
+       work is confined to rows inside a bucket (≈ n/n_leaders each).
+       ``n_leaders=None`` (the default) auto-sizes to
+       ``canopy_leader_count`` — √n leaders, the balance point between
+       the O(n·L) assignment pass and the O(n²·a²/L) in-bucket work —
+       from one driver-scalar ``df.count()`` (a column-pruned scan; the
+       documented sizing pattern).  Pass an explicit count to skip the
+       count job or to widen recall for low thresholds.
     4. Re-attach vectors once per surviving candidate and verify with the
        EXACT double-precision cosine — bucketing only generates candidates,
        it never scores them, so emitted pairs are exact.
@@ -355,6 +374,8 @@ def embedding_near_dup_pairs_bucketed(
     """
     from .similarity import with_norm, cosine_expr
 
+    if n_leaders is None:
+        n_leaders = canopy_leader_count(df.select(id_col).count())
     v = with_norm(df, id_col, vec_col)
     leaders = (
         v.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))

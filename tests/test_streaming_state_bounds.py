@@ -1,0 +1,150 @@
+"""State-SIZE assertions for the watermarked streaming operators.
+
+The semantics of the debounce and attribution streams are already
+oracle/twin-checked (tests/test_streaming.py); these tests pin the other
+half of the 100 TB story: that the watermark actually EVICTS state as
+event time advances.  Each run feeds N hourly parquet files through
+``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow`` so the bounded
+backfill executes as N chronological micro-batches, then reads
+``stateOperators.numRowsTotal`` from the query progress log — if
+eviction works, peak state is a small multiple of one watermark window,
+far below total input; if it regresses to unbounded, state approaches
+total input and the factor asserts fail loudly.
+"""
+
+import datetime
+import json
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+N_HOURS = 16
+BASE = datetime.datetime(2024, 5, 1, 0, 0, 0)
+
+
+def _write_hourly_files(d: str, events_per_hour: int = 40) -> int:
+    """N_HOURS hourly files, chronological mtimes so the file stream
+    discovers them in event-time order.  Each hour: 5 users × 2 event
+    types × repeats, timestamps inside the hour; every event appears
+    3× (debounce fodder).  Returns total rows written."""
+    total = 0
+    eid = 0
+    for h in range(N_HOURS):
+        rows = {"event_id": [], "user_id": [], "event_type": [], "ts": [], "value": []}
+        for i in range(events_per_hour):
+            user = i % 5
+            etype = "click" if i % 2 == 0 else "purchase"
+            ts = BASE + datetime.timedelta(hours=h, minutes=(i * 7) % 60, seconds=i % 50)
+            for _ in range(3):  # duplicates for the debouncer to collapse
+                rows["event_id"].append(eid)
+                rows["user_id"].append(user)
+                rows["event_type"].append(etype)
+                rows["ts"].append(ts)
+                rows["value"].append(float(i))
+                eid += 1
+        total += 3 * events_per_hour
+        path = os.path.join(d, f"{h:02d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(rows["event_id"], pa.int64()),
+                    "user_id": pa.array(rows["user_id"], pa.int64()),
+                    "event_type": pa.array(rows["event_type"], pa.string()),
+                    "ts": pa.array(rows["ts"], pa.timestamp("us")),
+                    "value": pa.array(rows["value"], pa.float64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (1700000000 + h, 1700000000 + h))
+    return total
+
+
+def _run_batched(out, name: str):
+    """availableNow + maxFilesPerTrigger=1 → one micro-batch per hourly
+    file; returns per-batch total state rows from the progress log."""
+    spark = out.sparkSession
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        states = []
+        for p in q.recentProgress:
+            prog = json.loads(p.json) if hasattr(p, "json") else p
+            ops = prog.get("stateOperators") or []
+            if ops:
+                states.append(sum(op["numRowsTotal"] for op in ops))
+    return states
+
+
+@pytest.fixture(scope="module")
+def hourly_events_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("hourly-events"))
+    total = _write_hourly_files(d)
+    return d, total
+
+
+def _hourly_stream(spark, d: str):
+    from aspep_etl_spark.streaming.events import events_stream
+
+    # one file per micro-batch (chronological by mtime)
+    static_schema_src = events_stream(spark, d)
+    return (
+        spark.readStream.schema(static_schema_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def test_debounce_state_bounded(spark, hourly_events_dir):
+    from aspep_etl_spark.streaming.dedup import DEBOUNCE_KEYS
+
+    d, total_rows = hourly_events_dir
+    stream = _hourly_stream(spark, d)
+    out = (
+        stream.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("minute", "2 hours")
+        .dropDuplicatesWithinWatermark(DEBOUNCE_KEYS)
+        .select("user_id", "event_type", "minute", "event_id")
+    )
+    states = _run_batched(out, "debounce_state_probe")
+    assert len(states) >= N_HOURS  # genuinely ran one batch per file
+    distinct_keys = total_rows // 3  # 3× duplication
+    # bounded: peak state ≈ watermark window (2h) + in-flight hour, far
+    # below the unbounded end-state (≈ all distinct keys)
+    assert max(states) < 0.5 * distinct_keys, states
+    # plateau, not monotone growth: the final batches hold no more state
+    # than the mid-run batches (eviction keeps pace with arrival)
+    assert max(states[-3:]) <= 1.5 * max(states[5:8]), states
+
+
+def test_attribution_join_state_bounded(spark, hourly_events_dir):
+    from aspep_etl_spark.streaming.attribution import attribution_pairs
+
+    d, total_rows = hourly_events_dir
+    stream = _hourly_stream(spark, d)
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark("ts", "2 hours")
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "2 hours"
+    )
+    out = attribution_pairs(clicks, purchases, horizon_seconds=3600).select(
+        "purchase_id", "user_id", "click_id"
+    )
+    states = _run_batched(out, "attribution_state_probe")
+    assert len(states) >= N_HOURS
+    # join state holds clicks within watermark+horizon (~3h) and purchases
+    # within watermark (~2h) — a fraction of the 16h corpus; unbounded
+    # state would approach total_rows by the final batch
+    assert max(states) < 0.5 * total_rows, states
+    assert max(states[-3:]) <= 1.5 * max(states[5:8]), states

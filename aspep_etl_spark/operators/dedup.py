@@ -517,3 +517,108 @@ def decontaminate(
         F.max("__shared").alias("max_shared"),
         F.sum("__shared").alias("total_shared"),
     )
+
+
+def substring_span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring (k-token span) dedup ([EXT]): trim duplicated token
+    spans ACROSS documents, keeping each span's first occurrence — the
+    span-level counterpart of document near-dup (the policy popularized by
+    the "Deduplicating Training Data" line of work: boilerplate, licenses,
+    and mirrored passages are removed from every copy but one, instead of
+    dropping or keeping whole documents).
+
+    Shape (all relational, no Python):
+
+    1. Map-side token k-grams with positions (the k-gram ARRAY is persisted
+       before the posexplode — the explode-fence rule; see
+       ``jaccard_pairs``).  Grouping key is the k-gram STRING: exact (no
+       hash collisions) and oracle-identical in any engine; at lake scale
+       swap in ``xxhash64(gram)`` to cut shuffle bytes (documented trade:
+       a 2⁻⁶⁴ collision could trim a non-duplicate span).
+    2. ONE shuffle on ``gram``: ``row_number`` over (doc, pos) — every
+       occurrence ranked >1 is a duplicated span to remove.  No self-join,
+       so a boilerplate gram appearing in half the corpus costs a sort,
+       not O(df²) pairs.
+    3. ONE shuffle on the doc id: overlapping/touching spans merge via
+       gaps-and-islands (running max of span end), then collect per-doc
+       intervals.
+    4. Map-side rebuild: tokens whose position falls in no removed
+       interval, re-joined with single spaces.  Output text is the
+       canonical token stream (lowercased, whitespace-normalized) —
+       consistent with the text-operator family.
+
+    Docs shorter than ``k`` tokens pass through untouched.  Output:
+    (id, clean_text, n_tokens, n_tokens_removed), one row per input doc.
+    """
+    from .text import WORD_RE
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    grams_expr = F.when(
+        F.size("__toks") >= k,
+        F.expr(
+            f"transform(sequence(0, size(__toks) - {k}), "
+            f"i -> concat_ws(' ', slice(__toks, i + 1, {k})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(par)
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__grams", grams_expr)
+        .persist()  # MATERIALIZATION FENCE: feeds the explode AND the rebuild
+    )
+
+    occ = base.select(
+        F.col(id_col), F.posexplode("__grams").alias("pos", "gram")
+    )
+    wg = Window.partitionBy("gram").orderBy(F.col(id_col), F.col("pos"))
+    spans = (
+        occ.withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") > 1)  # every non-first occurrence, df>=2 implied
+        .select(F.col(id_col), "pos", (F.col("pos") + F.lit(k)).alias("fin"))
+    )
+
+    # gaps-and-islands merge of overlapping/touching [pos, fin) spans
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_fin = F.max("fin").over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = spans.withColumn(
+        "__brk", F.when(F.col("pos") > F.coalesce(prev_max_fin, F.lit(-1)), 1).otherwise(0)
+    ).withColumn(
+        "__island",
+        F.sum("__brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = (
+        islands.groupBy(id_col, "__island")
+        .agg(F.min("pos").alias("s"), F.max("fin").alias("e"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__iv"))
+    )
+
+    rebuilt = (
+        base.join(intervals, id_col, "left")
+        .withColumn("__iv", F.coalesce("__iv", F.expr("CAST(array() AS array<struct<s:int,e:int>>)")))
+        .withColumn(
+            "__kept",
+            # size=0 guard: sequence(0, -1) is DESCENDING in Spark, not empty
+            F.when(
+                F.size("__toks") > 0,
+                F.expr(
+                    "filter(sequence(0, size(__toks) - 1), "
+                    "i -> NOT exists(__iv, v -> i >= v.s AND i < v.e))"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<int>)")),
+        )
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.expr("concat_ws(' ', transform(__kept, i -> __toks[i]))").alias("clean_text"),
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size("__kept")).alias("n_tokens_removed"),
+    )

@@ -35,6 +35,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     shingle_df_cap,
     simhash,
+    substring_span_dedup,
 )
 from ..operators.filters import filter_significant
 from ..operators.multimodal import documents_as_media, extract_media_features
@@ -1303,6 +1304,62 @@ def dedup_simhash_q(spark, sf_dir):
     return simhash(docs, "doc_id", "text")
 
 
+def docs_substring_dedup_q(spark, sf_dir):
+    """Exact substring (8-token span) dedup: duplicated spans trimmed from
+    every copy but the first (doc_id, pos) occurrence — span-level dedup,
+    one shuffle on the gram and one on the doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return substring_span_dedup(docs, "doc_id", "text", k=8)
+
+
+_SUBSTRING_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), occ AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+  FROM t, UNNEST(range(len(w) - 7)) AS u(i)
+  WHERE len(w) >= 8
+), rnk AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM occ
+), sp AS (
+  SELECT doc_id, pos, pos + 8 AS fin FROM rnk WHERE rn > 1
+), brk AS (
+  SELECT doc_id, pos, fin,
+         CASE WHEN pos > coalesce(max(fin) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM sp
+), isl AS (
+  SELECT doc_id, pos, fin,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+), iv AS (
+  SELECT doc_id, min(pos) AS s, max(fin) AS e FROM isl GROUP BY doc_id, island
+), ivl AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS ivs
+  FROM iv GROUP BY doc_id
+), kept AS (
+  SELECT t.doc_id, w,
+         list_filter(range(len(w)), i -> len(list_filter(
+           coalesce(ivs, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+           v -> i >= v.s AND i < v.e)) = 0) AS ki
+  FROM t LEFT JOIN ivl USING (doc_id)
+)
+SELECT doc_id,
+       -- coalesce: array_to_string([]) is NULL in DuckDB, '' in Spark's
+       -- concat_ws — fully-trimmed docs must agree on ''
+       coalesce(array_to_string(list_transform(ki, i -> w[i + 1]), ' '), '')
+         AS clean_text,
+       len(w)::BIGINT AS n_tokens,
+       (len(w) - len(ki))::BIGINT AS n_tokens_removed
+FROM kept
+"""
+
+
 def multimodal_features_q(spark, sf_dir):
     """Synthesize real PNG/WAV/MP4 container bytes from the documents
     table, then decode them with the stdlib header codecs.  The projection
@@ -1931,6 +1988,7 @@ SPARK_QUERIES = {
     # oracled via the XXH64-in-SQL prelude (plans/xxh64_sql.py)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
+    "docs_substring_dedup": docs_substring_dedup_q,
     # rows-only (non-SQL-expressible)
     "streaming_hourly_rollup": streaming_hourly_rollup_q,
     "streaming_sessionize": streaming_sessionize_q,
@@ -2006,6 +2064,7 @@ ORACLE_SQL = {
     # tests/test_hash_twins.py)
     "dedup_minhash_lsh": _XXH_MINHASH_SQL,
     "dedup_simhash": _XXH_SIMHASH_SQL,
+    "docs_substring_dedup": _SUBSTRING_DEDUP_SQL,
 }
 
 from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402

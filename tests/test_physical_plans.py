@@ -139,3 +139,14 @@ def test_q21_multi_exists_is_semi_plus_anti_join(spark, sf):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_substring_dedup_two_exchanges_no_selfjoin(spark, sf):
+    """Substring span dedup must be the rank-over-gram shape: exactly one
+    hash Exchange on the gram and one on the doc id, and NO gram
+    self-join (a join formulation would put O(df^2) pairs behind every
+    boilerplate gram; row_number costs a sort instead)."""
+    plan = plan_of(contract.SPARK_QUERIES["docs_substring_dedup"](spark, sf), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

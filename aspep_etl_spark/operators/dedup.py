@@ -555,8 +555,6 @@ def substring_span_dedup(
     Docs shorter than ``k`` tokens pass through untouched.  Output:
     (id, clean_text, n_tokens, n_tokens_removed), one row per input doc.
     """
-    from .text import WORD_RE
-
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
     grams_expr = F.when(
         F.size("__toks") >= k,

@@ -261,36 +261,52 @@ def ranks_wide(
             add[f"{c}_neg_rank"] = gb_neg.rank(method="min", ascending=True)
         return pd.concat([pdf, pd.DataFrame(add)], axis=1)[out_names]
 
+    def _null_safe_changes(kf, prev_last):
+        """Boolean ndarray: row i starts a new cohort run (null-safe key
+        compare against row i−1; row 0 compares against ``prev_last``, the
+        key tuple of the previous batch's final row)."""
+        cur = kf.reset_index(drop=True)
+        prev = cur.shift(1)
+        if prev_last is not None:
+            prev.iloc[0] = prev_last
+        changed = np.zeros(len(cur), dtype=bool)
+        for k in keys:
+            a, b = cur[k], prev[k]
+            changed |= ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+        if prev_last is None:
+            changed[0] = False  # partition's first row: no boundary before it
+        return changed
+
     def kernel(batches):
+        # Incremental boundary tracking: each arriving batch is scanned ONCE
+        # for cohort-key changes (null-safe compare vs its own shift and the
+        # previous batch's last row); the buffer is concatenated only when a
+        # flush actually happens.  The degenerate case — one cohort larger
+        # than chunk_rows — therefore costs O(rows) total, not O(rows²/batch)
+        # of re-concat + re-groupby per batch; memory still degrades to the
+        # largest single cohort (exact min-ties rank needs the whole cohort).
         buf, n = [], 0
+        last_boundary = 0  # buffer-global start index of the last OPEN cohort
+        prev_last = None
         for b in batches:
             if not len(b):
                 continue
+            changed = _null_safe_changes(b[keys], prev_last)
+            idx = np.nonzero(changed)[0]
+            if len(idx):
+                last_boundary = n + int(idx[-1])
+            prev_last = b[keys].iloc[-1]
             buf.append(b)
             n += len(b)
-            if n < flush_at:
-                continue
-            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            # rows are cohort-sorted, so cohort runs are contiguous: flush
-            # cohort-aligned slices of ~flush_at rows, carrying the trailing
-            # (possibly still-incomplete) cohort into the next iteration
-            codes = pdf.groupby(keys, sort=False, dropna=False).ngroup().to_numpy()
-            start = 0
-            while n - start >= flush_at:
-                end = min(start + flush_at, n)
-                # round the slice end up to its cohort run's end
-                end = start + int(
-                    np.searchsorted(codes[start:], codes[end - 1], side="right")
-                )
-                if end >= n:
-                    # the cohort runs to the buffer's end and may continue in
-                    # the next batch: exact rank cannot split it — keep
-                    # accumulating (bound = largest single cohort)
-                    break
-                yield process(pdf.iloc[start:end])
-                start = end
-            rest = pdf.iloc[start:] if start else pdf
-            buf, n = [rest], len(rest)
+            # flush all COMPLETE cohorts once the buffer is chunk-sized (the
+            # open tail cohort carries over; if no boundary exists yet the
+            # whole buffer is one cohort — keep accumulating)
+            if n >= flush_at and last_boundary > 0:
+                pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0].reset_index(drop=True)
+                yield process(pdf.iloc[:last_boundary])
+                rest = pdf.iloc[last_boundary:]
+                buf, n = ([rest], len(rest)) if len(rest) else ([], 0)
+                last_boundary = 0
         if n:
             pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             yield process(pdf)

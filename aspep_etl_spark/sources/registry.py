@@ -39,6 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # long in sessionize, hourly window alignment) independent of the
     # host JVM zone, so the loader is self-sufficient rather than
     # relying on the container default being UTC.
+    #
+    # DELIBERATELY session-global and not restored: downstream
+    # tz-sensitive ops (date_trunc, window alignment) are analyzed
+    # LATER, under whatever tz the session then has — restoring the
+    # previous zone here would realign them off the oracle contract.
+    # UTC-pinned analytics sessions are this engine's convention
+    # (session.py sets the same); callers needing another zone should
+    # set it after loading and own the divergence.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)

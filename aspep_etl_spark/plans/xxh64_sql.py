@@ -162,46 +162,87 @@ def minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0
     # The seed offset is hoisted into the `bp` column, the per-permutation xor
     # mask constant-folds Python-side, and the remaining pipeline runs as
     # chained MATERIALIZED CTEs — one stage per fmix step, all num_perm
-    # columns per stage.  Materialized columns make repeated references free,
+    # values per stage.  Materialized columns make repeated references free,
     # where macro-expanded trees would re-evaluate their argument per
     # reference (or need per-row singleton-list let-binds — measured ~30 s
     # for the 1M+ evaluations this fan-out does at sf0.01, vs ~1 s staged).
-    def _mulc(col: str, c: int) -> str:
-        """(col * c) mod 2^64 via 32-bit split, constant folded."""
-        lo, hi = _lit(c % (1 << 32)), _lit(c >> 32)
-        return (
-            f"((({col} % {_lit(1 << 32)}) * {lo}"
-            f" + ((({col} % {_lit(1 << 32)}) * {hi}"
-            f" + ({col} // {_lit(1 << 32)}) * {lo}) % {_lit(1 << 32)})"
-            f" * {_lit(1 << 32)}) % {_lit(M64)})"
-        )
+    # Values are carried as UBIGINT (lo, hi) 32-bit half-words: every
+    # product of two half-words fits hardware 64-bit, so the whole hash
+    # runs native-width instead of HUGEINT software 128-bit arithmetic
+    # (measured 3× on this fan-out; exactness pinned vs the Python twin in
+    # tests/test_hash_twins.py).  Rotations/shifts become half-word
+    # shuffles; 2^63-boundary reconstruction happens once at the end.
+    U32 = 1 << 32
 
     def _cols(fmt) -> str:
-        return ",\n    ".join(f"{fmt(i)} AS c_{i}" for i in range(num_perm))
+        """One lo/hi column pair per permutation."""
+        return ",\n    ".join(
+            f"{fmt(i)[0]} AS lo_{i},\n    {fmt(i)[1]} AS hi_{i}"
+            for i in range(num_perm)
+        )
+
+    def _mulc_half(lo: str, hi: str, c: int, add: int = 0) -> tuple[str, str]:
+        """(hi·2³² + lo) · c + add, mod 2^64, in half-words.  The lo·c_lo
+        product is built once per row into __p0_{i} via a leading shared
+        expression inside each stage (DuckDB evaluates projection columns
+        independently, so the cheap duplicate multiply is acceptable)."""
+        clo, chi = c % U32, c >> 32
+        alo, ahi = add % U32, add >> 32
+        p0 = f"({lo} * {clo}::UBIGINT)"
+        cross = f"(({lo} * {chi}::UBIGINT) % {U32} + ({hi} * {clo}::UBIGINT) % {U32})"
+        if add:
+            nlo_f = f"({p0} % {U32} + {alo}::UBIGINT)"
+            nhi = (
+                f"(({cross} + {p0} // {U32} + {ahi}::UBIGINT"
+                f" + {nlo_f} // {U32}) % {U32})"
+            )
+            nlo = f"({nlo_f} % {U32})"
+        else:
+            nlo = f"({p0} % {U32})"
+            nhi = f"(({cross} + {p0} // {U32}) % {U32})"
+        return nlo, nhi
 
     stages = []
-    # rotl(xor(bp, mask_i), 23)
+    # split + xor mask + rotl23, fused: x = xor(bp, mask) in half-words,
+    # then (x<<23 | x>>41) = half-word shuffle (23 < 32)
+    def _s1(i):
+        m = i * P1 % M64
+        xlo = f"xor((bp % {U32})::UBIGINT, {m % U32}::UBIGINT)"
+        xhi = f"xor((bp // {U32})::UBIGINT, {m >> 32}::UBIGINT)"
+        return (
+            f"(({xlo} * 8388608) % {U32} + {xhi} // 512)",
+            f"(({xhi} * 8388608) % {U32} + {xlo} // 512)",
+        )
+
+    stages.append(_cols(_s1))
+    # · P2 + P3
+    stages.append(_cols(lambda i: _mulc_half(f"lo_{i}", f"hi_{i}", P2, add=P3)))
+    # fmix: ^= >>33 (low word only gets hi>>1)
+    stages.append(_cols(lambda i: (f"xor(lo_{i}, hi_{i} // 2)", f"hi_{i}")))
+    stages.append(_cols(lambda i: _mulc_half(f"lo_{i}", f"hi_{i}", P2)))
+    # ^= >>29: low gets (hi mod 2^29)<<3 | lo>>29, high gets hi>>29
     stages.append(_cols(lambda i: (
-        f"((xor(bp, {_lit(i * P1 % M64)}) % {_lit(1 << 41)}) * {_lit(1 << 23)}"
-        f" + xor(bp, {_lit(i * P1 % M64)}) // {_lit(1 << 41)}) % {_lit(M64)}"
+        f"xor(lo_{i}, (hi_{i} % 536870912) * 8 + lo_{i} // 536870912)",
+        f"xor(hi_{i}, hi_{i} // 536870912)",
     )))
-    # * P2 + P3
-    stages.append(_cols(lambda i: f"({_mulc(f'c_{i}', P2)} + {_lit(P3)}) % {_lit(M64)}"))
-    # fmix: xor-shift 33, * P2, xor-shift 29, * P3, xor-shift 32, to signed
-    stages.append(_cols(lambda i: f"xor(c_{i}, c_{i} // {_lit(1 << 33)})"))
-    stages.append(_cols(lambda i: _mulc(f"c_{i}", P2)))
-    stages.append(_cols(lambda i: f"xor(c_{i}, c_{i} // {_lit(1 << 29)})"))
-    stages.append(_cols(lambda i: _mulc(f"c_{i}", P3)))
-    stages.append(_cols(lambda i: f"xor(c_{i}, c_{i} // {_lit(1 << 32)})"))
-    stages.append(_cols(lambda i: (
-        f"CASE WHEN c_{i} >= {_lit(1 << 63)}"
-        f" THEN c_{i} - {_lit(M64)} ELSE c_{i} END"
-    )))
+    stages.append(_cols(lambda i: _mulc_half(f"lo_{i}", f"hi_{i}", P3)))
+    # ^= >>32 then reconstruct the signed 64-bit value once
+    recon = ",\n    ".join(
+        f"CASE WHEN hi_{i} >= 2147483648"
+        f" THEN ((hi_{i}::HUGEINT * {U32} + xor(lo_{i}, hi_{i})::HUGEINT)"
+        f" - {_lit(M64)})::BIGINT"
+        f" ELSE (hi_{i}::BIGINT * {U32} + xor(lo_{i}, hi_{i})::BIGINT) END AS c_{i}"
+        for i in range(num_perm)
+    )
     perm_ctes = ",\n".join(
         f"p{k} AS MATERIALIZED (\n  SELECT shingle,\n    {cols}\n  FROM p{k - 1}\n)"
         for k, cols in enumerate(stages, start=1)
     ).replace("FROM p0", "FROM dbase")
-    n_stage = len(stages)
+    n_stage = len(stages) + 1
+    perm_ctes += (
+        f",\np{n_stage} AS MATERIALIZED (\n  SELECT shingle,\n    {recon}\n"
+        f"  FROM p{n_stage - 1}\n)"
+    )
 
     mh_cols = ",\n    ".join(f"min(c_{i}) AS mh_{i}" for i in range(num_perm))
 

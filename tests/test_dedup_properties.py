@@ -194,3 +194,59 @@ def test_bucketed_neardup_autosized_leaders_recall(spark, limit):
     }
     assert brute, "oracle pair set must be non-empty"
     assert auto == brute
+
+
+def _py_substring_dedup(texts: list[str], k: int):
+    """Independent pure-Python twin of substring_span_dedup: first
+    (doc, pos) occurrence of each k-gram keeps its span; every later
+    occurrence marks [pos, pos+k) for removal; overlapping/touching
+    spans merge; docs rebuilt from surviving tokens."""
+    toks = [t.split() for t in texts]
+    seen = {}
+    removed = [[] for _ in texts]
+    for d, tl in enumerate(toks):
+        for p in range(len(tl) - k + 1):
+            g = " ".join(tl[p : p + k])
+            if g in seen:
+                removed[d].append((p, p + k))
+            else:
+                seen[g] = (d, p)
+    out = []
+    for d, tl in enumerate(toks):
+        merged = []
+        for s, e in sorted(removed[d]):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        kept = [
+            t for i, t in enumerate(tl)
+            if not any(s <= i < e for s, e in merged)
+        ]
+        out.append((d, " ".join(kept), len(tl), len(tl) - len(kept)))
+    return out
+
+
+@SLOW
+@given(
+    st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=14).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_substring_dedup_matches_python_twin(spark, texts, k):
+    """Small word alphabet + short k force heavy cross-doc AND in-doc
+    k-gram collisions, span overlaps, and sub-k docs — the whole policy
+    surface of substring_span_dedup against an independent Python twin."""
+    from aspep_etl_spark.operators.dedup import substring_span_dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    ).coalesce(2)
+    got = sorted(
+        (r["doc_id"], r["clean_text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in substring_span_dedup(df, "doc_id", "text", k=k).collect()
+    )
+    assert got == _py_substring_dedup(texts, k)

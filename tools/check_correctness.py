@@ -151,9 +151,16 @@ def main(names: list[str]) -> int:
             print(f"FAIL  {name:28s}{detail[:300]}")
     spark.stop()
     if not names:  # full-registry run → committed audit snapshot
+        # non-default SF sweeps get their own file so the canonical sf0.01
+        # snapshot (the driver-gate twin) is never clobbered
+        sf_tag = (
+            ""
+            if SF_DIR.rstrip("/").endswith("sf0.01")
+            else "_sf" + SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        )
         out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_local.json",
+            f"CORRECTNESS_local{sf_tag}.json",
         )
         n_oracle = sum(1 for r in report.values() if r["mode"] == "oracle")
         with open(out, "w") as fh:

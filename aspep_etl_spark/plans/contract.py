@@ -176,14 +176,33 @@ def flagship_ratio_rank(spark, sf_dir):
     )
 
 
-_FLAGSHIP_SQL = """
+# Spark's round(double, n) is BigDecimal.valueOf(x).setScale(n, HALF_UP):
+# it rounds the SHORTEST round-trip decimal repr of the double, while
+# DuckDB's native round() scales in double arithmetic — the two disagree
+# when a quotient's shortest repr sits just off a .00005 boundary whose
+# double-scaled product lands exactly on .5 (observed once in 3000 groups
+# at sf0.1: 2028.9547499999999 → Spark .9547, DuckDB .9548).  spark_round4
+# reproduces Java semantics: first %.Ng repr that round-trips (= shortest),
+# parsed as DECIMAL, rounded half-away — 0/25k divergences vs a BigDecimal
+# twin across structured-boundary stress values.
+_SPARK_ROUND4_MACRO = (
+    "CREATE OR REPLACE MACRO spark_round4(x) AS list_transform([x::DOUBLE], rx ->\n"
+    "  round(CAST((CASE "
+    + " ".join(
+        f"WHEN CAST(printf('%.{n}g', rx) AS DOUBLE) = rx THEN printf('%.{n}g', rx)"
+        for n in range(1, 17)
+    )
+    + " ELSE printf('%.17g', rx) END) AS DECIMAL(38,17)), 4)::DOUBLE)[1];\n"
+)
+
+_FLAGSHIP_SQL = _SPARK_ROUND4_MACRO + """
 WITH agg AS (
   SELECT l_suppkey, l_returnflag,
          round(sum(l_extendedprice), 2) AS total_price,
          round(sum(l_quantity), 2)      AS total_qty
   FROM lineitem GROUP BY l_suppkey, l_returnflag
 ), m AS (
-  SELECT *, CASE WHEN total_qty <> 0 THEN round(total_price / total_qty, 4) END AS pay_per_unit
+  SELECT *, CASE WHEN total_qty <> 0 THEN spark_round4(total_price / total_qty) END AS pay_per_unit
   FROM agg
 )
 SELECT l_suppkey, l_returnflag, total_price, total_qty, pay_per_unit,

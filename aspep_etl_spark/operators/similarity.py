@@ -161,3 +161,122 @@ def ivf_topk(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "knn_rank")
     )
+
+
+def srp_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic Rademacher (±1) hyperplanes for signed-random-
+    projection LSH, derived per-component from sha256 — reproducible
+    across engines, sessions, and languages, so an independent oracle can
+    rebuild the identical tables.  Embedded as plan literals
+    (n_tables × n_planes × dim ≤ a few thousand doubles — same size class
+    as the IVF centroid literal, same documented bound)."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if hashlib.sha256(f"srp|{seed}|{t}|{p}|{d}".encode()).digest()[0] % 2 == 0
+                else -1.0
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH approximate cosine top-k — the hash-bucketed scale path
+    (complementing ``ivf_topk``: no training pass, pure hashing).
+
+    Each of ``n_tables`` hash tables assigns a vector the ``n_planes``-bit
+    signature of its dot-product signs against deterministic Rademacher
+    hyperplanes; cosine-similar vectors collide with probability
+    ``(1 − θ/π)^n_planes`` per table, and multi-table union recovers the
+    recall a single table loses.  Candidates = corpus∕query pairs sharing
+    a (table, bucket); only candidates get the exact cosine, then per-query
+    top-k.  One shuffle on (table, bucket) + one on the candidate key —
+    never a cross join; at scale the corpus signatures are the stored
+    layout (write once ``partitionBy("srp_table", "srp_bucket")``).
+
+    REGIME: SRP-LSH is the high-cosine path (near-dup retrieval — at
+    cos ≥ 0.95 the default 8×8 config collides with p ≈ 0.99; recall ≥
+    0.95 pinned in ``tests/test_similarity.py`` on clustered data).  On
+    near-orthogonal corpora (this testdata tops out at cos ≈ 0.5) the
+    collision bound (1 − θ/π)^8 collapses and recall is inherently low —
+    measured 0.04–0.12 @ top-5 here; that is the algorithm, not a bug.
+    Far-neighbor top-k at scale belongs to ``ivf_topk``, whose recall IS
+    pinned against brute force on this corpus.
+
+    The signature arrays are persisted before the posexplode
+    (MATERIALIZATION FENCE — see ``jaccard_pairs``: exploding would
+    re-evaluate all n_tables × n_planes dot products per emitted row).
+    Deterministic end-to-end: the DuckDB oracle rebuilds the same planes
+    and buckets, so the driver check is hash-exact, not "close".
+    """
+    planes = srp_planes(dim, n_planes, n_tables, seed)
+
+    def bucket_expr(t: int) -> Column:
+        bits: Column = F.lit(0)
+        for p in range(n_planes):
+            lit = "array(" + ",".join(f"{v}D" for v in planes[t][p]) + ")"
+            dot = F.expr(
+                f"aggregate(zip_with(vec, {lit}, (x, y) -> CAST(x AS DOUBLE) * y),"
+                f" 0D, (acc, v) -> acc + v)"
+            )
+            bits = bits + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return bits
+
+    def signatures(df: DataFrame, idn: str) -> DataFrame:
+        sigs = with_norm(df, id_col, vec_col).select(
+            F.col(id_col).alias(idn),
+            "vec",
+            "norm",
+            F.array(*[bucket_expr(t) for t in range(n_tables)]).alias("__buckets"),
+        ).persist()  # fence: feeds the explode AND the re-attach
+        exploded = sigs.select(
+            idn, F.posexplode("__buckets").alias("srp_table", "srp_bucket")
+        )
+        return sigs, exploded
+
+    c_sigs, c_b = signatures(corpus, "neighbor_id")
+    q_sigs, q_b = signatures(queries, "query_id")
+
+    cand = (
+        c_b.join(q_b, ["srp_table", "srp_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            q_sigs.select("query_id", F.col("vec").alias("vec_q"), F.col("norm").alias("norm_q")),
+            "query_id",
+        )
+        .join(
+            c_sigs.select(
+                "neighbor_id", F.col("vec").alias("vec_n"), F.col("norm").alias("norm_n")
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cosine", F.round(cosine_expr("vec_q", "vec_n", "norm_q", "norm_n"), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "knn_rank")
+    )

@@ -41,7 +41,7 @@ from ..operators.filters import filter_significant
 from ..operators.multimodal import documents_as_media, extract_media_features
 from ..operators.recode import broadcast_dim_join, recode_values
 from ..operators.setops import union_by_name
-from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, srp_lsh_topk, srp_planes
 from ..operators.stats import append_cohort_stats, grouped_stats
 from ..operators.text import analyze_documents, fingerprint, langid_scores, quality_metrics
 from ..operators.windows import cohort_ranks, signed_delta_ranks, yoy_deltas
@@ -1416,6 +1416,63 @@ FROM documents
 """
 
 
+def ann_srp_lsh_topk_q(spark, sf_dir):
+    """SRP-LSH bucketed approximate cosine top-k: multi-table random-
+    hyperplane signatures generate candidates, exact cosine ranks them.
+    Deterministic sha256-derived planes → hash-exact DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = srp_lsh_topk(emb, queries, k=5, dim=64, n_planes=8, n_tables=8)
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+    )
+
+
+def _srp_lsh_oracle_sql(dim=64, n_planes=8, n_tables=8, seed=42, k=5) -> str:
+    """Rebuild the identical SRP tables in DuckDB: same sha256-derived
+    plane literals, same sign-bit buckets, same exact-cosine re-rank."""
+    planes = srp_planes(dim, n_planes, n_tables, seed)
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(str(x) for x in planes[t][p])}])"
+            f" > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    tables = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {t} AS t, {bucket(t)} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+{tables}
+),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS nid
+  FROM b qb JOIN b cb USING (t, bucket)
+  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id
+),
+s AS (
+  SELECT qid, nid,
+         round(list_dot_product(qe.v, ce.v) /
+               (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))),
+               4) AS cosine
+  FROM cand JOIN e qe ON qe.vec_id = cand.qid JOIN e ce ON ce.vec_id = cand.nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, rn AS knn_rank
+FROM (SELECT qid, nid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+      FROM s)
+WHERE rn <= {k}
+"""
+
+
+_ANN_SRP_SQL = _srp_lsh_oracle_sql()
+
+
 def ann_ivf_topk_q(spark, sf_dir):
     """IVF ANN through the deterministic Lloyd's coarse quantizer — the
     whole path (init, iterations, bucket assignment, probing, ranking) is
@@ -2004,6 +2061,7 @@ SPARK_QUERIES = {
     "events_sessionize": events_sessionize_q,
     "multimodal_features": multimodal_features_q,
     "ann_ivf_topk": ann_ivf_topk_q,
+    "ann_srp_lsh_topk": ann_srp_lsh_topk_q,
     # oracled via the XXH64-in-SQL prelude (plans/xxh64_sql.py)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
@@ -2077,6 +2135,7 @@ ORACLE_SQL = {
     "embedding_clusters": _EMB_CLUSTERS_SQL,
     "multimodal_features": _MULTIMODAL_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_srp_lsh_topk": _ANN_SRP_SQL,
     # hash-seeded near-dup estimators: DuckDB has no xxhash64, so these
     # oracles carry a CREATE MACRO prelude implementing XXH64 in SQL
     # (plans/xxh64_sql.py; macro-vs-twin exactness pinned in

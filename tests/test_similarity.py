@@ -28,3 +28,50 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     for q, _ in approx:
         per_q[q] = per_q.get(q, 0) + 1
     assert set(per_q.values()) == {5}
+
+
+def test_srp_lsh_recall_in_design_regime(spark):
+    """SRP-LSH's contract is the HIGH-cosine regime: on clustered data
+    (each base vector with jittered copies at cos ≈ 0.99) the default
+    8-plane × 8-table config must recover ≥95% of the true same-cluster
+    neighbors.  (On this repo's near-orthogonal testdata recall is
+    legitimately low — the collision bound collapses with angle; see the
+    operator docstring.  IVF covers that regime.)"""
+    import random
+
+    from aspep_etl_spark.operators.similarity import brute_force_topk, srp_lsh_topk
+
+    rng = random.Random(13)
+    rows = []
+    vid = 0
+    for _ in range(30):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        for _ in range(4):  # base + 3 jittered copies, cosine ~0.99
+            rows.append((vid, [b + rng.gauss(0, 0.08) for b in base]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(2)
+    queries = emb.filter("vec_id % 4 = 0")  # one query per cluster
+
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    srp = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_lsh_topk(emb, queries, k=3).collect()
+    }
+    recall = len(brute & srp) / len(brute)
+    assert recall >= 0.95, recall
+
+
+def test_srp_planes_deterministic(spark):
+    from aspep_etl_spark.operators.similarity import srp_planes
+
+    a = srp_planes(8, 4, 2, seed=7)
+    b = srp_planes(8, 4, 2, seed=7)
+    c = srp_planes(8, 4, 2, seed=8)
+    assert a == b and a != c
+    flat = [x for t in a for p in t for x in p]
+    assert set(flat) <= {1.0, -1.0}
+    # roughly balanced signs (sha256-derived, not degenerate)
+    assert 0.3 < sum(1 for x in flat if x > 0) / len(flat) < 0.7

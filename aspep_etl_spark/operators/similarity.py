@@ -46,6 +46,18 @@ def cosine_expr(vec_a: str, vec_b: str, norm_a: str, norm_b: str) -> Column:
     )
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail of every ANN variant: per-query row_number over
+    (cosine DESC, neighbor_id ASC — the deterministic tie-break), capped
+    at ``k``, canonical output projection."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "knn_rank")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -67,12 +79,7 @@ def brute_force_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(cosine_expr("vec_q", "vec_n", "norm_q", "norm_n"), 4))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "knn_rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk(
@@ -155,12 +162,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(cosine_expr("vec_q", "vec_n", "norm_q", "norm_n"), 4))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "knn_rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def srp_planes(
@@ -240,12 +242,29 @@ def srp_lsh_topk(
             bits = bits + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         return bits
 
-    def signatures(df: DataFrame, idn: str) -> DataFrame:
+    def signatures(df: DataFrame, idn: str) -> tuple[DataFrame, DataFrame]:
+        # dim guard: zip_with NULL-PADS a length mismatch instead of
+        # erroring, which would NULL every dot, put every vector in bucket
+        # 0, and silently degrade the candidate join to a cross product —
+        # fail loudly at the first row instead
+        buckets = F.when(
+            F.size("vec") == F.lit(dim),
+            F.array(*[bucket_expr(t) for t in range(n_tables)]),
+        ).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"srp_lsh_topk: dim=%s but vector length %s — pass the "
+                    f"embedding's true dimension",
+                    F.lit(dim),
+                    F.size("vec"),
+                )
+            )
+        )
         sigs = with_norm(df, id_col, vec_col).select(
             F.col(id_col).alias(idn),
             "vec",
             "norm",
-            F.array(*[bucket_expr(t) for t in range(n_tables)]).alias("__buckets"),
+            buckets.alias("__buckets"),
         ).persist()  # fence: feeds the explode AND the re-attach
         exploded = sigs.select(
             idn, F.posexplode("__buckets").alias("srp_table", "srp_bucket")
@@ -274,9 +293,4 @@ def srp_lsh_topk(
         )
         .withColumn("cosine", F.round(cosine_expr("vec_q", "vec_n", "norm_q", "norm_n"), 4))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "knn_rank")
-    )
+    return _rank_topk(scored, k)

@@ -185,6 +185,13 @@ def flagship_ratio_rank(spark, sf_dir):
 # reproduces Java semantics: first %.Ng repr that round-trips (= shortest),
 # parsed as DECIMAL, rounded half-away — 0/25k divergences vs a BigDecimal
 # twin across structured-boundary stress values.
+#
+# Scale 24 (not 17): a shortest repr below ~1e-3 carries more fractional
+# digits than significant ones (e.g. 4.9999999999999996e-05 has 21), and a
+# too-narrow DECIMAL would double-round it up onto the very boundary the
+# macro exists to avoid.  24 covers every |x| ≥ 1e-7 exactly, and below
+# that no .00005 boundary is reachable; integer part is capped at 1e14 —
+# fine for ratio-scale values, assert on the caller if reusing elsewhere.
 _SPARK_ROUND4_MACRO = (
     "CREATE OR REPLACE MACRO spark_round4(x) AS list_transform([x::DOUBLE], rx ->\n"
     "  round(CAST((CASE "
@@ -192,7 +199,7 @@ _SPARK_ROUND4_MACRO = (
         f"WHEN CAST(printf('%.{n}g', rx) AS DOUBLE) = rx THEN printf('%.{n}g', rx)"
         for n in range(1, 17)
     )
-    + " ELSE printf('%.17g', rx) END) AS DECIMAL(38,17)), 4)::DOUBLE)[1];\n"
+    + " ELSE printf('%.17g', rx) END) AS DECIMAL(38,24)), 4)::DOUBLE)[1];\n"
 )
 
 _FLAGSHIP_SQL = _SPARK_ROUND4_MACRO + """

@@ -149,29 +149,29 @@ _TOKS = (
 )
 
 
-def minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.2) -> str:
-    """Oracle for ``minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.2)``.
+def perm_pipeline_ctes(num_perm: int, src: str = "dbase", key: str = "shingle") -> tuple[str, int]:
+    """Staged CTE pipeline computing ``c_i = xx_int(i, base)`` (signed
+    BIGINT) for i in 0..num_perm−1 from a ``(key, bp)`` source relation,
+    where ``bp = (base + P5 + 4) mod 2^64``.
 
-    String hashing runs once per DISTINCT shingle; the 64 per-permutation
-    minima, 16 band folds, and the agreement count are unrolled into
-    vectorized column expressions.
+    xx_int(i, base) = fmix(rotl(xor(bp, (i·P1) mod 2^64), 23)·P2 + P3).
+    The per-permutation xor mask constant-folds Python-side, and the
+    pipeline runs as chained MATERIALIZED CTEs — one stage per fmix step,
+    all num_perm values per stage.  Materialized columns make repeated
+    references free, where macro-expanded trees would re-evaluate their
+    argument per reference (or need per-row singleton-list let-binds —
+    measured ~30 s for the 1M+ evaluations the minhash fan-out does at
+    sf0.01, vs ~1 s staged).  Values are carried as UBIGINT (lo, hi)
+    32-bit half-words: every product of two half-words fits hardware
+    64-bit, so the whole hash runs native-width instead of HUGEINT
+    software 128-bit arithmetic (measured 3× on this fan-out; exactness
+    pinned directly against the Python twin in tests/test_hash_twins.py).
+    Rotations/shifts become half-word shuffles; 2^63-boundary
+    reconstruction happens once at the end.
+
+    Returns (ctes_sql, n_stage) — the final CTE is ``p{n_stage}`` with
+    columns (key, c_0..c_{num_perm-1}).
     """
-    rpb = num_perm // bands
-
-    # xx_int(i, base) = fmix(rotl(xor(base + P5+4, (i*P1) mod 2^64), 23)*P2+P3).
-    # The seed offset is hoisted into the `bp` column, the per-permutation xor
-    # mask constant-folds Python-side, and the remaining pipeline runs as
-    # chained MATERIALIZED CTEs — one stage per fmix step, all num_perm
-    # values per stage.  Materialized columns make repeated references free,
-    # where macro-expanded trees would re-evaluate their argument per
-    # reference (or need per-row singleton-list let-binds — measured ~30 s
-    # for the 1M+ evaluations this fan-out does at sf0.01, vs ~1 s staged).
-    # Values are carried as UBIGINT (lo, hi) 32-bit half-words: every
-    # product of two half-words fits hardware 64-bit, so the whole hash
-    # runs native-width instead of HUGEINT software 128-bit arithmetic
-    # (measured 3× on this fan-out; exactness pinned vs the Python twin in
-    # tests/test_hash_twins.py).  Rotations/shifts become half-word
-    # shuffles; 2^63-boundary reconstruction happens once at the end.
     U32 = 1 << 32
 
     def _cols(fmt) -> str:
@@ -183,9 +183,9 @@ def minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0
 
     def _mulc_half(lo: str, hi: str, c: int, add: int = 0) -> tuple[str, str]:
         """(hi·2³² + lo) · c + add, mod 2^64, in half-words.  The lo·c_lo
-        product is built once per row into __p0_{i} via a leading shared
-        expression inside each stage (DuckDB evaluates projection columns
-        independently, so the cheap duplicate multiply is acceptable)."""
+        product expression is interpolated into both output columns — a
+        cheap duplicate multiply on materialized inputs, simpler than
+        threading a shared column through the stage."""
         clo, chi = c % U32, c >> 32
         alo, ahi = add % U32, add >> 32
         p0 = f"({lo} * {clo}::UBIGINT)"
@@ -235,14 +235,27 @@ def minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0
         for i in range(num_perm)
     )
     perm_ctes = ",\n".join(
-        f"p{k} AS MATERIALIZED (\n  SELECT shingle,\n    {cols}\n  FROM p{k - 1}\n)"
+        f"p{k} AS MATERIALIZED (\n  SELECT {key},\n    {cols}\n  FROM p{k - 1}\n)"
         for k, cols in enumerate(stages, start=1)
-    ).replace("FROM p0", "FROM dbase")
+    ).replace("FROM p0", f"FROM {src}")
     n_stage = len(stages) + 1
     perm_ctes += (
-        f",\np{n_stage} AS MATERIALIZED (\n  SELECT shingle,\n    {recon}\n"
+        f",\np{n_stage} AS MATERIALIZED (\n  SELECT {key},\n    {recon}\n"
         f"  FROM p{n_stage - 1}\n)"
     )
+    return perm_ctes, n_stage
+
+
+def minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.2) -> str:
+    """Oracle for ``minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.2)``.
+
+    String hashing runs once per DISTINCT shingle (``xx_bytes`` macro);
+    the per-permutation hashes run through the half-word staged pipeline
+    (``perm_pipeline_ctes``); minima, band folds, and the agreement count
+    are unrolled into vectorized column expressions.
+    """
+    rpb = num_perm // bands
+    perm_ctes, n_stage = perm_pipeline_ctes(num_perm)
 
     mh_cols = ",\n    ".join(f"min(c_{i}) AS mh_{i}" for i in range(num_perm))
 

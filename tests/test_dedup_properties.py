@@ -202,7 +202,7 @@ def _py_substring_dedup(texts: list[str], k: int):
     occurrence marks [pos, pos+k) for removal; overlapping/touching
     spans merge; docs rebuilt from surviving tokens."""
     toks = [t.split() for t in texts]
-    seen = {}
+    seen = set()  # membership only: the policy never reads WHERE first seen
     removed = [[] for _ in texts]
     for d, tl in enumerate(toks):
         for p in range(len(tl) - k + 1):
@@ -210,7 +210,7 @@ def _py_substring_dedup(texts: list[str], k: int):
             if g in seen:
                 removed[d].append((p, p + k))
             else:
-                seen[g] = (d, p)
+                seen.add(g)
     out = []
     for d, tl in enumerate(toks):
         merged = []

@@ -143,3 +143,37 @@ def test_duckdb_xxh64_prelude_vs_twin():
             f" {v * P1 % M64}::HUGEINT))"
         ).fetchone()[0]
         assert int(got) == xxh64_int(v, base)
+
+
+def test_duckdb_halfword_perm_pipeline_vs_twin():
+    """The staged UBIGINT half-word CTE pipeline that minhash_lsh_oracle
+    actually runs (perm_pipeline_ctes — NOT the legacy HUGEINT xx_perm
+    macro) must reproduce xxh64_int(i, base) for random bases across all
+    permutation indices."""
+    import random
+
+    import duckdb
+
+    from aspep_etl_spark.plans.xxh64_sql import M64, P5, perm_pipeline_ctes
+
+    from .xxh64_twin import xxh64_int
+
+    con = duckdb.connect()
+    rng = random.Random(17)
+    bases = [rng.randrange(1 << 64) for _ in range(40)] + [0, (1 << 64) - 1]
+    ctes, n_stage = perm_pipeline_ctes(num_perm=16, src="dbase", key="rid")
+    rows = ", ".join(
+        f"({i}, {(b + P5 + 4) % M64}::HUGEINT)" for i, b in enumerate(bases)
+    )
+    cols = ", ".join(f"c_{i}" for i in range(16))
+    sql = (
+        f"WITH dbase AS (SELECT * FROM (VALUES {rows}) AS t(rid, bp)),\n"
+        f"{ctes}\nSELECT rid, {cols} FROM p{n_stage} ORDER BY rid"
+    )
+    out = con.sql(sql).fetchall()
+    for row in out:
+        base = bases[row[0]]
+        for i in range(16):
+            exp = xxh64_int(i, base)
+            exp = exp - (1 << 64) if exp >= (1 << 63) else exp
+            assert int(row[1 + i]) == exp, (row[0], i)

@@ -152,12 +152,11 @@ def main(names: list[str]) -> int:
     spark.stop()
     if not names:  # full-registry run → committed audit snapshot
         # non-default SF sweeps get their own file so the canonical sf0.01
-        # snapshot (the driver-gate twin) is never clobbered
-        sf_tag = (
-            ""
-            if SF_DIR.rstrip("/").endswith("sf0.01")
-            else "_sf" + SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-        )
+        # snapshot (the driver-gate twin) is never clobbered; tag from the
+        # path's basename only (an arbitrary directory must not leak path
+        # separators into the filename)
+        base = os.path.basename(SF_DIR.rstrip("/"))
+        sf_tag = "" if base == "sf0.01" else "_" + base
         out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             f"CORRECTNESS_local{sf_tag}.json",

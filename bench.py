@@ -85,6 +85,12 @@ def main() -> None:
             free_cached_blocks(spark)
 
     total = round(sum(timings.values()), 3)
+    # like-for-like vs rounds ≤3: a1_grouped_median_approx was ADDED to the
+    # headline set in r4, so the raw total is not comparable across rounds —
+    # this subtotal is the r3 query set under the current code
+    r3_subtotal = round(
+        sum(v for k, v in timings.items() if k != "a1_grouped_median_approx"), 3
+    )
     print(
         json.dumps(
             {
@@ -92,6 +98,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "r3_queryset_total": r3_subtotal,
                 "warmup": True,
                 "passes": n_passes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

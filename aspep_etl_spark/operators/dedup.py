@@ -620,3 +620,83 @@ def substring_span_dedup(
         F.size("__toks").alias("n_tokens"),
         (F.size("__toks") - F.size("__kept")).alias("n_tokens_removed"),
     )
+
+
+def incremental_jaccard_matches(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Ingest-time (incremental) near-dup check ([EXT]): match a NEW batch
+    of documents against an already-indexed corpus WITHOUT recomputing any
+    corpus-corpus pair — the shape every continuously-crawling pipeline
+    needs: full-corpus dedup is a one-off backfill; day-to-day dedup is
+    "does today's batch duplicate anything we already have?".
+
+    Candidate generation joins the delta's shingle rows against the
+    CORPUS posting lists only, so the pair space is delta x corpus —
+    at 100 TB the postings frame is the persisted index (build once,
+    write to the lake partitioned by shingle hash; each batch reads it
+    back), and a day's delta is small enough that the join's delta side
+    behaves like a dim table.  No old-old work is ever repeated, which
+    is the whole point: cost per batch is O(|delta postings|), not
+    O(|corpus|^2).
+
+    ``max_shingle_df`` caps posting-list length exactly as in
+    `jaccard_pairs` (the skew guard is MORE important here: a boilerplate
+    shingle's posting list otherwise grows with corpus age forever).
+
+    Output: one row per new doc with at least one match at
+    ``jaccard >= threshold``: (id, n_matches, best_match_id,
+    best_jaccard) — best = highest jaccard, ties to the lowest corpus id.
+    """
+    from pyspark.sql import Window
+
+    c_arr = shingle_arrays(
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        id_col, text_col, n,
+    ).persist()
+    d_arr = shingle_arrays(delta, id_col, text_col, n).persist()
+
+    posting = (
+        c_arr.select(F.col(id_col).alias("__old_id"), F.explode("sh_arr").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.collect_list("__old_id").alias("old_ids"))
+    )
+    if max_shingle_df is not None:
+        posting = posting.filter(F.size("old_ids") <= max_shingle_df)
+
+    d_sh = d_arr.select(F.col(id_col).alias("__new_id"), F.explode("sh_arr").alias("shingle"))
+    inter = (
+        d_sh.join(posting, "shingle")
+        .select("__new_id", F.explode("old_ids").alias("__old_id"))
+        .groupBy("__new_id", "__old_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+
+    sz_new = d_arr.select(F.col(id_col).alias("__new_id"), F.col("n_shingles").alias("n_new"))
+    sz_old = c_arr.select(F.col(id_col).alias("__old_id"), F.col("n_shingles").alias("n_old"))
+    scored = (
+        inter.join(sz_new, "__new_id")
+        .join(sz_old, "__old_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_new") + F.col("n_old") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("__new_id").orderBy(F.desc("jaccard"), F.asc("__old_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .groupBy("__new_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__old_id"))).alias("best_match_id"),
+            F.max(F.when(F.col("__rn") == 1, F.col("jaccard"))).alias("best_jaccard"),
+        )
+        .withColumnRenamed("__new_id", id_col)
+    )

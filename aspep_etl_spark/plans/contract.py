@@ -2154,6 +2154,7 @@ ORACLE_SQL = {
 
 from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
+from .llm_scale import SCALE_ORACLE_SQL, SCALE_QUERIES  # noqa: E402
 from .relational_extra import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
 from .tpch_extra import EXTRA_ORACLE_SQL, EXTRA_QUERIES  # noqa: E402
 
@@ -2161,7 +2162,9 @@ SPARK_QUERIES.update(EXTRA_QUERIES)
 SPARK_QUERIES.update(LLM_QUERIES)
 SPARK_QUERIES.update(REL_QUERIES)
 SPARK_QUERIES.update(CURATION_QUERIES)
+SPARK_QUERIES.update(SCALE_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
 ORACLE_SQL.update(LLM_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
 ORACLE_SQL.update(CURATION_ORACLE_SQL)
+ORACLE_SQL.update(SCALE_ORACLE_SQL)

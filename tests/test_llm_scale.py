@@ -1,0 +1,221 @@
+"""Unit tests for the round-4 scale-path LLM operators: hashed linear
+classifier, bloom-filter pruning, stupid-backoff bigram LM, and
+incremental delta-vs-corpus dedup.
+
+Each operator gets an independent Python twin on a crafted fixture (the
+DuckDB contract oracles cover the corpus-scale behavior; these pin the
+semantics on inputs where the expected value is hand-checkable) plus the
+plan-shape assertions that matter at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from aspep_etl_spark.operators.bloom import bloom_build, bloom_probe
+from aspep_etl_spark.operators.classifier import score_documents
+from aspep_etl_spark.operators.dedup import (
+    incremental_jaccard_matches,
+    jaccard_pairs,
+    shingles,
+)
+
+
+def _md5_bucket(feature: str, dim: int) -> int:
+    return int(hashlib.md5(feature.encode()).hexdigest()[:8], 16) % dim
+
+
+def _py_classifier(text: str, dim: int = 4096):
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    acc = 0.0
+    for t in feats:  # ordered left fold, same as F.aggregate
+        acc += (_md5_bucket(t, dim) % 2001) / 1000.0 - 1.0
+    score = round(acc / len(feats), 6)
+    prob = round(1.0 / (1.0 + math.exp(-score)), 6)
+    return len(feats), score, prob
+
+
+class TestClassifier:
+    def test_matches_python_twin(self, spark):
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "spark shuffles are expensive at scale",
+            "one",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_features"], r["score"], r["prob"])
+            for r in score_documents(df).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _py_classifier(t), t
+
+    def test_empty_doc_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(0, "actual words"), (1, "!!! ...")], "doc_id long, text string"
+        )
+        assert [r["doc_id"] for r in score_documents(df).collect()] == [0]
+
+    def test_map_only_plan(self, spark):
+        df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        plan = score_documents(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        # every inserted key MUST pass its own probe — structural property
+        keys = spark.createDataFrame(
+            [(f"shingle number {i}",) for i in range(500)], "k string"
+        )
+        bloom = bloom_build(keys, "k", m_bits=4096, k=3)
+        probed = bloom_probe(keys, "k", bloom, m_bits=4096, k=3)
+        assert probed.filter(~F.col("bloom_pass")).count() == 0
+
+    def test_filter_is_broadcast_sized(self, spark):
+        keys = spark.createDataFrame(
+            [(f"key {i}",) for i in range(2000)], "k string"
+        )
+        bloom = bloom_build(keys, "k", m_bits=1024, k=3)
+        assert bloom.count() <= 1024 // 32
+
+    def test_nonmember_mostly_rejected(self, spark):
+        # with m=16384, k=3, n=200 inserted the FPR is ~1e-4 — a probe set
+        # of 300 fresh keys should see at most a couple of false positives
+        ins = spark.createDataFrame([(f"in {i}",) for i in range(200)], "k string")
+        out = spark.createDataFrame([(f"out {i}",) for i in range(300)], "k string")
+        bloom = bloom_build(ins, "k", m_bits=16384, k=3)
+        fp = bloom_probe(out, "k", bloom, m_bits=16384, k=3).filter(
+            F.col("bloom_pass")
+        )
+        assert fp.count() <= 3
+
+    def test_probe_join_is_broadcast(self, spark):
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+        bloom = bloom_build(keys, "k", m_bits=1024, k=3)
+        plan = (
+            bloom_probe(keys, "k", bloom, m_bits=1024, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
+class TestIncremental:
+    FIX = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),
+        (2, "completely different words entirely here now"),
+        # ids ≡ 4 (mod 5) form the delta batch
+        (4, "alpha beta gamma delta epsilon zeta"),       # dup of 0 (and near 1)
+        (9, "totally novel content with fresh phrasing"),  # matches nothing
+    ]
+
+    def test_matches_against_corpus_only(self, spark):
+        df = spark.createDataFrame(self.FIX, "doc_id long, text string")
+        corpus = df.filter(F.col("doc_id") % 5 != 4)
+        delta = df.filter(F.col("doc_id") % 5 == 4)
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in incremental_jaccard_matches(
+                corpus, delta, "doc_id", "text", n=3, threshold=0.2
+            ).collect()
+        }
+        assert set(out) == {4}
+        assert out[4]["best_match_id"] == 0  # exact dup wins, jaccard 1.0
+        assert out[4]["best_jaccard"] == 1.0
+        assert out[4]["n_matches"] == 2  # doc 0 exact + doc 1 near
+
+    def test_consistent_with_full_jaccard(self, spark, sf_dir):
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(120)
+        )
+        corpus = docs.filter(F.col("doc_id") % 5 != 4)
+        delta = docs.filter(F.col("doc_id") % 5 == 4)
+        inc = incremental_jaccard_matches(
+            corpus, delta, "doc_id", "text", n=3, threshold=0.1
+        )
+        # the full-corpus pair list restricted to (corpus, delta) pairs must
+        # produce the same per-delta-doc match counts
+        full = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+        cross = full.filter(
+            ((F.col("id_a") % 5 == 4) & (F.col("id_b") % 5 != 4))
+            | ((F.col("id_b") % 5 == 4) & (F.col("id_a") % 5 != 4))
+        ).withColumn(
+            "new_id",
+            F.when(F.col("id_a") % 5 == 4, F.col("id_a")).otherwise(F.col("id_b")),
+        )
+        expected = {
+            r["new_id"]: r["n"]
+            for r in cross.groupBy("new_id").agg(F.count("*").alias("n")).collect()
+        }
+        got = {r["doc_id"]: r["n_matches"] for r in inc.collect()}
+        assert got == expected
+
+
+class TestBigramBackoff:
+    def test_backoff_branch_fires_and_matches_twin(self, spark, sf_dir):
+        # crafted corpus: train half (even ids) never contains the bigram
+        # "zebra quagga", score half (odd ids) does — the backoff branch
+        # must fire for it and reproduce the stupid-backoff formula
+        rows = [
+            (0, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (1, "the cat sat quietly"),       # "sat quietly": unseen bigram
+            (3, "zebra quagga run wild"),      # all-unseen tokens + bigrams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from aspep_etl_spark.plans.llm_scale import docs_bigram_logprob
+
+        import aspep_etl_spark.plans.llm_scale as mod
+
+        # run the query body against an in-memory frame by monkeypatching
+        # the loader seam used by every contract query
+        orig = mod._t
+        mod._t = lambda spark_, sf_, name: df
+        try:
+            out = {r["doc_id"]: r for r in docs_bigram_logprob(spark, sf_dir).collect()}
+        finally:
+            mod._t = orig
+
+        # python twin
+        def toks(s):
+            return re.findall(r"[a-z0-9]+", s.lower())
+
+        train = [toks(t) for i, t in rows if i % 2 == 0]
+        uni: dict[str, int] = {}
+        bi: dict[tuple, int] = {}
+        for ws in train:
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        total, vocab = sum(uni.values()), len(uni)
+        for i, t in rows:
+            if i % 2 == 0:
+                continue
+            ws = toks(t)
+            logs = []
+            for a, b in zip(ws, ws[1:]):
+                if (a, b) in bi:
+                    s = bi[(a, b)] / uni[a]
+                else:
+                    s = 0.4 * (uni.get(b, 0) + 1) / (total + vocab)
+                logs.append(math.log10(s))
+            assert out[i]["n_bigrams"] == len(logs)
+            assert out[i]["avg_logprob"] == pytest.approx(
+                round(sum(logs) / len(logs), 6), abs=1e-6
+            )
+        # sanity: doc 3 is all-backoff and must score far below doc 1
+        assert out[3]["avg_logprob"] < out[1]["avg_logprob"]

@@ -1,0 +1,237 @@
+"""[EXT] Statistical-analytics contract queries, round 4: grouped OLS
+trend (regr_* aggregates), Markov event-transition mining, in-array
+token-entropy quality scoring, and robust dispersion stats
+(median / MAD / robust z-outlier counts).
+
+Each query has a DuckDB oracle twin.  Cross-engine determinism notes:
+
+- ``regr_slope``/``regr_intercept``/``regr_r2``/``corr`` accumulate in
+  engine- (and partition-order-) dependent float order, so every such
+  aggregate is rounded (6 dp) at the contract boundary — same policy as
+  every avg() in the registry.
+- The regression x is derived from exact integer microseconds by one
+  division (days since 2024-01-01), identical IEEE doubles on both
+  engines.
+- Token entropy folds over the SORTED distinct-token array on both
+  engines (``array_sort`` / ``list_sort``), making the double summation
+  order identical — the md5-bucket classifier's left-fold rule applied
+  to entropy.
+- Exact medians use quantile_cont interpolation semantics on both
+  engines (Spark ``median`` = DuckDB ``median`` on DOUBLE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.text import WORD_RE
+from ..sources.registry import load_table as _t
+
+# 2024-01-01T00:00:00Z in microseconds — the events table's epoch.
+_EPOCH_US = 1704067200000000
+
+
+def events_value_trend(spark, sf_dir):
+    """Per-event-type OLS trend of value over time: slope and intercept
+    (value vs days-since-2024-01-01), fit quality (r²) and correlation.
+    One partial+final aggregate — the regr_* family is algebraic, so the
+    shuffle carries 5 moment tuples per type, not rows: at 100 TB this
+    is a pure map-side-combine scan like Q1."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts")) - F.lit(_EPOCH_US)) / F.lit(86400000000.0)
+    return (
+        ev.select("event_type", F.col("value").alias("y"), x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+            F.round(F.corr("y", "x"), 6).alias("pearson_r"),
+        )
+    )
+
+
+_TREND_SQL = """
+WITH base AS (
+  SELECT event_type, value AS y,
+         (epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(regr_slope(y, x), 6)     AS slope_per_day,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6)        AS r2,
+       round(corr(y, x), 6)           AS pearson_r
+FROM base GROUP BY event_type
+"""
+
+
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov chain over per-user event sequences: count each
+    (from_type → to_type) adjacent transition (ordered by ts, event_id
+    tie-break) and its conditional probability.  One window shuffle on
+    user_id + one count shuffle on the 25-cell transition key; the
+    per-from normalization rides a second window over the tiny count
+    frame, not the events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return trans.withColumn(
+        "p_transition",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(w_from), 6),
+    )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions::BIGINT AS n_transitions,
+       round(n_transitions / sum(n_transitions) OVER (PARTITION BY from_type), 6)
+         AS p_transition
+FROM trans
+"""
+
+
+def docs_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the
+    information-density quality signal (near-zero entropy = degenerate
+    repetition; high entropy = diverse vocabulary).  Entirely in-array
+    and map-only (zero Exchanges): distinct tokens are sorted so the
+    double fold visits terms in the same order as the DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+    # counts per distinct token, in sorted-token order
+    counts = F.expr(
+        "transform(array_sort(array_distinct(__toks)), "
+        "x -> size(filter(__toks, y -> y = x)))"
+    )
+    ent = F.expr(
+        "aggregate(__cnt, CAST(0.0 AS DOUBLE), (acc, c) -> "
+        "acc - (c / CAST(__n AS DOUBLE)) * log2(c / CAST(__n AS DOUBLE)))"
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .filter(F.size("__toks") >= 1)
+        .withColumn("__n", F.size("__toks"))
+        .withColumn("__cnt", counts)
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_tokens"),
+            F.size("__cnt").cast("long").alias("n_distinct"),
+            F.round(ent, 6).alias("token_entropy"),
+        )
+    )
+
+
+_ENTROPY_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), nz AS (
+  SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) >= 1
+), cnt AS (
+  SELECT doc_id, n, list_transform(list_sort(list_distinct(w)),
+                                   x -> len(list_filter(w, y -> y = x))) AS c
+  FROM nz
+)
+SELECT doc_id, n::BIGINT AS n_tokens, len(c)::BIGINT AS n_distinct,
+       -- 0.0::DOUBLE matters: a bare 0.0 is DECIMAL(1,1) and would drag
+       -- the whole fold into scale-1 DECIMAL arithmetic
+       round(list_reduce(list_prepend(0.0::DOUBLE, c),
+                         (acc, x) -> acc - (x / n::DOUBLE) * log2(x / n::DOUBLE)), 6)
+         AS token_entropy
+FROM cnt
+"""
+
+
+def events_value_mad(spark, sf_dir):
+    """Robust dispersion per event type: exact median, median absolute
+    deviation, and the count of robust z-outliers (|v - med| > 3·MAD·
+    1.4826).  Two aggregate passes (median, then MAD over re-joined
+    deviations) + one outlier count — medians are quantile_cont
+    interpolation on both engines.  The per-type median join broadcasts
+    (5 rows); at scale swap the exact medians for percentile_approx
+    exactly as documented for a1_grouped_median."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"), F.median("abs_dev").alias("mad")
+    )
+    out = (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.any_value("med").alias("__med"),
+            F.any_value("mad").alias("__mad"),
+            F.sum(
+                (
+                    F.col("abs_dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("__med"), 6).alias("median_value"),
+        F.round(F.col("__mad"), 6).alias("mad"),
+        "n_outliers",
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS abs_dev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, any_value(med) AS med, median(abs_dev) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, count(*)::BIGINT AS n_events,
+       round(any_value(m.med), 6) AS median_value,
+       round(any_value(m.mad), 6) AS mad,
+       sum(CASE WHEN d.abs_dev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+         AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+ANALYTICS_QUERIES = {
+    "events_value_trend": events_value_trend,
+    "events_markov_transitions": events_markov_transitions,
+    "docs_token_entropy": docs_token_entropy,
+    "events_value_mad": events_value_mad,
+}
+
+ANALYTICS_ORACLE_SQL = {
+    "events_value_trend": _TREND_SQL,
+    "events_markov_transitions": _MARKOV_SQL,
+    "docs_token_entropy": _ENTROPY_SQL,
+    "events_value_mad": _MAD_SQL,
+}

@@ -2152,6 +2152,7 @@ ORACLE_SQL = {
     "docs_substring_dedup": _SUBSTRING_DEDUP_SQL,
 }
 
+from .analytics_extra import ANALYTICS_ORACLE_SQL, ANALYTICS_QUERIES  # noqa: E402
 from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
 from .llm_scale import SCALE_ORACLE_SQL, SCALE_QUERIES  # noqa: E402
@@ -2163,8 +2164,10 @@ SPARK_QUERIES.update(LLM_QUERIES)
 SPARK_QUERIES.update(REL_QUERIES)
 SPARK_QUERIES.update(CURATION_QUERIES)
 SPARK_QUERIES.update(SCALE_QUERIES)
+SPARK_QUERIES.update(ANALYTICS_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
 ORACLE_SQL.update(LLM_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
 ORACLE_SQL.update(CURATION_ORACLE_SQL)
 ORACLE_SQL.update(SCALE_ORACLE_SQL)
+ORACLE_SQL.update(ANALYTICS_ORACLE_SQL)

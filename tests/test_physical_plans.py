@@ -150,3 +150,33 @@ def test_substring_dedup_two_exchanges_no_selfjoin(spark, sf):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_classifier_and_entropy_are_map_only(spark, sf):
+    """The corpus-wide model-scoring passes must ride the scan: zero
+    Exchange operators — at 100 TB any shuffle here would be the whole
+    job cost."""
+    for name in ("docs_classifier_score", "docs_token_entropy"):
+        plan = plan_of(contract.SPARK_QUERIES[name](spark, sf), mode="simple")
+        assert "Exchange" not in plan, name
+
+
+def test_trend_is_partial_plus_final_agg(spark, sf):
+    """regr_* aggregates are algebraic: the plan must show the map-side
+    partial + final HashAggregate pair so the shuffle carries moment
+    tuples, not rows."""
+    plan = plan_of(contract.SPARK_QUERIES["events_value_trend"](spark, sf), mode="simple")
+    assert "partial_regr_slope" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_bloom_probe_joins_broadcast_only(spark, sf):
+    """The bloom filter relation is m/32 rows by construction — the probe
+    join must broadcast it (and the truth join of the eval shingle set is
+    also broadcast-sized at eval-set scale)."""
+    plan = plan_of(
+        contract.SPARK_QUERIES["docs_bloom_decontaminate"](spark, sf), mode="simple"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

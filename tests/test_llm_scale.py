@@ -219,3 +219,62 @@ class TestBigramBackoff:
             )
         # sanity: doc 3 is all-backoff and must score far below doc 1
         assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+
+
+class TestProperties:
+    """Property-based cross-checks of the two ordered-fold operators
+    against pure-Python twins on randomized inputs — the fold order and
+    the md5-bucket hash must agree bit-for-bit with an independent
+    implementation, not just on the fixture corpus."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _WORDS = ["spark", "join", "scan", "hash", "sort", "row", "batch", "key",
+              "Zürich", "naïve", "0xdead", "42"]
+    _texts = st.lists(st.sampled_from(_WORDS), min_size=1, max_size=20).map(" ".join)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(st.lists(_texts, min_size=1, max_size=6))
+    def test_classifier_random_texts_match_twin(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_features"], r["score"], r["prob"])
+            for r in score_documents(df).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _py_classifier(t), t
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(st.lists(_texts, min_size=1, max_size=6))
+    def test_entropy_random_texts_match_twin(self, spark, texts):
+        from aspep_etl_spark.plans import analytics_extra as mod
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        orig = mod._t
+        mod._t = lambda s, d, n: df
+        try:
+            got = {
+                r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["token_entropy"])
+                for r in mod.docs_token_entropy(spark, "unused").collect()
+            }
+        finally:
+            mod._t = orig
+        for i, t in enumerate(texts):
+            toks = re.findall(r"[a-z0-9]+", t.lower())
+            from collections import Counter
+
+            cnt = Counter(toks)
+            acc = 0.0
+            for tok in sorted(cnt):
+                p = cnt[tok] / len(toks)
+                acc -= p * math.log2(p)
+            assert got[i] == (len(toks), len(cnt), round(acc, 6)), t

@@ -1,0 +1,97 @@
+"""[EXT] Deterministic fixed-iteration PageRank over an edge relation.
+
+Third member of the iterative-algorithm family (with
+``operators/components.py`` connected components and
+``operators/eigen.py`` power iteration), and built with the same
+discipline those two earned the hard way:
+
+- per-iteration ``localCheckpoint(eager=True)`` truncates the
+  join-on-derived-self lineage (a bare persist leaves the logical plan
+  growing superlinearly per round),
+- the superseded round's blocks are freed as soon as the next round
+  materializes, so peak storage is 2 rank frames at any iteration count
+  (see PERF.md, round-3 block-lifetime findings),
+- every aggregation boundary is ROUNDED (`round_dp`), which is what
+  makes a floating-point fixpoint reproducible in a second engine: the
+  DuckDB oracle unrolls the same iterations as CTEs and must land on
+  identical doubles.
+
+Scale shape: each iteration is one join of the edge relation with the
+current (node, rank) frame plus one aggregate on dst — i.e. two
+shuffles per iteration, both on the node key, so pre-partitioning both
+frames by node (bucketing at lake scale) makes every round co-located.
+The degree frame is computed once.  No driver-side data beyond the
+single node-count scalar (same documented pattern as
+``contract.py``'s docs.count()).
+
+Dangling nodes (out-degree 0) contribute no mass; callers wanting the
+classic redistribute-dangling-mass variant should symmetrize edges
+first (the contract query does), which eliminates dangling nodes by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import persistent_rdd_ids, unpersist_rdds
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 9,
+) -> DataFrame:
+    """Ranks after ``iters`` synchronous PageRank iterations from the
+    uniform distribution.  Returns (node, rank)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    n_nodes = nodes.count()  # driver scalar: one number, documented pattern
+
+    before = persistent_rdd_ids(spark)
+    ranks = nodes.withColumn(
+        "rank", F.round(F.lit(1.0) / F.lit(float(n_nodes)), round_dp)
+    ).localCheckpoint()
+    rank_ids = persistent_rdd_ids(spark) - before
+
+    teleport = F.lit((1.0 - damping)) / F.lit(float(n_nodes))
+    for _ in range(iters):
+        before = persistent_rdd_ids(spark)
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+        )
+        agg = contribs.groupBy("node").agg(F.sum("contrib").alias("__s"))
+        new_ranks = (
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    teleport + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0)),
+                    round_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint()  # eager: materializes AND truncates lineage
+        )
+        new_ids = persistent_rdd_ids(spark) - before
+        # the superseded round's blocks are dead once new_ranks exists —
+        # free them now instead of waiting on the async ContextCleaner
+        unpersist_rdds(spark, rank_ids)
+        rank_ids = new_ids
+        ranks = new_ranks
+    return ranks

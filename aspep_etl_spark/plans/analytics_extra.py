@@ -235,3 +235,80 @@ ANALYTICS_ORACLE_SQL = {
     "docs_token_entropy": _ENTROPY_SQL,
     "events_value_mad": _MAD_SQL,
 }
+
+
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the (symmetrized) customer–supplier trade graph:
+    edges are distinct (customer, supplier) pairs linked through orders ×
+    lineitem, 3 damped iterations from uniform, top-100 nodes.  Each
+    iteration is two node-keyed shuffles (join + aggregate) — at lake
+    scale both frames bucket by node so every round is co-located; the
+    DuckDB oracle unrolls the identical iterations as CTEs."""
+    from ..operators.pagerank import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    # symmetrize: reversed pairs can't collide with forward ones (the
+    # prefix flips), so union-all content == set union
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank(edges, iters=3, damping=0.85, round_dp=9)
+    return pr.orderBy(F.desc("rank"), F.asc("node")).limit(100)
+
+
+def _pagerank_sql(iters: int = 3, dp: int = 9, top: int = 100) -> str:
+    """Unroll the damped iterations as CTEs.  All float literals are
+    ::DOUBLE (a bare 0.85 is DECIMAL in DuckDB) and the teleport term is
+    written (1.0 - 0.85::DOUBLE) so both engines fold the same IEEE
+    constant the Spark side computes from `1.0 - damping`."""
+    parts = [
+        f"""WITH e0 AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), nn AS (
+  SELECT count(*)::DOUBLE AS n FROM nodes
+), r0 AS (
+  SELECT node, round(1.0 / nn.n, {dp}) AS rank FROM nodes, nn
+)"""
+    ]
+    prev = "r0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", r{t} AS (
+  SELECT nd.node,
+         round((1.0 - 0.85::DOUBLE) / any_value(nn.n)
+               + 0.85::DOUBLE * coalesce(sum(r.rank / deg.d), 0.0), {dp}) AS rank
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN {prev} r ON e.src = r.node
+  LEFT JOIN deg ON deg.src = e.src
+  CROSS JOIN nn
+  GROUP BY nd.node
+)"""
+        )
+        prev = f"r{t}"
+    parts.append(
+        f"""
+SELECT node, rank FROM {prev} ORDER BY rank DESC, node LIMIT {top}"""
+    )
+    return "".join(parts)
+
+
+_PAGERANK_SQL = _pagerank_sql(iters=3, dp=9, top=100)
+
+ANALYTICS_QUERIES["graph_pagerank"] = graph_pagerank
+ANALYTICS_ORACLE_SQL["graph_pagerank"] = _PAGERANK_SQL

@@ -278,3 +278,55 @@ class TestProperties:
                 p = cnt[tok] / len(toks)
                 acc -= p * math.log2(p)
             assert got[i] == (len(toks), len(cnt), round(acc, 6)), t
+
+
+class TestPageRank:
+    def test_line_graph_matches_python_twin(self, spark):
+        from aspep_etl_spark.operators.pagerank import pagerank
+
+        # undirected path a-b-c (symmetrized): closed-form-checkable
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["rank"] for r in pagerank(df, iters=3).collect()}
+
+        # python twin with identical rounding discipline
+        nodes = ["a", "b", "c"]
+        out_deg = {"a": 1, "b": 2, "c": 1}
+        adj_in = {"a": ["b"], "b": ["a", "c"], "c": ["b"]}
+        n = float(len(nodes))
+        rank = {v: round(1.0 / n, 9) for v in nodes}
+        for _ in range(3):
+            rank = {
+                v: round(
+                    (1.0 - 0.85) / n
+                    + 0.85 * sum(rank[u] / out_deg[u] for u in adj_in[v]),
+                    9,
+                )
+                for v in nodes
+            }
+        assert got == rank
+        # symmetry: a and c are isomorphic endpoints
+        assert got["a"] == got["c"]
+        assert got["b"] > got["a"]
+
+    def test_mass_approximately_conserved(self, spark):
+        from aspep_etl_spark.operators.pagerank import pagerank
+
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        total = sum(r["rank"] for r in pagerank(df, iters=3).collect())
+        assert abs(total - 1.0) < 1e-6
+
+    def test_iteration_storage_stays_bounded(self, spark):
+        from aspep_etl_spark.cache import persistent_rdd_ids
+        from aspep_etl_spark.operators.pagerank import pagerank
+
+        before = persistent_rdd_ids(spark)
+        edges = [(f"n{i}", f"n{(i + 1) % 20}") for i in range(20)]
+        edges += [(d, s) for s, d in edges]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        pagerank(df, iters=6).count()
+        # superseded rounds freed eagerly: at most the final frame's
+        # blocks (plus nothing from the 5 dead rounds) may remain
+        leaked = persistent_rdd_ids(spark) - before
+        assert len(leaked) <= 1

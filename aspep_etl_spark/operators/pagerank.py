@@ -58,6 +58,10 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     n_nodes = nodes.count()  # driver scalar: one number, documented pattern
+    if n_nodes == 0:
+        # empty graph: return the empty (node, rank) frame rather than
+        # letting ANSI mode fault on the 1/0 teleport constant
+        return nodes.withColumn("rank", F.lit(0.0))
 
     before = persistent_rdd_ids(spark)
     ranks = nodes.withColumn(

@@ -80,3 +80,30 @@ def test_text_and_interval_on_empty(spark):
     ev = _empty_events(spark)
     iv = spark.createDataFrame([], "iid long, w_start timestamp, w_end timestamp")
     assert interval_join(ev, iv, "ts", "w_start", "w_end").count() == 0
+
+
+def test_round4_operators_on_empty(spark):
+    from aspep_etl_spark.operators.bloom import bloom_build, bloom_probe
+    from aspep_etl_spark.operators.classifier import score_documents
+    from aspep_etl_spark.operators.dedup import incremental_jaccard_matches
+    from aspep_etl_spark.operators.pagerank import pagerank
+
+    docs = _empty_docs(spark)
+    assert score_documents(docs).count() == 0
+
+    # empty filter: probes against it must all miss, not error
+    empty_keys = spark.createDataFrame([], "k string")
+    bloom = bloom_build(empty_keys, "k", m_bits=1024, k=3)
+    assert bloom.count() == 0
+    probes = spark.createDataFrame([("something",)], "k string")
+    probed = bloom_probe(probes, "k", bloom, m_bits=1024, k=3).collect()
+    assert len(probed) == 1 and not probed[0]["bloom_pass"]
+
+    # empty delta batch and empty corpus both degrade to zero matches
+    some = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    assert incremental_jaccard_matches(some, docs, "doc_id", "text").count() == 0
+    assert incremental_jaccard_matches(docs, some, "doc_id", "text").count() == 0
+
+    # empty edge relation: no nodes, empty ranks, no division blow-up
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iters=2).count() == 0

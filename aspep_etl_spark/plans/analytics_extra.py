@@ -312,3 +312,56 @@ _PAGERANK_SQL = _pagerank_sql(iters=3, dp=9, top=100)
 
 ANALYTICS_QUERIES["graph_pagerank"] = graph_pagerank
 ANALYTICS_ORACLE_SQL["graph_pagerank"] = _PAGERANK_SQL
+
+
+def events_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter screen via a Count-Min sketch (depth 4 × width 64):
+    sketch the user_id stream, estimate every user's event count from the
+    sketch, and report the top 50 estimates alongside exact counts and
+    the one-sided overestimate (est − exact ≥ 0, always).  The sketch is
+    256 counters regardless of user cardinality — at 100 TB the
+    partial+final aggregate carries counters, not keys, and the estimate
+    join broadcasts.  Width 64 is deliberately under-provisioned here so
+    collisions (and the overestimate accounting) are actually exercised."""
+    from ..operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    est = cms_estimate(exact, "user_id", cms, depth=4, width=64)
+    return (
+        est.withColumn("overestimate", F.col("cms_est") - F.col("exact_count"))
+        .orderBy(F.desc("cms_est"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
+_CMS_SQL = """
+WITH seeds AS (
+  SELECT unnest([0, 1, 2, 3]) AS d
+), coords AS (
+  SELECT e.user_id, s.d,
+         CAST('0x' || substr(md5('cms' || s.d || '|' || e.user_id::VARCHAR), 1, 8)
+              AS BIGINT) % 64 AS bucket
+  FROM events e, seeds s
+), cms AS (
+  SELECT d, bucket, count(*) AS cnt FROM coords GROUP BY d, bucket
+), exact AS (
+  SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id
+), probe AS (
+  SELECT x.user_id, x.exact_count, s.d,
+         CAST('0x' || substr(md5('cms' || s.d || '|' || x.user_id::VARCHAR), 1, 8)
+              AS BIGINT) % 64 AS bucket
+  FROM exact x, seeds s
+), est AS (
+  SELECT p.user_id, any_value(p.exact_count)::BIGINT AS exact_count,
+         min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+  FROM probe p LEFT JOIN cms c ON p.d = c.d AND p.bucket = c.bucket
+  GROUP BY p.user_id
+)
+SELECT user_id, exact_count, cms_est, (cms_est - exact_count)::BIGINT AS overestimate
+FROM est ORDER BY cms_est DESC, user_id LIMIT 50
+"""
+
+ANALYTICS_QUERIES["events_cms_heavy_hitters"] = events_cms_heavy_hitters
+ANALYTICS_ORACLE_SQL["events_cms_heavy_hitters"] = _CMS_SQL

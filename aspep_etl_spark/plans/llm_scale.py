@@ -314,3 +314,36 @@ SCALE_ORACLE_SQL = {
     "docs_bigram_logprob": _BIGRAM_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
 }
+
+
+def docs_grouped_split(spark, sf_dir):
+    """Group-leakage-safe train/val/test split: the split is hashed from
+    the SOURCE (the group key), not the row, so every document of a
+    source lands in the same split — the standard defence against
+    near-duplicate leakage across splits when a crawl source repeats
+    itself.  Output: docs per (source, split); the invariant that each
+    source maps to exactly one split is pinned in tests.  Zero-Exchange
+    selection (the hash rides the scan), one aggregate."""
+    from ..operators.sampling import split_column
+
+    docs = _t(spark, sf_dir, "documents")
+    assigned = docs.withColumn(
+        "split",
+        split_column(["source"], {"train": 0.8, "val": 0.1, "test": 0.1}, salt="gsplit"),
+    )
+    return assigned.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+
+
+_GROUPED_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN h < 'cccccccc' THEN 'train'
+            WHEN h < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM (SELECT source, substr(md5('gsplit' || '|' || source), 1, 8) AS h
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+SCALE_QUERIES["docs_grouped_split"] = docs_grouped_split
+SCALE_ORACLE_SQL["docs_grouped_split"] = _GROUPED_SPLIT_SQL

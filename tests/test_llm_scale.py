@@ -330,3 +330,58 @@ class TestPageRank:
         # blocks (plus nothing from the 5 dead rounds) may remain
         leaked = persistent_rdd_ids(spark) - before
         assert len(leaked) <= 1
+
+
+class TestCountMin:
+    def test_never_underestimates(self, spark, sf_dir):
+        from aspep_etl_spark.operators.sketch import cms_build, cms_estimate
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cms = cms_build(ev, "user_id", depth=4, width=32)  # heavy collisions
+        exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+        est = cms_estimate(exact, "user_id", cms, depth=4, width=32)
+        assert est.filter(F.col("cms_est") < F.col("exact")).count() == 0
+
+    def test_exact_when_width_exceeds_cardinality(self, spark):
+        from aspep_etl_spark.operators.sketch import cms_build, cms_estimate
+
+        rows = [(i % 5,) for i in range(100)]
+        df = spark.createDataFrame(rows, "k long")
+        # 5 distinct keys, 4096 buckets: collision probability ~0 -> exact
+        cms = cms_build(df, "k", depth=4, width=4096)
+        exact = df.groupBy("k").agg(F.count("*").alias("exact"))
+        est = cms_estimate(exact, "k", cms, depth=4, width=4096)
+        assert est.filter(F.col("cms_est") != F.col("exact")).count() == 0
+
+    def test_sketches_merge_by_union_sum(self, spark):
+        from aspep_etl_spark.operators.sketch import cms_build
+
+        a = spark.createDataFrame([(i % 7,) for i in range(50)], "k long")
+        b = spark.createDataFrame([(i % 3,) for i in range(30)], "k long")
+        both = a.union(b)
+        merged = (
+            cms_build(a, "k", 4, 64).union(cms_build(b, "k", 4, 64))
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        direct = cms_build(both, "k", 4, 64)
+        assert merged.exceptAll(direct).count() == 0
+        assert direct.exceptAll(merged).count() == 0
+
+
+class TestGroupedSplit:
+    def test_no_group_leakage(self, spark, sf_dir):
+        from aspep_etl_spark.operators.sampling import split_column
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assigned = docs.withColumn(
+            "split",
+            split_column(["source"], {"train": 0.8, "val": 0.1, "test": 0.1},
+                         salt="gsplit"),
+        )
+        leaky = (
+            assigned.groupBy("source")
+            .agg(F.count_distinct("split").alias("n_splits"))
+            .filter(F.col("n_splits") > 1)
+        )
+        assert leaky.count() == 0

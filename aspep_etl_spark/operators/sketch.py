@@ -78,3 +78,51 @@ def cms_estimate(
         .groupBy(*cols)
         .agg(F.min("__c").cast("long").alias("cms_est"))
     )
+
+
+def kmv_build(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the k smallest md5
+    hashes of the key, as a sorted array column.
+
+    The classic mergeable distinct estimator (Bar-Yossef et al.; the
+    ancestor of HLL): hash values spread uniformly on [0, 1), so the
+    k-th smallest hash h_k estimates distinct count as (k-1)/h_k.
+    Unlike ``approx_count_distinct`` (whose HLL internals are
+    engine-private) every step here is public md5 arithmetic, so the
+    sketch AND the estimate are cross-engine reproducible — the property
+    the oracle gate needs.
+
+    Keys project map-side to an 8-hex md5 prefix (32 bits — collision
+    mass is negligible against KMV's own ~1/sqrt(k) error for k ≤ ~2^10
+    and cardinalities ≤ ~10^6), then one partial+final aggregate
+    collects the distinct hashes per group and keeps the k smallest.
+    Honest scale caveat: ``collect_set`` state grows with a group's
+    distinct cardinality BEFORE the slice, so this form is for
+    dim-cardinality groups (it is exact there anyway below k); at
+    >10^6-distinct groups pre-shrink with a (group, hash) distinct +
+    per-group rank ≤ k stage so the aggregate only ever sees k rows —
+    same estimate, bounded state.
+    """
+    gcols = group_cols or []
+    h = F.substring(F.md5(F.concat(F.lit("kmv|"), F.col(key_col).cast("string"))), 1, 8)
+    rows = df.select(*gcols, h.alias("__h"))
+    return (
+        rows.groupBy(*gcols)
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("kmv"))
+    )
+
+
+def kmv_estimate(kmv_col: Column, k: int = 64) -> Column:
+    """Distinct-count estimate from a KMV array: exact |sketch| when the
+    group has fewer than k distinct hashes (the sketch IS the distinct
+    set), else (k-1) / h_k with h_k scaled from the 8-hex prefix."""
+    n = F.size(kmv_col)
+    h_k = (
+        F.conv(F.element_at(kmv_col, k), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) / h_k, 4)
+    )

@@ -365,3 +365,50 @@ FROM est ORDER BY cms_est DESC, user_id LIMIT 50
 
 ANALYTICS_QUERIES["events_cms_heavy_hitters"] = events_cms_heavy_hitters
 ANALYTICS_ORACLE_SQL["events_cms_heavy_hitters"] = _CMS_SQL
+
+
+def events_kmv_distinct(spark, sf_dir):
+    """Distinct-user estimation per event type via a K-minimum-values
+    sketch (k=64), reported against the exact distinct count.  Unlike
+    approx_count_distinct's engine-private HLL, every KMV step is public
+    md5 arithmetic, so the estimate itself is oracle-checkable.  One
+    partial+final aggregate for the sketch; the estimation branch
+    genuinely fires (each type has >64 distinct users)."""
+    from ..operators.sketch import kmv_build, kmv_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_build(ev, "user_id", ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("exact_distinct"),
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "n_events",
+        "exact_distinct",
+        kmv_estimate(F.col("kmv"), k=64).alias("kmv_est"),
+    )
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT event_type, substr(md5('kmv' || '|' || user_id::VARCHAR), 1, 8) AS hh
+  FROM events
+), sk AS (
+  SELECT event_type, list_sort(list_distinct(list(hh)))[1:64] AS kmv
+  FROM h GROUP BY event_type
+), exact AS (
+  SELECT event_type, count(*)::BIGINT AS n_events,
+         count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, x.n_events, x.exact_distinct,
+       CASE WHEN len(s.kmv) < 64 THEN len(s.kmv)::DOUBLE
+            ELSE round(63.0::DOUBLE /
+                       (CAST('0x' || s.kmv[64] AS BIGINT)::DOUBLE / 4294967296.0), 4)
+       END AS kmv_est
+FROM sk s JOIN exact x USING (event_type)
+"""
+
+ANALYTICS_QUERIES["events_kmv_distinct"] = events_kmv_distinct
+ANALYTICS_ORACLE_SQL["events_kmv_distinct"] = _KMV_SQL

@@ -385,3 +385,33 @@ class TestGroupedSplit:
             .filter(F.col("n_splits") > 1)
         )
         assert leaky.count() == 0
+
+
+class TestKMV:
+    def test_exact_below_k(self, spark):
+        from aspep_etl_spark.operators.sketch import kmv_build, kmv_estimate
+
+        df = spark.createDataFrame([(i % 10,) for i in range(200)], "k long")
+        sk = kmv_build(df, "k", k=64)
+        est = sk.select(kmv_estimate(F.col("kmv"), 64).alias("e")).collect()[0]["e"]
+        assert est == 10.0  # below k the sketch IS the distinct set
+
+    def test_estimate_within_error_bound(self, spark):
+        from aspep_etl_spark.operators.sketch import kmv_build, kmv_estimate
+
+        # 2000 distinct >> k=64: estimation branch; std err ~ 1/sqrt(64)
+        df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+        sk = kmv_build(df, "k", k=64)
+        est = sk.select(kmv_estimate(F.col("kmv"), 64).alias("e")).collect()[0]["e"]
+        assert 2000 * 0.6 < est < 2000 * 1.4
+
+    def test_sketches_merge_by_union(self, spark):
+        from aspep_etl_spark.operators.sketch import kmv_build
+
+        a = spark.createDataFrame([(i,) for i in range(300)], "k long")
+        b = spark.createDataFrame([(i,) for i in range(150, 450)], "k long")
+        direct = kmv_build(a.union(b), "k", k=64).collect()[0]["kmv"]
+        sa = kmv_build(a, "k", k=64).collect()[0]["kmv"]
+        sb = kmv_build(b, "k", k=64).collect()[0]["kmv"]
+        merged = sorted(set(sa) | set(sb))[:64]
+        assert merged == direct

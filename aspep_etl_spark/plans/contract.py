@@ -2154,6 +2154,7 @@ ORACLE_SQL = {
 
 from .analytics_extra import ANALYTICS_ORACLE_SQL, ANALYTICS_QUERIES  # noqa: E402
 from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402
+from .ingest_funnel import INGEST_ORACLE_SQL, INGEST_QUERIES  # noqa: E402
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
 from .llm_scale import SCALE_ORACLE_SQL, SCALE_QUERIES  # noqa: E402
 from .relational_extra import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
@@ -2165,9 +2166,11 @@ SPARK_QUERIES.update(REL_QUERIES)
 SPARK_QUERIES.update(CURATION_QUERIES)
 SPARK_QUERIES.update(SCALE_QUERIES)
 SPARK_QUERIES.update(ANALYTICS_QUERIES)
+SPARK_QUERIES.update(INGEST_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
 ORACLE_SQL.update(LLM_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
 ORACLE_SQL.update(CURATION_ORACLE_SQL)
 ORACLE_SQL.update(SCALE_ORACLE_SQL)
 ORACLE_SQL.update(ANALYTICS_ORACLE_SQL)
+ORACLE_SQL.update(INGEST_ORACLE_SQL)

@@ -37,3 +37,29 @@ def test_curation_stage_invariants(spark, sf_dir):
     ).count()
     assert leaked == 0
     assert curated.count() == len(s4)
+
+
+class TestIngestFunnel:
+    """Integration checks for the incremental ingest funnel (the day-2
+    counterpart of the curation funnel)."""
+
+    def test_stage_counts_monotone_and_coherent(self, spark, sf_dir):
+        from aspep_etl_spark.plans.ingest_funnel import llm_ingest_funnel
+
+        rows = {r["stage"]: r["n_docs"] for r in llm_ingest_funnel(spark, sf_dir).collect()}
+        order = ["0_batch", "1_exact", "2_neardup", "3_decontam", "4_quality",
+                 "5_classifier"]
+        for a, b in zip(order, order[1:]):
+            assert rows[b] <= rows[a], (a, b, rows)
+        # split tail partitions the classifier survivors exactly
+        split_total = sum(v for k, v in rows.items() if k.startswith("6_"))
+        assert split_total == rows["5_classifier"]
+
+    def test_no_corpus_doc_admitted(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from aspep_etl_spark.plans.ingest_funnel import ingest_batch
+
+        st = ingest_batch(spark, sf_dir)
+        bad = st["admitted"].filter(F.col("doc_id") % 5 != 4)
+        assert bad.count() == 0

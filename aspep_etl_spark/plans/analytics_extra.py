@@ -412,3 +412,169 @@ FROM sk s JOIN exact x USING (event_type)
 
 ANALYTICS_QUERIES["events_kmv_distinct"] = events_kmv_distinct
 ANALYTICS_ORACLE_SQL["events_kmv_distinct"] = _KMV_SQL
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Classic cohort-retention matrix: users grouped by first-activity
+    day (signup cohort), tracked across weekly offsets — the churn
+    analysis every activity dataset gets.  Shape: one window (or min-agg)
+    for first-touch + one distinct aggregate on (cohort, offset); both
+    keyed shuffles.  Output: cohort_day, week_offset, n_active,
+    retention vs the cohort's week-0 size."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        days.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    mat = act.groupBy("cohort_day", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    base = mat.filter(F.col("week_offset") == 0).select(
+        "cohort_day", F.col("n_active").alias("__c0")
+    )
+    return (
+        mat.join(base, "cohort_day")
+        .select(
+            "cohort_day",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("__c0"), 6).alias("retention"),
+        )
+    )
+
+
+_RETENTION_SQL = """
+WITH days AS (
+  SELECT user_id, ts::DATE AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+), act AS (
+  SELECT DISTINCT d.user_id, f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, d.day) // 7 AS BIGINT) AS week_offset
+  FROM days d JOIN first f USING (user_id)
+), mat AS (
+  SELECT cohort_day, week_offset, count(DISTINCT user_id)::BIGINT AS n_active
+  FROM act GROUP BY 1, 2
+), base AS (
+  SELECT cohort_day, n_active AS c0 FROM mat WHERE week_offset = 0
+)
+SELECT m.cohort_day, m.week_offset, m.n_active,
+       round(m.n_active / b.c0, 6) AS retention
+FROM mat m JOIN base b USING (cohort_day)
+"""
+
+ANALYTICS_QUERIES["events_retention_cohorts"] = events_retention_cohorts
+ANALYTICS_ORACLE_SQL["events_retention_cohorts"] = _RETENTION_SQL
+
+
+def events_user_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    (α=0.2), seeded by the first event and folded in (ts, event_id)
+    order — the streaming-style smoothed state computed batch-side.
+    One groupBy shuffle; the fold itself is an in-array expression, and
+    because both engines fold the identically-ordered list, the IEEE
+    result is bit-identical before the final rounding."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+        "s -> s.value)"
+    )
+    grouped = ev.groupBy("user_id").agg(ordered.alias("__vals"))
+    ewma = F.expr(
+        "aggregate(slice(__vals, 2, size(__vals) - 1), __vals[0], "
+        "(acc, x) -> CAST(0.2 AS DOUBLE) * x + CAST(0.8 AS DOUBLE) * acc)"
+    )
+    return grouped.select(
+        "user_id",
+        F.size("__vals").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+_EWMA_SQL = """
+WITH g AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, len(vals)::BIGINT AS n_events,
+       round(list_reduce(vals,
+             (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 6) AS ewma_value
+FROM g
+"""
+
+ANALYTICS_QUERIES["events_user_ewma"] = events_user_ewma
+ANALYTICS_ORACLE_SQL["events_user_ewma"] = _EWMA_SQL
+
+
+def events_attribution_linear(spark, sf_dir):
+    """Multi-touch LINEAR attribution — the complement of the last-touch
+    reduction in streaming/attribution.py: every in-horizon click of a
+    purchase shares the conversion credit equally (1/n), aggregated per
+    acquisition channel (derived deterministically from the click's JSON
+    props).  Same user-keyed range join as the streaming path; the
+    credit split is one window count + a map-side division."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("cts"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).alias("channel"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("pts"),
+    )
+    cond = (
+        (clicks.c_user_id == purch.user_id)
+        & (clicks.cts <= purch.pts)
+        & (clicks.cts >= purch.pts - F.expr("INTERVAL 7200 SECOND"))
+    )
+    pairs = clicks.join(purch, cond)
+    w = Window.partitionBy("purchase_id")
+    weighted = pairs.withColumn(
+        "credit", F.lit(1.0) / F.count("*").over(w)
+    )
+    return weighted.groupBy("channel").agg(
+        F.count("*").alias("n_touches"),
+        F.count_distinct("purchase_id").alias("n_purchases_touched"),
+        F.round(F.sum("credit"), 6).alias("credit"),
+    )
+
+
+_ATTRIB_LINEAR_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts,
+         (json_extract_string(props, '$.k')::BIGINT % 5) AS channel
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT c.channel, c.click_id, p.purchase_id
+  FROM c JOIN p ON c.user_id = p.user_id
+    AND c.cts <= p.pts AND c.cts >= p.pts - INTERVAL 2 HOUR
+), weighted AS (
+  SELECT channel, purchase_id,
+         1.0::DOUBLE / count(*) OVER (PARTITION BY purchase_id) AS credit
+  FROM pairs
+)
+SELECT channel, count(*)::BIGINT AS n_touches,
+       count(DISTINCT purchase_id)::BIGINT AS n_purchases_touched,
+       round(sum(credit), 6) AS credit
+FROM weighted GROUP BY channel
+"""
+
+ANALYTICS_QUERIES["events_attribution_linear"] = events_attribution_linear
+ANALYTICS_ORACLE_SQL["events_attribution_linear"] = _ATTRIB_LINEAR_SQL

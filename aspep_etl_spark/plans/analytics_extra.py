@@ -578,3 +578,60 @@ FROM weighted GROUP BY channel
 
 ANALYTICS_QUERIES["events_attribution_linear"] = events_attribution_linear
 ANALYTICS_ORACLE_SQL["events_attribution_linear"] = _ATTRIB_LINEAR_SQL
+
+
+def streaming_cms_heavy_hitters(spark, sf_dir):
+    """Streaming sketch maintenance, oracle-gated: run the foreachBatch
+    Count-Min maintenance over the events feed (availableNow), read the
+    resulting sketch store, and report the top-20 user-frequency
+    estimates.  Because union+sum is the algebraic sketch merge, the
+    streamed sketch equals the batch sketch EXACTLY — which is what lets
+    a query that really runs the streaming machinery carry a full SQL
+    oracle instead of the weaker rows-only check."""
+    import os
+    import tempfile
+
+    from ..operators.sketch import cms_estimate
+    from ..streaming.sketches import run_streaming_cms
+
+    d = tempfile.mkdtemp(prefix="cms-stream-")
+    store = os.path.join(d, "store")
+    run_streaming_cms(
+        spark, f"{sf_dir}/events.parquet", store, "user_id",
+        os.path.join(d, "ck"), depth=4, width=64,
+    )
+    cms = spark.read.parquet(store)
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return (
+        cms_estimate(users, "user_id", cms, depth=4, width=64)
+        .orderBy(F.desc("cms_est"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+_STREAM_CMS_SQL = """
+WITH seeds AS (
+  SELECT unnest([0, 1, 2, 3]) AS d
+), coords AS (
+  SELECT e.user_id, s.d,
+         CAST('0x' || substr(md5('cms' || s.d || '|' || e.user_id::VARCHAR), 1, 8)
+              AS BIGINT) % 64 AS bucket
+  FROM events e, seeds s
+), cms AS (
+  SELECT d, bucket, count(*) AS cnt FROM coords GROUP BY d, bucket
+), users AS (
+  SELECT DISTINCT user_id FROM events
+), probe AS (
+  SELECT u.user_id, s.d,
+         CAST('0x' || substr(md5('cms' || s.d || '|' || u.user_id::VARCHAR), 1, 8)
+              AS BIGINT) % 64 AS bucket
+  FROM users u, seeds s
+)
+SELECT p.user_id, min(coalesce(c.cnt, 0))::BIGINT AS cms_est
+FROM probe p LEFT JOIN cms c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.user_id
+ORDER BY cms_est DESC, user_id LIMIT 20
+"""
+
+ANALYTICS_QUERIES["streaming_cms_heavy_hitters"] = streaming_cms_heavy_hitters
+ANALYTICS_ORACLE_SQL["streaming_cms_heavy_hitters"] = _STREAM_CMS_SQL

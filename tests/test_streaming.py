@@ -360,3 +360,38 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(batch) >= 5  # sf0.001: 9 in-horizon pairs
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Sketch maintenance across micro-batches must be EXACTLY the batch
+    sketch (union+sum is the algebraic merge), and re-running with the
+    same checkpoint must be a no-op (exactly-once via checkpoint, since
+    counter merges — unlike latest-wins upserts — are not idempotent
+    under duplicate delivery)."""
+    from aspep_etl_spark.operators.sketch import cms_build
+    from aspep_etl_spark.streaming.sketches import run_streaming_cms
+
+    ev = spark.createDataFrame(
+        [(i, i % 17) for i in range(500)], "event_id long, user_id long"
+    )
+    feed = str(tmp_path / "feed")
+    ev.repartition(3).write.parquet(feed)  # 3 files -> 3 micro-batches
+    store = str(tmp_path / "cms_store")
+
+    run_streaming_cms(
+        spark, feed, store, "user_id", str(tmp_path / "ck"),
+        depth=4, width=64, max_files_per_trigger=1,
+    )
+    got = spark.read.parquet(store)
+    want = cms_build(ev, "user_id", 4, 64)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # same checkpoint, no new files: counters must not move
+    run_streaming_cms(
+        spark, feed, store, "user_id", str(tmp_path / "ck"),
+        depth=4, width=64, max_files_per_trigger=1,
+    )
+    again = spark.read.parquet(store)
+    assert again.exceptAll(want).count() == 0
+    assert want.exceptAll(again).count() == 0

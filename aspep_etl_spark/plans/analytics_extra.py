@@ -635,3 +635,101 @@ ORDER BY cms_est DESC, user_id LIMIT 20
 
 ANALYTICS_QUERIES["streaming_cms_heavy_hitters"] = streaming_cms_heavy_hitters
 ANALYTICS_ORACLE_SQL["streaming_cms_heavy_hitters"] = _STREAM_CMS_SQL
+
+
+def events_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic day_number − row_number grouping (one user-keyed window
+    + one aggregate).  Output: active-day count, streak count, longest
+    streak per user."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "__grp",
+        F.datediff(F.col("day"), F.lit("2024-01-01")) - F.row_number().over(w),
+    )
+    streaks = grouped.groupBy("user_id", "__grp").agg(
+        F.count("*").alias("__len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("__len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("__len").alias("longest_streak"),
+    )
+
+
+_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+), grouped AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id, sum(len)::BIGINT AS n_active_days,
+       count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest_streak
+FROM streaks GROUP BY user_id
+"""
+
+ANALYTICS_QUERIES["events_activity_streaks"] = events_activity_streaks
+ANALYTICS_ORACLE_SQL["events_activity_streaks"] = _STREAKS_SQL
+
+
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer from orders, composed into the classic 3-digit segment.
+    Quintiles are NTILE(5) with total-order tie-breaks (metric then
+    custkey) so assignment is deterministic on every engine.  The global
+    NTILE single-partitions the CUSTOMER-grain frame — fine at
+    dim-cardinality, and at fact-scale customer counts swap the exact
+    quintiles for percentile_approx boundary cuts broadcast onto the
+    scan (same documented trade as orders_price_deciles)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        per.withColumn("r_score", F.ntile(5).over(w_r))
+        .withColumn("f_score", F.ntile(5).over(w_f))
+        .withColumn("m_score", F.ntile(5).over(w_m))
+        .select(
+            "o_custkey",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat("r_score", "f_score", "m_score").alias("segment"),
+        )
+    )
+
+
+_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency, round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, frequency::BIGINT AS frequency, monetary,
+       ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+       ntile(5) OVER (ORDER BY frequency DESC, o_custkey)  AS f_score,
+       ntile(5) OVER (ORDER BY monetary DESC, o_custkey)   AS m_score,
+       ntile(5) OVER (ORDER BY last_order DESC, o_custkey)::VARCHAR
+         || ntile(5) OVER (ORDER BY frequency DESC, o_custkey)::VARCHAR
+         || ntile(5) OVER (ORDER BY monetary DESC, o_custkey)::VARCHAR AS segment
+FROM per
+"""
+
+ANALYTICS_QUERIES["customer_rfm_segments"] = customer_rfm_segments
+ANALYTICS_ORACLE_SQL["customer_rfm_segments"] = _RFM_SQL

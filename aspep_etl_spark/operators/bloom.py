@@ -85,10 +85,10 @@ def bloom_probe(
     """Append ``bloom_pass`` (boolean) per probe row.
 
     Fans each probe key to its k (word_idx, bit) coordinates, broadcast-
-    joins the filter, and requires all k bits set.  Input rows are
-    preserved 1:1 (the fan-out collapses back with a groupBy on the
-    probe's original columns — distinct keys can be pre-deduped by the
-    caller for the classic semi-join use).
+    joins the filter, and requires all k bits set.  The fan-out collapses
+    back with a groupBy on the probe's original columns, so input ROWS
+    must be distinct (duplicate rows would collapse to one) — the natural
+    shape for the semi-join use, where probes are (id, key) pairs.
     """
     cols = probes.columns
     fan = probes.select(

@@ -62,7 +62,9 @@ def cms_estimate(
 ) -> DataFrame:
     """Append ``cms_est`` (long) per input row: the min-counter estimate
     of the key's frequency in the sketched input.  The sketch join is
-    broadcast by construction (≤ depth·width rows)."""
+    broadcast by construction (≤ depth·width rows).  Input rows must be
+    distinct (the probe fan-out collapses back with a groupBy over the
+    original columns)."""
     cols = keys.columns
     fan = keys.select(
         *cols,

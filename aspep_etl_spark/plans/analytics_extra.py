@@ -733,3 +733,165 @@ FROM per
 
 ANALYTICS_QUERIES["customer_rfm_segments"] = customer_rfm_segments
 ANALYTICS_ORACLE_SQL["customer_rfm_segments"] = _RFM_SQL
+
+
+def events_daily_resample(spark, sf_dir):
+    """Time-series resampling with gap fill: each user's event-value
+    series is re-gridded to one row per calendar day across their active
+    span, carrying the last observed daily aggregate forward through
+    gap days (ffill).  The day grid is generated with `sequence` +
+    explode (cheap-child explode, no fence needed) and the carry is one
+    `last(..., ignorenulls)` running window — the standard Spark
+    gap-fill composition.  Two shuffles: the daily aggregate and the
+    user-keyed window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .withColumn("is_gap", F.col("day_value").isNull())
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            "filled_value",
+            "is_gap",
+        )
+    )
+
+
+_RESAMPLE_SQL = """
+WITH daily AS (
+  SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS day_value
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+)
+SELECT g.user_id, g.day::VARCHAR AS day,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       d.day_value IS NULL AS is_gap
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+ANALYTICS_QUERIES["events_daily_resample"] = events_daily_resample
+ANALYTICS_ORACLE_SQL["events_daily_resample"] = _RESAMPLE_SQL
+
+
+def users_radius_join(spark, sf_dir):
+    """Geospatial radius join: deterministic per-user coordinates
+    (synthesized in-plan from user_id, same pattern as pii_scan's signal
+    synthesis) and all user pairs within 25 km via 3×3 grid-cell
+    candidate generation + exact haversine verify — never a nested-loop
+    join (plan-pinned).  The DuckDB oracle is the BRUTE-FORCE all-pairs
+    form, independently proving the bucketing misses no pair."""
+    from ..operators.geo import radius_join
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        F.col("user_id").alias("id"),
+        (F.lit(40.0) + (F.col("user_id") % 100) / F.lit(100.0)).alias("lat"),
+        (F.lit(-74.0) + ((F.col("user_id") * 7) % 100) / F.lit(100.0)).alias("lon"),
+    )
+    return radius_join(users, radius_km=25.0, cell_deg=0.5)
+
+
+_RADIUS_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id AS id,
+         40.0::DOUBLE + (user_id % 100) / 100.0::DOUBLE AS lat,
+         -74.0::DOUBLE + ((user_id * 7) % 100) / 100.0::DOUBLE AS lon
+  FROM events
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(2.0 * 6371.0 * asin(sqrt(
+         sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+         + cos(radians(a.lat)) * cos(radians(b.lat))
+           * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+       )), 3) AS distance_km
+FROM u a JOIN u b ON a.id < b.id
+WHERE 2.0 * 6371.0 * asin(sqrt(
+        sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+        + cos(radians(a.lat)) * cos(radians(b.lat))
+          * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)
+      )) <= 25.0
+"""
+
+ANALYTICS_QUERIES["users_radius_join"] = users_radius_join
+ANALYTICS_ORACLE_SQL["users_radius_join"] = _RADIUS_SQL
+
+
+def events_session_paths(spark, sf_dir):
+    """Behavioral path mining: sessionize (30-min gaps, reusing the same
+    operator the streaming contract checks), collect each session's
+    time-ordered event-type path, and report the top-20 most common
+    paths with frequency and average session value.  One user-keyed
+    window (sessionize) + one (user, session) aggregate + one path
+    count — the path strings are tiny relative to the events, so the
+    final count is a dim-sized shuffle."""
+    from ..streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, gap_seconds=1800)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), s -> s.event_type), '>')"
+        ).alias("path"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("session_value"), 6).alias("avg_session_value"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+_SESSION_PATHS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         CASE WHEN lag(epoch(ts)::BIGINT) OVER w IS NULL
+                   OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), per_session AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+         round(sum(value), 2) AS session_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT path, count(*)::BIGINT AS n_sessions,
+       round(avg(session_value), 6) AS avg_session_value
+FROM per_session GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+ANALYTICS_QUERIES["events_session_paths"] = events_session_paths
+ANALYTICS_ORACLE_SQL["events_session_paths"] = _SESSION_PATHS_SQL

@@ -415,3 +415,71 @@ class TestKMV:
         sb = kmv_build(b, "k", k=64).collect()[0]["kmv"]
         merged = sorted(set(sa) | set(sb))[:64]
         assert merged == direct
+
+
+class TestGeo:
+    def test_known_distance(self, spark):
+        from aspep_etl_spark.operators.geo import haversine_km
+
+        # London (51.5074, -0.1278) to Paris (48.8566, 2.3522) ~ 343.5 km
+        df = spark.createDataFrame([(1,)], "x int").select(
+            haversine_km(
+                F.lit(51.5074), F.lit(-0.1278), F.lit(48.8566), F.lit(2.3522)
+            ).alias("d")
+        )
+        assert abs(df.collect()[0]["d"] - 343.5) < 1.0
+
+    def test_bucketing_equals_brute_force(self, spark):
+        import itertools
+        import math
+
+        from aspep_etl_spark.operators.geo import radius_join
+
+        pts = [
+            (i, 40.0 + (i * 13 % 50) / 50.0, -74.0 + (i * 29 % 50) / 50.0)
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in radius_join(df, radius_km=30.0, cell_deg=0.5).collect()
+        }
+
+        def hav(a, b):
+            dlat = math.radians(b[1] - a[1]); dlon = math.radians(b[2] - a[2])
+            x = (math.sin(dlat / 2) ** 2
+                 + math.cos(math.radians(a[1])) * math.cos(math.radians(b[1]))
+                 * math.sin(dlon / 2) ** 2)
+            return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+        want = {
+            (a[0], b[0])
+            for a, b in itertools.combinations(pts, 2)
+            if hav(a, b) <= 30.0
+        }
+        assert got == want
+
+    def test_no_nested_loop_join(self, spark):
+        from aspep_etl_spark.operators.geo import radius_join
+
+        df = spark.createDataFrame(
+            [(i, 40.0 + i / 100.0, -74.0) for i in range(20)],
+            "id long, lat double, lon double",
+        )
+        plan = (
+            radius_join(df, 25.0, 0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cell_size_guard(self, spark):
+        import pytest as _pytest
+
+        from aspep_etl_spark.operators.geo import radius_join
+
+        df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
+        with _pytest.raises(AssertionError):
+            radius_join(df, radius_km=100.0, cell_deg=0.5)

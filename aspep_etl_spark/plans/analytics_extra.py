@@ -895,3 +895,85 @@ ORDER BY n_sessions DESC, path LIMIT 20
 
 ANALYTICS_QUERIES["events_session_paths"] = events_session_paths
 ANALYTICS_ORACLE_SQL["events_session_paths"] = _SESSION_PATHS_SQL
+
+
+def orders_scd2_join(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) temporal join: a versioned
+    customer-tier dimension is synthesized in-plan (every customer gets
+    three date-bounded versions of a tier attribute, derived
+    deterministically from the key — same in-plan synthesis pattern as
+    pii_scan), and each order joins the version VALID AT its order date:
+    equi-join on the customer key + BETWEEN range predicate.  Because an
+    equi key exists, Catalyst plans a plain hash join with the range as
+    a post-filter — the cheap case of temporal joins (the keyless case
+    is `operators/ranges.interval_join`).  Output: orders per (tier,
+    year)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    # three versions per customer: [1992-01-01, v1), [v1, v2), [v2, open)
+    v1 = F.date_add(F.lit("1994-01-01").cast("date"), (F.col("custkey") % 365).cast("int"))
+    v2 = F.date_add(F.lit("1996-01-01").cast("date"), ((F.col("custkey") * 7) % 365).cast("int"))
+    dim = cust.select(
+        "custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1992-01-01").cast("date").alias("valid_from"),
+                    v1.alias("valid_to"),
+                    (F.col("custkey") % 3).alias("tier"),
+                ),
+                F.struct(
+                    v1.alias("valid_from"),
+                    v2.alias("valid_to"),
+                    ((F.col("custkey") + 1) % 3).alias("tier"),
+                ),
+                F.struct(
+                    v2.alias("valid_from"),
+                    F.lit("9999-12-31").cast("date").alias("valid_to"),
+                    ((F.col("custkey") + 2) % 3).alias("tier"),
+                ),
+            )
+        ).alias("v"),
+    ).select("custkey", "v.valid_from", "v.valid_to", "v.tier")
+    joined = orders.join(
+        dim,
+        (orders.o_custkey == dim.custkey)
+        & (orders.o_orderdate >= dim.valid_from)
+        & (orders.o_orderdate < dim.valid_to),
+    )
+    return joined.groupBy(
+        F.col("tier"), F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_SCD2_SQL = """
+WITH cust AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders
+), dim AS (
+  SELECT custkey, v.* FROM cust, LATERAL (
+    SELECT DATE '1992-01-01' AS valid_from,
+           DATE '1994-01-01' + INTERVAL ((custkey % 365)::INT) DAY AS valid_to,
+           custkey % 3 AS tier
+    UNION ALL
+    SELECT DATE '1994-01-01' + INTERVAL ((custkey % 365)::INT) DAY,
+           DATE '1996-01-01' + INTERVAL (((custkey * 7) % 365)::INT) DAY,
+           (custkey + 1) % 3
+    UNION ALL
+    SELECT DATE '1996-01-01' + INTERVAL (((custkey * 7) % 365)::INT) DAY,
+           DATE '9999-12-31',
+           (custkey + 2) % 3
+  ) v
+)
+SELECT d.tier, year(o.o_orderdate)::INT AS order_year,
+       count(*)::BIGINT AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.custkey
+ AND o.o_orderdate >= d.valid_from AND o.o_orderdate < d.valid_to
+GROUP BY 1, 2
+"""
+
+ANALYTICS_QUERIES["orders_scd2_join"] = orders_scd2_join
+ANALYTICS_ORACLE_SQL["orders_scd2_join"] = _SCD2_SQL

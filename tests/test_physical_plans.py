@@ -180,3 +180,12 @@ def test_bloom_probe_joins_broadcast_only(spark, sf):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_join_is_hash_join_on_key(spark, sf):
+    """The SCD2 temporal join has an equi key, so it must plan as a hash
+    (or sort-merge) join with the validity range as a post-filter —
+    never a BroadcastNestedLoopJoin."""
+    plan = plan_of(contract.SPARK_QUERIES["orders_scd2_join"](spark, sf), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -977,3 +977,111 @@ GROUP BY 1, 2
 
 ANALYTICS_QUERIES["orders_scd2_join"] = orders_scd2_join
 ANALYTICS_ORACLE_SQL["orders_scd2_join"] = _SCD2_SQL
+
+
+def events_rolling_distinct_users(spark, sf_dir):
+    """7-day rolling DISTINCT user count per event type.  Rolling
+    count-distinct is not algebraic, so the exact relational form is a
+    day-grid × active-day range join (each (type, day) cell counts the
+    distinct users of its trailing window) — candidate volume is
+    window_days × daily actives, bounded and shuffle-friendly, instead
+    of a per-row window sort.  At scale the window would use an HLL/KMV
+    sketch merge (see operators/sketch.py) — this is the exact
+    baseline."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    grid = daily.select("event_type", "day").distinct()
+    joined = grid.alias("g").join(
+        daily.alias("d"),
+        (F.col("g.event_type") == F.col("d.event_type"))
+        & (F.col("d.day") <= F.col("g.day"))
+        & (F.col("d.day") >= F.date_sub(F.col("g.day"), 6)),
+    )
+    return joined.groupBy(
+        F.col("g.event_type").alias("event_type"),
+        F.col("g.day").cast("string").alias("day"),
+    ).agg(F.count_distinct(F.col("d.user_id")).alias("rolling_users_7d"))
+
+
+_ROLLING_DISTINCT_SQL = """
+WITH daily AS (
+  SELECT DISTINCT event_type, ts::DATE AS day, user_id FROM events
+), grid AS (
+  SELECT DISTINCT event_type, day FROM daily
+)
+SELECT g.event_type, g.day::VARCHAR AS day,
+       count(DISTINCT d.user_id)::BIGINT AS rolling_users_7d
+FROM grid g JOIN daily d
+  ON g.event_type = d.event_type
+ AND d.day <= g.day AND d.day >= g.day - INTERVAL 6 DAY
+GROUP BY 1, 2
+"""
+
+ANALYTICS_QUERIES["events_rolling_distinct_users"] = events_rolling_distinct_users
+ANALYTICS_ORACLE_SQL["events_rolling_distinct_users"] = _ROLLING_DISTINCT_SQL
+
+
+def events_chi_square(spark, sf_dir):
+    """Chi-square independence test between event type and acquisition
+    channel (props-derived): observed vs expected contingency counts,
+    the per-cell statistic contribution, and the total χ² — all from
+    exact integer counts, so the only float ops are the final divisions
+    (identical IEEE on both engines).  Two aggregates + broadcast margin
+    joins."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") % 5).alias("channel"),
+    )
+    obs = base.groupBy("event_type", "channel").agg(F.count("*").alias("o"))
+    row_m = base.groupBy("event_type").agg(F.count("*").alias("r"))
+    col_m = base.groupBy("channel").agg(F.count("*").alias("c"))
+    tot = base.agg(F.count("*").alias("n"))
+    cells = (
+        obs.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "channel")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", F.col("r") * F.col("c") / F.col("n"))
+        .withColumn(
+            "chi2_cell",
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"),
+        )
+    )
+    return cells.select(
+        "event_type",
+        "channel",
+        "o",
+        F.round("e", 6).alias("expected"),
+        F.round("chi2_cell", 6).alias("chi2_cell"),
+    )
+
+
+_CHI_SQUARE_SQL = """
+WITH base AS (
+  SELECT event_type,
+         (json_extract_string(props, '$.k')::BIGINT % 5) AS channel
+  FROM events
+), obs AS (
+  SELECT event_type, channel, count(*) AS o FROM base GROUP BY 1, 2
+), row_m AS (
+  SELECT event_type, count(*) AS r FROM base GROUP BY 1
+), col_m AS (
+  SELECT channel, count(*) AS c FROM base GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n FROM base
+)
+SELECT o.event_type, o.channel, o.o::BIGINT AS o,
+       round(row_m.r * col_m.c / tot.n, 6) AS expected,
+       round((o.o - row_m.r * col_m.c / tot.n)
+             * (o.o - row_m.r * col_m.c / tot.n)
+             / (row_m.r * col_m.c / tot.n), 6) AS chi2_cell
+FROM obs o
+JOIN row_m USING (event_type)
+JOIN col_m USING (channel)
+CROSS JOIN tot
+"""
+
+ANALYTICS_QUERIES["events_chi_square"] = events_chi_square
+ANALYTICS_ORACLE_SQL["events_chi_square"] = _CHI_SQUARE_SQL

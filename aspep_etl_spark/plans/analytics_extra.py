@@ -1,7 +1,15 @@
-"""[EXT] Statistical-analytics contract queries, round 4: grouped OLS
-trend (regr_* aggregates), Markov event-transition mining, in-array
-token-entropy quality scoring, and robust dispersion stats
-(median / MAD / robust z-outlier counts).
+"""[EXT] Statistical- and behavioral-analytics contract queries, round 4:
+
+- grouped OLS trend (regr_* aggregates), Markov transition mining,
+  token entropy, median/MAD robust stats, chi-square independence;
+- sketches: Count-Min heavy hitters (batch + streaming-maintained) and
+  KMV distinct estimation, both with oracle-checkable estimates;
+- graph: fixed-iteration PageRank (unrolled-CTE twin);
+- behavioral: cohort retention, per-user EWMA, multi-touch linear
+  attribution, activity streaks, session path mining, RFM segments;
+- temporal/spatial: daily resample + forward fill, rolling distinct
+  (exact baseline), SCD2 dimension join, grid-bucketed geo radius join
+  (brute-force oracle proves the bucketing lossless).
 
 Each query has a DuckDB oracle twin.  Cross-engine determinism notes:
 

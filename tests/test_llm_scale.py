@@ -483,3 +483,49 @@ class TestGeo:
         df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
         with _pytest.raises(AssertionError):
             radius_join(df, radius_km=100.0, cell_deg=0.5)
+
+
+class TestGeoProperties:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _pts = st.lists(
+        st.tuples(
+            st.floats(min_value=35.0, max_value=36.0, allow_nan=False),
+            st.floats(min_value=-120.0, max_value=-119.0, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    @given(_pts)
+    def test_random_points_match_brute_force(self, spark, coords):
+        import itertools
+        import math
+
+        from aspep_etl_spark.operators.geo import radius_join
+
+        pts = [(i, la, lo) for i, (la, lo) in enumerate(coords)]
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in radius_join(df, radius_km=40.0, cell_deg=0.6).collect()
+        }
+
+        def hav(a, b):
+            dlat = math.radians(b[1] - a[1]); dlon = math.radians(b[2] - a[2])
+            x = (math.sin(dlat / 2) ** 2
+                 + math.cos(math.radians(a[1])) * math.cos(math.radians(b[1]))
+                 * math.sin(dlon / 2) ** 2)
+            return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+        want = {
+            (a[0], b[0])
+            for a, b in itertools.combinations(pts, 2)
+            if hav(a, b) <= 40.0
+        }
+        assert got == want

@@ -41,16 +41,29 @@ from pyspark.sql import functions as F
 BITS_PER_WORD = 32
 
 
-def _position(key: Column, seed: int, m_bits: int) -> Column:
-    """Deterministic bit position in [0, m_bits) for one hash seed."""
+def _position(key: Column, seed: Column, m_bits: int) -> Column:
+    """Deterministic bit position in [0, m_bits) for one hash seed.
+
+    ``seed`` is a COLUMN (from an exploded seed sequence), not unrolled
+    into an inline array: ``explode(array(md5..., md5..., md5...))``
+    re-evaluates the whole array child once per EMITTED element (the
+    explode-fence pathology, PERF.md; measured ~4x redundant hashing at
+    k=4), while explode-the-cheap-sequence-then-hash evaluates each md5
+    exactly once per generated row with no fence needed."""
     h32 = F.conv(
-        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit("|"), key)), 1, 8), 16, 10
+        F.substring(
+            F.md5(F.concat(seed.cast("string"), F.lit("|"), key)), 1, 8
+        ),
+        16,
+        10,
     ).cast("long")
     return h32 % F.lit(m_bits)
 
 
-def _positions(key: Column, k: int, m_bits: int) -> Column:
-    return F.array(*[_position(key, s, m_bits) for s in range(1, k + 1)])
+def _seeds(k: int) -> Column:
+    """Exploded seed column 1..k — a literal-sequence generator child,
+    which is the cheap-child explode case (no re-evaluation concern)."""
+    return F.explode(F.sequence(F.lit(1), F.lit(k)))
 
 
 def bloom_build(
@@ -62,7 +75,8 @@ def bloom_build(
     broadcast-sized relation whatever the input cardinality.
     """
     pos = (
-        keys.select(F.explode(_positions(F.col(key_col), k, m_bits)).alias("pos"))
+        keys.select(F.col(key_col).alias("__k"), _seeds(k).alias("__s"))
+        .select(_position(F.col("__k"), F.col("__s"), m_bits).alias("pos"))
         .select(
             (F.col("pos") / BITS_PER_WORD).cast("long").alias("word_idx"),
             (F.col("pos") % BITS_PER_WORD).cast("int").alias("bit"),
@@ -91,13 +105,16 @@ def bloom_probe(
     shape for the semi-join use, where probes are (id, key) pairs.
     """
     cols = probes.columns
-    fan = probes.select(
-        *cols, F.posexplode(_positions(F.col(key_col), k, m_bits)).alias("__i", "pos")
-    ).select(
-        *cols,
-        F.col("__i"),
-        (F.col("pos") / BITS_PER_WORD).cast("long").alias("word_idx"),
-        (F.col("pos") % BITS_PER_WORD).cast("int").alias("bit"),
+    fan = (
+        probes.select(*cols, _seeds(k).alias("__s"))
+        .select(
+            *cols, _position(F.col(key_col), F.col("__s"), m_bits).alias("pos")
+        )
+        .select(
+            *cols,
+            (F.col("pos") / BITS_PER_WORD).cast("long").alias("word_idx"),
+            (F.col("pos") % BITS_PER_WORD).cast("int").alias("bit"),
+        )
     )
     joined = fan.join(F.broadcast(bloom), "word_idx", "left")
     hit = (

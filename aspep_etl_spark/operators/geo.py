@@ -62,14 +62,34 @@ def radius_join(
     ``cell_deg`` must cover the radius in degrees at the data's
     latitudes: radius_km/111.0 for latitude, radius_km/(111.0·cos(lat))
     for longitude — pick the larger.  Asserted lower bound for latitude
-    only (longitude shrink is data-dependent)."""
+    only (longitude shrink is data-dependent).
+
+    Antimeridian: when 360 divides evenly into ``cell_deg`` cells (the
+    usual choice), longitude cells WRAP — a pair straddling ±180° meets
+    in the wrapped neighbor cell like any other pair.  With a
+    non-divisor ``cell_deg`` wrapping is impossible on a flat cell id,
+    so pairs across ±180° would be silently missed — rejected outright
+    rather than returning wrong results."""
     assert cell_deg * 111.0 >= radius_km, "cell_deg too small for radius"
+    n_lon = 360.0 / cell_deg
+    if abs(n_lon - round(n_lon)) > 1e-9:
+        raise ValueError(
+            f"cell_deg={cell_deg} does not divide 360 evenly; longitude "
+            "cells could not wrap at the antimeridian and cross-meridian "
+            "pairs would be silently dropped — pick a divisor of 360"
+        )
+    n_lon_cells = int(round(n_lon))
+    assert n_lon_cells >= 4, "grid too coarse for distinct 3x3 neighborhoods"
+
+    def _wrap(c: Column) -> Column:
+        return F.pmod(c, F.lit(n_lon_cells))
+
     p = points.select(
         F.col(id_col).alias("id"),
         F.col(lat_col).alias("lat"),
         F.col(lon_col).alias("lon"),
         F.floor(F.col(lat_col) / cell_deg).cast("long").alias("cx"),
-        F.floor(F.col(lon_col) / cell_deg).cast("long").alias("cy"),
+        _wrap(F.floor(F.col(lon_col) / cell_deg).cast("long")).alias("cy"),
     )
     offsets = F.expr(
         "explode(flatten(transform(sequence(-1, 1), "
@@ -87,7 +107,7 @@ def radius_join(
         "lat_a",
         "lon_a",
         (F.col("cx") + F.col("o.dx")).alias("jx"),
-        (F.col("cy") + F.col("o.dy")).alias("jy"),
+        _wrap(F.col("cy") + F.col("o.dy")).alias("jy"),
     )
     base = p.select(
         F.col("id").alias("id_b"),

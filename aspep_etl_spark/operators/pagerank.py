@@ -71,6 +71,12 @@ def pagerank(
         for f in (deg, nodes, e):
             f.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
+    # Materialize deg NOW (nodes/e already materialized by the count):
+    # a persisted Dataset's RDD only registers with the context on its
+    # first job, and the per-iteration id-diff below would otherwise
+    # sweep the invariants' cache blocks along with iteration 1's dead
+    # checkpoint — silently re-deriving deg/nodes/e every later round.
+    deg.count()
 
     before = persistent_rdd_ids(spark)
     ranks = nodes.withColumn(

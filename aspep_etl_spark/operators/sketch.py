@@ -29,13 +29,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket(key: Column, seed: int, width: int) -> Column:
+def _bucket(key: Column, seed: Column, width: int) -> Column:
+    # seed is a COLUMN from an exploded 0..depth-1 sequence: exploding a
+    # cheap literal sequence FIRST and hashing once per generated row
+    # avoids the explode-fence pathology (an inline array-of-md5 child is
+    # re-evaluated per emitted element — see operators/bloom.py, PERF.md)
     h32 = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"cms{seed}"), F.lit("|"), key)), 1, 8),
+        F.substring(
+            F.md5(F.concat(F.lit("cms"), seed.cast("string"), F.lit("|"), key)),
+            1,
+            8,
+        ),
         16,
         10,
     ).cast("long")
     return h32 % F.lit(width)
+
+
+def _seed_rows(k: int) -> Column:
+    return F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
 
 
 def cms_build(
@@ -44,12 +56,8 @@ def cms_build(
     """Aggregate a key column into a Count-Min sketch relation
     (d, bucket, cnt) with one partial+final aggregation."""
     rows = df.select(
-        F.posexplode(
-            F.array(
-                *[_bucket(F.col(key_col).cast("string"), s, width) for s in range(depth)]
-            )
-        ).alias("d", "bucket")
-    )
+        F.col(key_col).cast("string").alias("__k"), _seed_rows(depth).alias("d")
+    ).select("d", _bucket(F.col("__k"), F.col("d"), width).alias("bucket"))
     return rows.groupBy("d", "bucket").agg(F.count("*").alias("cnt"))
 
 
@@ -66,13 +74,10 @@ def cms_estimate(
     distinct (the probe fan-out collapses back with a groupBy over the
     original columns)."""
     cols = keys.columns
-    fan = keys.select(
+    fan = keys.select(*cols, _seed_rows(depth).alias("d")).select(
         *cols,
-        F.posexplode(
-            F.array(
-                *[_bucket(F.col(key_col).cast("string"), s, width) for s in range(depth)]
-            )
-        ).alias("d", "bucket"),
+        "d",
+        _bucket(F.col(key_col).cast("string"), F.col("d"), width).alias("bucket"),
     )
     joined = fan.join(F.broadcast(cms), ["d", "bucket"], "left")
     return (

@@ -223,7 +223,12 @@ WITH med AS (
 SELECT d.event_type, count(*)::BIGINT AS n_events,
        round(any_value(m.med), 6) AS median_value,
        round(any_value(m.mad), 6) AS mad,
-       sum(CASE WHEN d.abs_dev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+       -- ::DOUBLE on both literals: DuckDB would otherwise fold
+       -- 3.0 * 1.4826 exactly in DECIMAL while Spark folds the same
+       -- product in binary64 — thresholds one ulp apart can flip a
+       -- boundary row's outlier verdict
+       sum(CASE WHEN d.abs_dev > 3.0::DOUBLE * 1.4826::DOUBLE * m.mad
+                THEN 1 ELSE 0 END)::BIGINT
          AS n_outliers
 FROM dev d JOIN mad m ON d.event_type = m.event_type
 GROUP BY d.event_type

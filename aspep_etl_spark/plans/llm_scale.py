@@ -17,12 +17,11 @@ double sums that must hash-match are ORDERED LEFT FOLDS on both engines
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.bloom import bloom_build, bloom_probe
 from ..operators.classifier import score_documents
-from ..operators.dedup import incremental_jaccard_matches, shingle_arrays, shingles
+from ..operators.dedup import incremental_jaccard_matches, shingles
 from ..operators.text import WORD_RE
 from ..sources.registry import load_table as _t
 

@@ -37,10 +37,29 @@ def run_streaming_cms(
     """Maintain a CMS parquet store over a parquet event feed with
     ``Trigger.AvailableNow`` (catch-up pattern; a live feed runs the same
     query untriggered).  Each batch: sketch the new rows, merge with the
-    stored sketch by union + sum, atomically swap the store directory —
-    the same scratch-then-swap discipline as ``run_stream_upsert``."""
-    # Generic parquet feed reader (the sketch needs no timestamp
-    # normalization, so this does not route through events_stream):
+    stored sketch by union + sum, then atomically RENAME the staged store
+    into place (``os.replace``, the same swap as ``run_stream_upsert`` —
+    a second Spark overwrite of the live path would leave a partial store
+    on a crash mid-write).
+
+    Counter merges — unlike latest-wins upserts — are NOT idempotent
+    under duplicate delivery, so the store carries a ``_merged_batches``
+    marker (underscore-prefixed: invisible to parquet readers) that
+    travels atomically with the data; a replayed micro-batch (crash
+    between store swap and checkpoint commit, foreachBatch's documented
+    at-least-once window) is recognized and skipped, restoring
+    exactly-once per (store, batch_id)."""
+    import json
+    import shutil
+
+    # Conf pins, same as the canonical loaders (sources/registry.py):
+    # the driver's events.parquet has shipped as TIMESTAMP(NANOS), which
+    # a bare vanilla-session read refuses outright — the sketch never
+    # touches ts, but the schema inference does.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    # Generic parquet feed reader (no timestamp normalization needed):
     # static schema, single-file paths via parent-dir glob, optional
     # read limit so availableNow splits into several micro-batches.
     static = spark.read.parquet(events_path)
@@ -55,6 +74,12 @@ def run_streaming_cms(
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        marker = os.path.join(store_path, "_merged_batches")
+        merged_ids: set[int] = set()
+        if os.path.exists(marker):
+            merged_ids = set(json.load(open(marker)))
+            if batch_id in merged_ids:
+                return  # duplicate delivery: this batch is already in
         delta = cms_build(batch, key_col, depth, width)
         if os.path.isdir(store_path) and any(
             f.endswith(".parquet") for f in os.listdir(store_path)
@@ -68,10 +93,13 @@ def run_streaming_cms(
             )
         else:
             merged = delta
-        scratch = store_path.rstrip("/") + ".staging"
-        merged.write.mode("overwrite").parquet(scratch)
-        final = s.read.parquet(scratch)
-        final.write.mode("overwrite").parquet(store_path)
+        scratch = store_path.rstrip("/") + "__staging"
+        merged.write.mode("overwrite").parquet(scratch)  # materializes FIRST
+        with open(os.path.join(scratch, "_merged_batches"), "w") as f:
+            json.dump(sorted(merged_ids | {batch_id}), f)
+        if os.path.isdir(store_path):
+            shutil.rmtree(store_path)
+        os.replace(scratch, store_path)
 
     (
         stream.writeStream.foreachBatch(merge_batch)

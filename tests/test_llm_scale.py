@@ -529,3 +529,27 @@ class TestGeoProperties:
             if hav(a, b) <= 40.0
         }
         assert got == want
+
+
+class TestGeoAntimeridian:
+    def test_pair_across_dateline_found(self, spark):
+        from aspep_etl_spark.operators.geo import radius_join
+
+        pts = [(1, 0.0, 179.95), (2, 0.0, -179.95), (3, 0.0, 150.0)]
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        got = {
+            (r["id_a"], r["id_b"]): r["distance_km"]
+            for r in radius_join(df, radius_km=25.0, cell_deg=0.5).collect()
+        }
+        # ~11.1 km apart across the +-180 seam
+        assert (1, 2) in got and got[(1, 2)] < 12.0
+        assert len(got) == 1
+
+    def test_non_divisor_cell_rejected(self, spark):
+        import pytest as _pytest
+
+        from aspep_etl_spark.operators.geo import radius_join
+
+        df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lat double, lon double")
+        with _pytest.raises(ValueError, match="divide 360"):
+            radius_join(df, radius_km=25.0, cell_deg=0.7)

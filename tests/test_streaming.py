@@ -395,3 +395,15 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     again = spark.read.parquet(store)
     assert again.exceptAll(want).count() == 0
     assert want.exceptAll(again).count() == 0
+
+    # FRESH checkpoint replaying the same feed = duplicate delivery of
+    # every micro-batch; the store's _merged_batches marker must make the
+    # non-idempotent counter merge skip them all (counters unchanged, not
+    # doubled)
+    run_streaming_cms(
+        spark, feed, store, "user_id", str(tmp_path / "ck2"),
+        depth=4, width=64, max_files_per_trigger=1,
+    )
+    replayed = spark.read.parquet(store)
+    assert replayed.exceptAll(want).count() == 0
+    assert want.exceptAll(replayed).count() == 0

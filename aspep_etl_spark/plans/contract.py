@@ -2073,8 +2073,11 @@ SPARK_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
     "dedup_simhash": dedup_simhash_q,
     "docs_substring_dedup": docs_substring_dedup_q,
-    # rows-only (non-SQL-expressible)
+    # streaming machinery with a full oracle: availableNow final state ==
+    # the batch aggregate (complete-mode tumbling rollup; same promotion
+    # rationale as streaming_cms_heavy_hitters)
     "streaming_hourly_rollup": streaming_hourly_rollup_q,
+    # rows-only (non-SQL-expressible)
     "streaming_sessionize": streaming_sessionize_q,
     "aspep_extended_pipeline": aspep_extended_pipeline,
 }
@@ -2137,6 +2140,11 @@ ORACLE_SQL = {
     "ann_cosine_topk": _ANN_SQL,
     "dedup_embedding_cosine": _EMB_NEARDUP_SQL,
     "events_hourly_rollup": _EVENTS_ROLLUP_SQL,
+    # the streamed rollup's availableNow final state equals the batch
+    # aggregate (equality-pinned in tests/test_streaming.py), so the
+    # batch SQL IS its oracle — the query still runs the real
+    # readStream/writeStream machinery
+    "streaming_hourly_rollup": _EVENTS_ROLLUP_SQL,
     "events_latest_per_user": _EVENTS_LATEST_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
     "embedding_clusters": _EMB_CLUSTERS_SQL,

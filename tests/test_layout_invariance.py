@@ -17,6 +17,17 @@ QUERIES = [
     "w3_rank_null_parity",
     "user_modal_event",
     "events_debounce",
+    # round-4 queries whose rounded float aggregates would be the first
+    # casualties of partition-order summation (the driver's vanilla
+    # session uses a different shuffle partition count than get_spark):
+    "events_value_trend",         # regr_* moment sums
+    "events_attribution_linear",  # sum of 1/n credits
+    "docs_bigram_logprob",        # avg(log10) over shuffled rows
+    "graph_pagerank",             # per-node rounded contribution sums
+    "events_user_ewma",           # in-array fold — invariant by design
+    "docs_classifier_score",      # in-array fold — invariant by design
+    "events_gap_survival",        # integer counts + in-array prefix fold
+    "events_kmv_distinct",        # k-min hash sets — order-free
 ]
 
 

@@ -1213,3 +1213,160 @@ FROM packed, UNNEST(
 
 ANALYTICS_QUERIES["events_gap_survival"] = events_gap_survival
 ANALYTICS_ORACLE_SQL["events_gap_survival"] = _SURVIVAL_SQL
+
+
+def orders_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the forensic
+    screen for fabricated numeric data: observed first-digit frequencies
+    vs the log10(1 + 1/d) expectation and each digit's chi-square
+    contribution.  One map-side digit extraction + a 9-group aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.col("o_totalprice").cast("string"), r"[^1-9]", ""), 1, 1
+    ).cast("int")
+    obs = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .withColumn("p_obs", F.col("n") / F.col("t"))
+        .withColumn("p_benford", expected)
+        .select(
+            "digit",
+            "n",
+            F.round("p_obs", 6).alias("p_obs"),
+            F.round("p_benford", 6).alias("p_benford"),
+            F.round(
+                (F.col("p_obs") - F.col("p_benford"))
+                * (F.col("p_obs") - F.col("p_benford"))
+                / F.col("p_benford"),
+                8,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(regexp_replace(o_totalprice::VARCHAR, '[^1-9]', '', 'g'), 1, 1)
+              AS INT) AS digit
+  FROM orders
+), obs AS (
+  SELECT digit, count(*) AS n FROM d WHERE digit IS NOT NULL GROUP BY digit
+), tot AS (
+  SELECT sum(n) AS t FROM obs
+)
+SELECT digit, n::BIGINT AS n,
+       round(n / t, 6) AS p_obs,
+       round(log10(1.0::DOUBLE + 1.0::DOUBLE / digit), 6) AS p_benford,
+       round((n / t - log10(1.0::DOUBLE + 1.0::DOUBLE / digit))
+             * (n / t - log10(1.0::DOUBLE + 1.0::DOUBLE / digit))
+             / log10(1.0::DOUBLE + 1.0::DOUBLE / digit), 8) AS chi2_term
+FROM obs, tot
+"""
+
+ANALYTICS_QUERIES["orders_benford_digits"] = orders_benford_digits
+ANALYTICS_ORACLE_SQL["orders_benford_digits"] = _BENFORD_SQL
+
+
+def customer_abc_analysis(spark, sf_dir):
+    """Pareto / ABC classification of customers by revenue: cumulative
+    revenue share over the descending-revenue order assigns A (first
+    80%), B (to 95%), C (rest).  The cumulative window runs over the
+    customer-grain aggregate (dim-sized; same global-window caveat and
+    approx-boundary swap as RFM)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    tot = per.agg(F.round(F.sum("revenue"), 2).alias("t"))
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.crossJoin(F.broadcast(tot)).withColumn(
+        "cum_share", F.round(F.sum("revenue").over(w) / F.col("t"), 6)
+    )
+    cls = (
+        F.when(F.col("cum_share") <= 0.80, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+    )
+
+
+_ABC_SQL = """
+WITH per AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT round(sum(revenue), 2) AS t FROM per
+), ranked AS (
+  SELECT o_custkey, revenue,
+         round(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) / t, 6) AS cum_share
+  FROM per, tot
+)
+SELECT CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*)::BIGINT AS n_customers,
+       round(sum(revenue), 2) AS class_revenue
+FROM ranked GROUP BY 1
+"""
+
+ANALYTICS_QUERIES["customer_abc_analysis"] = customer_abc_analysis
+ANALYTICS_ORACLE_SQL["customer_abc_analysis"] = _ABC_SQL
+
+
+def events_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality index per event type: mean value by
+    weekday relative to the type's overall mean (index > 1 = above-trend
+    weekday).  Two algebraic aggregates + a broadcast ratio join."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.dayofweek("ts").alias("dow"), "value"
+    )
+    per = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_events"), F.avg("value").alias("__avg")
+    )
+    overall = base.groupBy("event_type").agg(F.avg("value").alias("__o"))
+    return (
+        per.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_events",
+            F.round("__avg", 6).alias("avg_value"),
+            F.round(F.col("__avg") / F.col("__o"), 6).alias("seasonality_index"),
+        )
+    )
+
+
+_DOW_SQL = """
+WITH base AS (
+  SELECT event_type, dayofweek(ts)::INT + 1 AS dow, value FROM events
+), per AS (
+  SELECT event_type, dow, count(*) AS n_events, avg(value) AS a
+  FROM base GROUP BY 1, 2
+), overall AS (
+  SELECT event_type, avg(value) AS o FROM base GROUP BY 1
+)
+SELECT p.event_type, p.dow, p.n_events::BIGINT AS n_events,
+       round(p.a, 6) AS avg_value, round(p.a / o.o, 6) AS seasonality_index
+FROM per p JOIN overall o USING (event_type)
+"""
+
+ANALYTICS_QUERIES["events_dow_seasonality"] = events_dow_seasonality
+ANALYTICS_ORACLE_SQL["events_dow_seasonality"] = _DOW_SQL

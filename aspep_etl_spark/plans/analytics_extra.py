@@ -9,7 +9,10 @@
   attribution, activity streaks, session path mining, RFM segments;
 - temporal/spatial: daily resample + forward fill, rolling distinct
   (exact baseline), SCD2 dimension join, grid-bucketed geo radius join
-  (brute-force oracle proves the bucketing lossless).
+  (brute-force oracle proves the bucketing lossless);
+- survival/forensic/commercial: Kaplan-Meier gap survival with real
+  right-censoring, Benford first-digit audit, Pareto/ABC classification,
+  day-of-week seasonality indices.
 
 Each query has a DuckDB oracle twin.  Cross-engine determinism notes:
 

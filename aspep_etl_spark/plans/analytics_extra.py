@@ -751,6 +751,48 @@ ANALYTICS_QUERIES["customer_rfm_segments"] = customer_rfm_segments
 ANALYTICS_ORACLE_SQL["customer_rfm_segments"] = _RFM_SQL
 
 
+def customer_rfm_segments_scaled(spark, sf_dir):
+    """Fact-scale twin of ``customer_rfm_segments``: identical RFM
+    scores with NO partition-less window.  Each metric's quintile comes
+    from an exact distributed global rank (``operators/global_order.py``
+    — range repartition + per-partition offsets) composed with
+    integer-exact NTILE math, so the output is bit-identical to the
+    NTILE form and reuses its oracle.  Three range exchanges (one per
+    metric's total order) replace three single-partition sorts — the
+    shape that survives a fact-grain customer table."""
+    from ..operators.global_order import global_row_number, ntile_expr
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    specs = {
+        "r_score": [F.col("last_order").desc(), F.col("o_custkey").asc()],
+        "f_score": [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        "m_score": [F.col("monetary").desc(), F.col("o_custkey").asc()],
+    }
+    df = per
+    for score, order in specs.items():
+        df, n = global_row_number(df, order, rank_col="__rank")
+        df = df.withColumn(score, ntile_expr("__rank", n, 5)).drop("__rank")
+    return df.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat("r_score", "f_score", "m_score").alias("segment"),
+    )
+
+
+ANALYTICS_QUERIES["customer_rfm_segments_scaled"] = customer_rfm_segments_scaled
+# bit-identical to the exact NTILE form — same oracle
+ANALYTICS_ORACLE_SQL["customer_rfm_segments_scaled"] = _RFM_SQL
+
+
 def events_daily_resample(spark, sf_dir):
     """Time-series resampling with gap fill: each user's event-value
     series is re-gridded to one row per calendar day across their active
@@ -1331,6 +1373,70 @@ FROM ranked GROUP BY 1
 
 ANALYTICS_QUERIES["customer_abc_analysis"] = customer_abc_analysis
 ANALYTICS_ORACLE_SQL["customer_abc_analysis"] = _ABC_SQL
+
+
+def customer_abc_analysis_scaled(spark, sf_dir):
+    """Fact-scale twin of ``customer_abc_analysis``: the cumulative
+    revenue share comes from the two-pass distributed prefix sum
+    (``operators/global_order.py``), not a partition-less window.  The
+    sum runs in DECIMAL so it is associativity-exact — invariant to the
+    partition split — and the A/B/C cuts are pure decimal integer
+    comparisons (``cum*5 <= t*4`` ⟺ share ≤ 0.80), so classification
+    involves ZERO floating point.  Its oracle states the same decimal
+    semantics; the double-typed exact twin stays as-is."""
+    from decimal import Decimal
+
+    from ..operators.global_order import global_running_sum
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    cum_df, tot = global_running_sum(
+        per,
+        [F.col("revenue").desc(), F.col("o_custkey").asc()],
+        "revenue",
+        out_col="__cum",
+    )
+    c20 = F.col("__cum").cast("decimal(20,2)")
+    t20 = F.lit(tot if tot is not None else Decimal("0")).cast("decimal(20,2)")
+    cls = (
+        F.when(c20 * 5 <= t20 * 4, "A")
+        .when(c20 * 20 <= t20 * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum_df.withColumn("abc_class", cls)
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("revenue").cast("double"), 2).alias("class_revenue"),
+        )
+    )
+
+
+_ABC_SCALED_SQL = """
+WITH per AS (
+  SELECT o_custkey, sum(o_totalprice::DECIMAL(18,2)) AS revenue
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT sum(revenue) AS t FROM per
+), ranked AS (
+  SELECT o_custkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per
+)
+SELECT CASE WHEN cum::DECIMAL(20,2) * 5 <= t::DECIMAL(20,2) * 4 THEN 'A'
+            WHEN cum::DECIMAL(20,2) * 20 <= t::DECIMAL(20,2) * 19 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*)::BIGINT AS n_customers,
+       round(sum(revenue)::DOUBLE, 2) AS class_revenue
+FROM ranked, tot GROUP BY 1
+"""
+
+ANALYTICS_QUERIES["customer_abc_analysis_scaled"] = customer_abc_analysis_scaled
+ANALYTICS_ORACLE_SQL["customer_abc_analysis_scaled"] = _ABC_SCALED_SQL
 
 
 def events_dow_seasonality(spark, sf_dir):

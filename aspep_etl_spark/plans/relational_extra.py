@@ -270,6 +270,37 @@ GROUP BY decile
 """
 
 
+def orders_price_deciles_scaled(spark, sf_dir):
+    """Fact-scale twin of ``orders_price_deciles``: the SAME decile
+    profile computed without a partition-less window.  The global rank
+    comes from the two-pass distributed prefix scheme
+    (``operators/global_order.py`` — range repartition, per-partition
+    offsets, per-partition window) and the NTILE bucket from exact
+    integer math, so the result is bit-identical to the exact NTILE
+    form and REUSES its DuckDB oracle.  No stage funnels more than one
+    range partition through a task — this is the shape that survives a
+    100 TB orders table; the exact twin stays as the verification
+    baseline."""
+    from ..operators.global_order import global_row_number, ntile_expr
+
+    orders = _t(spark, sf_dir, "orders")
+    ranked, n_rows = global_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="__rank",
+    )
+    return (
+        ranked.withColumn("decile", ntile_expr("__rank", n_rows, 10))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # edit-distance near-dup
 # ---------------------------------------------------------------------------
@@ -878,6 +909,7 @@ REL_QUERIES = {
     "events_rolling_hour": events_rolling_hour,
     "events_value_percentiles": events_value_percentiles,
     "orders_price_deciles": orders_price_deciles,
+    "orders_price_deciles_scaled": orders_price_deciles_scaled,
     "dedup_levenshtein": dedup_levenshtein,
     "orders_upsert_merge": orders_upsert_merge,
     "events_debounce": events_debounce,
@@ -908,6 +940,9 @@ REL_ORACLE_SQL = {
     "events_rolling_hour": _ROLLING_SQL,
     "events_value_percentiles": _PERCENTILES_SQL,
     "orders_price_deciles": _DECILES_SQL,
+    # the scaled twin computes the identical result (exact global rank +
+    # integer NTILE math) — it reuses the exact form's oracle verbatim
+    "orders_price_deciles_scaled": _DECILES_SQL,
     "dedup_levenshtein": _LEVENSHTEIN_SQL,
     "orders_upsert_merge": _UPSERT_SQL,
     "events_debounce": _DEBOUNCE_SQL,

@@ -189,3 +189,19 @@ def test_scd2_join_is_hash_join_on_key(spark, sf):
     plan = plan_of(contract.SPARK_QUERIES["orders_scd2_join"](spark, sf), mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scaled_global_windows_have_no_single_partition_exchange(spark, sf):
+    """The r4 verdict's last scale-killer shape: the *_scaled analytics
+    twins must plan with a parallel range exchange + per-partition
+    windows — never the Exchange SinglePartition a bare Window.orderBy
+    produces (their exact twins keep that shape deliberately, at dim
+    grain only)."""
+    for name in (
+        "orders_price_deciles_scaled",
+        "customer_rfm_segments_scaled",
+        "customer_abc_analysis_scaled",
+    ):
+        plan = plan_of(contract.SPARK_QUERIES[name](spark, sf), mode="simple")
+        assert "Exchange SinglePartition" not in plan, name
+        assert "rangepartitioning" in plan, name

@@ -1081,6 +1081,85 @@ ANALYTICS_QUERIES["events_rolling_distinct_users"] = events_rolling_distinct_use
 ANALYTICS_ORACLE_SQL["events_rolling_distinct_users"] = _ROLLING_DISTINCT_SQL
 
 
+def events_rolling_distinct_users_kmv(spark, sf_dir):
+    """Sketch-backed twin of ``events_rolling_distinct_users``: the
+    7-day rolling distinct count via mergeable KMV sketches
+    (``operators/sketch.py``).  One pass builds a per-(type, day) k-min
+    sketch; the range join then carries SKETCHES (≤ k hashes per cell,
+    #types × #days rows) instead of raw (type, day, user) triples, and
+    the window merge is k-min-of-union — so the expensive stage's
+    volume is independent of daily active users, the property the exact
+    baseline lacks.  Every step is public md5 arithmetic, so the
+    estimates (exact below k, (k-1)/h_k above) are oracle-checkable;
+    the exact baseline stays as the verification twin."""
+    from ..operators.sketch import kmv_build, kmv_estimate
+
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    sk = kmv_build(daily, "user_id", group_cols=["event_type", "day"], k=k)
+    grid = sk.select("event_type", "day")
+    joined = grid.alias("g").join(
+        sk.alias("d"),
+        (F.col("g.event_type") == F.col("d.event_type"))
+        & (F.col("d.day") <= F.col("g.day"))
+        & (F.col("d.day") >= F.date_sub(F.col("g.day"), 6)),
+    )
+    merged = joined.groupBy(
+        F.col("g.event_type").alias("event_type"),
+        F.col("g.day").cast("string").alias("day"),
+    ).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.col("d.kmv"))))),
+            1,
+            k,
+        ).alias("kmv")
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        kmv_estimate(F.col("kmv"), k=k).alias("rolling_users_7d_est"),
+    )
+
+
+_ROLLING_DISTINCT_KMV_SQL = """
+WITH daily AS (
+  SELECT DISTINCT event_type, ts::DATE AS day, user_id FROM events
+), hashed AS (
+  SELECT event_type, day,
+         substr(md5('kmv|' || user_id::VARCHAR), 1, 8) AS h
+  FROM daily
+), sk AS (
+  SELECT event_type, day,
+         list_sort(list(DISTINCT h))[1:64] AS kmv
+  FROM hashed GROUP BY 1, 2
+), merged AS (
+  SELECT g.event_type, g.day,
+         list_sort(list_distinct(flatten(list(d.kmv))))[1:64] AS kmv
+  FROM (SELECT event_type, day FROM sk) g
+  JOIN sk d ON g.event_type = d.event_type
+           AND d.day <= g.day AND d.day >= g.day - INTERVAL 6 DAY
+  GROUP BY 1, 2
+)
+SELECT event_type, day::VARCHAR AS day,
+       CASE WHEN len(kmv) < 64 THEN len(kmv)::DOUBLE
+            ELSE round(63.0::DOUBLE /
+                       (CAST('0x' || kmv[64] AS BIGINT) / 4294967296.0::DOUBLE),
+                       4)
+       END AS rolling_users_7d_est
+FROM merged
+"""
+
+ANALYTICS_QUERIES["events_rolling_distinct_users_kmv"] = (
+    events_rolling_distinct_users_kmv
+)
+ANALYTICS_ORACLE_SQL["events_rolling_distinct_users_kmv"] = (
+    _ROLLING_DISTINCT_KMV_SQL
+)
+
+
 def events_chi_square(spark, sf_dir):
     """Chi-square independence test between event type and acquisition
     channel (props-derived): observed vs expected contingency counts,

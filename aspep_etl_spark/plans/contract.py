@@ -1577,10 +1577,40 @@ def streaming_hourly_rollup_q(spark, sf_dir):
 
 
 def streaming_sessionize_q(spark, sf_dir):
-    """applyInPandasWithState gap sessionizer (availableNow; multi-batch tested)."""
+    """applyInPandasWithState gap sessionizer (availableNow; multi-batch
+    tested).  Oracle-promoted (r4 verdict ask #3): over a single input
+    file availableNow runs ONE micro-batch, so every session closes
+    in-batch and the emission equals the batch gaps-and-islands form —
+    with the stateful kernel's own arithmetic: total_value accumulates
+    as a per-event ``round(acc + v, 2)`` fold (mirrored with an ordered
+    ``list_reduce`` in the oracle, the PERF.md cross-engine fold recipe)
+    and session_start is the trimmed timestamp string.  The multi-batch
+    partial-emission contract stays pinned by the maxFilesPerTrigger
+    equality tests in tests/test_llm_ops.py."""
     from ..streaming.stateful import run_streaming_sessionize
 
     return run_streaming_sessionize(spark, f"{sf_dir}/events.parquet")
+
+
+_STREAMING_SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), flagged AS (
+  SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL OR ts_s - LAG(ts_s) OVER w > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       CAST(min(ts) AS VARCHAR) AS session_start,
+       list_reduce(list_prepend(0.0::DOUBLE, list(value ORDER BY ts, event_id)),
+                   (acc, x) -> round(acc + x, 2)) AS total_value
+FROM sessions GROUP BY user_id, session_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2077,8 +2107,10 @@ SPARK_QUERIES = {
     # the batch aggregate (complete-mode tumbling rollup; same promotion
     # rationale as streaming_cms_heavy_hitters)
     "streaming_hourly_rollup": streaming_hourly_rollup_q,
-    # rows-only (non-SQL-expressible)
+    # streaming stateful kernel, oracle-promoted for the single-batch
+    # emission (see streaming_sessionize_q docstring)
     "streaming_sessionize": streaming_sessionize_q,
+    # rows-only (non-SQL-expressible)
     "aspep_extended_pipeline": aspep_extended_pipeline,
 }
 
@@ -2145,6 +2177,7 @@ ORACLE_SQL = {
     # batch SQL IS its oracle — the query still runs the real
     # readStream/writeStream machinery
     "streaming_hourly_rollup": _EVENTS_ROLLUP_SQL,
+    "streaming_sessionize": _STREAMING_SESSIONIZE_SQL,
     "events_latest_per_user": _EVENTS_LATEST_SQL,
     "events_sessionize": _EVENTS_SESSION_SQL,
     "embedding_clusters": _EMB_CLUSTERS_SQL,

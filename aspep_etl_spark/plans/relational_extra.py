@@ -610,11 +610,25 @@ FROM s GROUP BY user_id, sid
 
 
 def streaming_debounce_q(spark, sf_dir):
-    """Streaming debounce via dropDuplicatesWithinWatermark (availableNow;
-    key-set equality vs the batch twin)."""
+    """Streaming debounce via dropDuplicatesWithinWatermark (availableNow).
+    Oracle-promoted (r4 verdict ask #3): the WHICH-row-survives choice is
+    arrival-order-dependent by design (the engine keeps the first row it
+    sees per key), so the contract surface pins the deterministic part —
+    the debounced KEY SET, whose cardinality is the operator's entire
+    effect.  The survivor's payload validity (its event_id really belongs
+    to the key) and the batch-twin equality stay pinned in
+    tests/test_llm_ops.py."""
     from ..streaming.dedup import run_streaming_debounce
 
-    return run_streaming_debounce(spark, f"{sf_dir}/events.parquet")
+    out = run_streaming_debounce(spark, f"{sf_dir}/events.parquet")
+    return out.select("user_id", "event_type", "minute")
+
+
+_STREAMING_DEBOUNCE_SQL = """
+SELECT DISTINCT user_id, event_type,
+       date_trunc('minute', ts)::VARCHAR AS minute
+FROM events
+"""
 
 
 def dq_audit(spark, sf_dir):
@@ -927,7 +941,7 @@ REL_QUERIES = {
     "lineitem_salted_agg": lineitem_salted_agg,
     "docs_fixed_k_sample": docs_fixed_k_sample,
     "events_anomaly_flags": events_anomaly_flags,
-    # rows-only (streaming survivor is arrival-order-dependent by design)
+    # oracle-promoted: deterministic debounced key set (see docstring)
     "streaming_debounce": streaming_debounce_q,
 }
 
@@ -960,4 +974,5 @@ REL_ORACLE_SQL = {
     "lineitem_salted_agg": _SALTED_AGG_SQL,
     "docs_fixed_k_sample": _FIXED_K_SQL,
     "events_anomaly_flags": _ANOMALY_SQL,
+    "streaming_debounce": _STREAMING_DEBOUNCE_SQL,
 }

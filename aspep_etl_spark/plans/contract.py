@@ -1290,13 +1290,18 @@ FROM base WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM near)
 """
 
 
-def aspep_extended_pipeline(spark, sf_dir):
+def aspep_extended_pipeline(spark, sf_dir, median_of="exact"):
     """The reference's core analytic chain end-to-end at benchmark scale:
     an ASPEP-shaped fact derived from lineitem (supplier→state analog,
     returnflag×linestatus→function, ship-year→year), then the full
     derive_stats → derive_extended_stats fan-out (~150 derived columns over
     two window shuffles).  Rows-only: the chain's cell-level semantics are
-    oracle-checked by the pandas-parity suite instead."""
+    oracle-checked by the pandas-parity suite instead.
+
+    ``median_of="approx"`` runs the whole chain with the mergeable
+    percentile_approx median (the 100 TB path — see derive_stats); the
+    approx US-median rows stay within the reference's rel-1e-3 golden
+    budget of the exact ones (pinned in tests/test_pipeline_parity.py)."""
     from .pipeline import derive_extended_stats, derive_stats
 
     li = _t(spark, sf_dir, "lineitem")
@@ -1315,7 +1320,7 @@ def aspep_extended_pipeline(spark, sf_dir):
             F.count("*").cast("double").alias("ft_employment"),
         )
     )
-    stats = derive_stats(fact)
+    stats = derive_stats(fact, median_of=median_of)
     return derive_extended_stats(stats)
 
 def dedup_minhash_lsh_q(spark, sf_dir):

@@ -6,18 +6,24 @@
 Each query executes to completion through the noop sink (full distributed
 compute, no driver-side collect) and is timed wall-clock.
 
-Methodology: one untimed warmup pass over the query list, then TWO timed
+Methodology: one untimed warmup pass over the query list, then timed
 passes with the per-query MINIMUM reported (standard benchmark-harness
 practice, cf. JMH / spark-sql-perf).  The warmup amortizes first-touch
 costs that are environment noise, not plan cost — Python worker spawn,
 Arrow init, parquet footer reads on a cold page cache, codegen
 compilation — which on a cold VM can dominate the first execution of a
 query by 3-4× (measured: the mapInPandas pipeline query runs 14.9s cold /
-3.5s steady-state on a freshly booted host).  The min-of-passes collapses
-the remaining single-observation noise (GC pauses, JIT recompilation —
-measured up to 3× between identical back-to-back runs of the same
-warm query); ``warmup: true`` + ``passes: 2`` mark the methodology in
-the output line.
+3.5s steady-state on a freshly booted host).
+
+SELF-CERTIFICATION (r4 verdict ask #4): the r4 committed artifact was
+taken under ~2-core background host load and read +17% vs r3 — a number
+that cost review time to exonerate.  The harness now (a) records
+``/proc/loadavg`` before and after, (b) AUTO-EXTENDS timed passes
+(min 2, cap 6) until the two best per-pass totals agree within 5%, and
+(c) emits the per-query spread between its two best observations — so a
+committed BENCH_r*.json carries the evidence that it is plan cost, not
+load noise (``converged: false`` + high loadavg = rerun on a quiet
+host).
 """
 
 from __future__ import annotations
@@ -72,7 +78,17 @@ def main() -> None:
         },
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    timings: dict[str, float] = {}
+    observations: dict[str, list[float]] = {q: [] for q in BENCH_QUERIES}
+    pass_totals: list[float] = []
+
+    def loadavg() -> list[float]:
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except OSError:  # non-Linux fallback
+            return []
+
+    load_before = loadavg()
 
     # Untimed warmup pass: absorbs Python-worker spawn, Arrow/codegen init
     # and cold-page-cache parquet reads so the timed pass measures plans.
@@ -80,15 +96,38 @@ def main() -> None:
         SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         free_cached_blocks(spark)
 
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    for _ in range(n_passes):
+    # Auto-extending timed passes: stop when the two BEST per-pass totals
+    # agree within 5% (two independent quiet observations), cap at
+    # SPARK_GRAFT_BENCH_MAX_PASSES (default 6).
+    min_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "6"))
+    converged = False
+    for p in range(max_passes):
+        pass_total = 0.0
         for name in BENCH_QUERIES:
             t0 = time.time()
             SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            observations[name].append(dt)
+            pass_total += dt
             free_cached_blocks(spark)
+        pass_totals.append(round(pass_total, 3))
+        if p + 1 >= min_passes:
+            best2 = sorted(pass_totals)[:2]
+            converged = (best2[1] - best2[0]) <= 0.05 * best2[0]
+            if converged:
+                break
 
+    timings = {q: min(obs) for q, obs in observations.items()}
+    # per-query spread between the two best observations: ≤ ~5% means the
+    # reported minimum is a stable number, not a lucky outlier
+    spread_pct = {
+        q: round(100.0 * (sorted(obs)[1] - sorted(obs)[0]) / sorted(obs)[0], 1)
+        if len(obs) >= 2 and sorted(obs)[0] > 0
+        else None
+        for q, obs in observations.items()
+    }
+    load_after = loadavg()
     total = round(sum(timings.values()), 3)
     # like-for-like vs rounds ≤3: a1_grouped_median_approx was ADDED to the
     # headline set in r4, so the raw total is not comparable across rounds —
@@ -105,7 +144,12 @@ def main() -> None:
                 "queries": timings,
                 "r3_queryset_total": r3_subtotal,
                 "warmup": True,
-                "passes": n_passes,
+                "passes": len(pass_totals),
+                "pass_totals": pass_totals,
+                "converged": converged,
+                "query_spread_pct": spread_pct,
+                "loadavg_before": load_before,
+                "loadavg_after": load_after,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

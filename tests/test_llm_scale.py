@@ -484,6 +484,68 @@ class TestGeo:
         with _pytest.raises(AssertionError):
             radius_join(df, radius_km=100.0, cell_deg=0.5)
 
+    def test_dense_hot_cell_candidate_fanout_bounded(self, spark):
+        """r4 verdict ask #7 (mirrors test_dedup_skew.py): the degenerate
+        density — EVERY point inside one grid cell — must produce each
+        unordered pair exactly ONCE (the 3×3 expansion meets a pair at a
+        unique offset; a buggy expansion would emit up to 9 duplicates),
+        so candidate fan-out is the irreducible C(n,2) of the hot cell,
+        never a multiple of it."""
+        import itertools
+        import math
+
+        from aspep_etl_spark.operators.geo import radius_join
+
+        # 120 points jittered inside ~0.1° — all in one 0.5° cell
+        n = 120
+        pts = [
+            (i, 40.01 + (i * 13 % 97) / 1000.0, -74.49 + (i * 29 % 89) / 1000.0)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        # radius big enough to accept every pair in the cell → output IS
+        # the candidate set; count pins the fan-out
+        rows = radius_join(df, radius_km=50.0, cell_deg=0.5).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate candidate pairs"
+        assert len(pairs) == n * (n - 1) // 2
+
+        # and the distances are still exact vs brute force
+        def hav(a, b):
+            dlat = math.radians(b[1] - a[1]); dlon = math.radians(b[2] - a[2])
+            x = (math.sin(dlat / 2) ** 2
+                 + math.cos(math.radians(a[1])) * math.cos(math.radians(b[1]))
+                 * math.sin(dlon / 2) ** 2)
+            return 2 * 6371.0 * math.asin(math.sqrt(x))
+
+        want = {
+            (a[0], b[0]): round(hav(a, b), 3)
+            for a, b in itertools.combinations(pts, 2)
+        }
+        got = {(r["id_a"], r["id_b"]): r["distance_km"] for r in rows}
+        assert got == want
+
+    def test_dense_hot_cell_on_antimeridian_seam(self, spark):
+        """Same degenerate density parked ON the ±180° seam: half the
+        points at lon≈+179.9, half at −179.9 — every pair must still
+        meet exactly once through the wrapped neighbor cells."""
+        from aspep_etl_spark.operators.geo import radius_join
+
+        n = 60
+        pts = [
+            (
+                i,
+                10.0 + (i % 7) / 100.0,
+                (179.95 if i % 2 else -179.95) + (i % 5) / 1000.0,
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(pts, "id long, lat double, lon double")
+        rows = radius_join(df, radius_km=50.0, cell_deg=0.5).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate candidate pairs"
+        assert len(pairs) == n * (n - 1) // 2
+
 
 class TestGeoProperties:
     from hypothesis import HealthCheck, given, settings

@@ -1558,3 +1558,174 @@ FROM per p JOIN overall o USING (event_type)
 
 ANALYTICS_QUERIES["events_dow_seasonality"] = events_dow_seasonality
 ANALYTICS_ORACLE_SQL["events_dow_seasonality"] = _DOW_SQL
+
+
+# ---------------------------------------------------------------------------
+# round 5: funnel analysis, sequence detection, weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase) within a 7-day
+    window of the user's first view.  The classic product-analytics
+    operator: each step's timestamp is the MIN event time strictly after
+    the previous step, so a user converts only by doing the steps in
+    order.  Three keyed aggregates + two user-keyed joins (each a hash
+    shuffle on user_id — at 100 TB each stage is one partial+final agg
+    and the joins co-locate on the same key); output is the per-step
+    reach + conversion rates, all from exact integer counts."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(event_type, prev, prev_col):
+        e = ev.filter(F.col("event_type") == event_type).select(
+            "user_id", F.col("ts").alias("__t")
+        )
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("__t").alias("step1_ts"))
+        joined = e.join(prev, "user_id").filter(F.col("__t") > F.col(prev_col))
+        name = {"step1_ts": "step2_ts", "step2_ts": "step3_ts"}[prev_col]
+        return (
+            joined.groupBy("user_id", *[c for c in prev.columns if c != "user_id"])
+            .agg(F.min("__t").alias(name))
+        )
+
+    s1 = first_after("view", None, None)
+    s2 = first_after("click", s1, "step1_ts")
+    s3 = first_after("purchase", s2, "step2_ts").filter(
+        F.col("step3_ts") <= F.col("step1_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n")).select(F.lit(1).alias("step"), "n")
+        .unionByName(
+            s2.agg(F.count("*").alias("n")).select(F.lit(2).alias("step"), "n")
+        )
+        .unionByName(
+            s3.agg(F.count("*").alias("n")).select(F.lit(3).alias("step"), "n")
+        )
+    )
+    first = F.first("n").over(
+        Window.orderBy("step").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.lag("n").over(Window.orderBy("step"))
+    return counts.select(
+        "step",
+        F.col("n").alias("n_users"),
+        F.round(F.col("n") / first, 6).alias("pct_of_top"),
+        F.round(
+            F.when(prev.isNotNull(), F.col("n") / prev), 6
+        ).alias("step_conversion"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id, s1.t1
+), s3 AS (
+  SELECT e.user_id, s2.t1, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id, s2.t1
+  HAVING min(e.ts) <= s2.t1 + INTERVAL 7 DAY
+), counts AS (
+  SELECT 1 AS step, count(*) AS n FROM s1
+  UNION ALL SELECT 2, count(*) FROM s2
+  UNION ALL SELECT 3, count(*) FROM s3
+)
+SELECT step, n::BIGINT AS n_users,
+       round(n / first_value(n) OVER (ORDER BY step), 6) AS pct_of_top,
+       round(n / lag(n) OVER (ORDER BY step), 6) AS step_conversion
+FROM counts
+"""
+
+ANALYTICS_QUERIES["events_funnel_conversion"] = events_funnel_conversion
+ANALYTICS_ORACLE_SQL["events_funnel_conversion"] = _FUNNEL_SQL
+
+
+def events_error_bursts(spark, sf_dir):
+    """Sequence detection (MATCH_RECOGNIZE-shaped): runs of ≥3 'error'
+    events within a 6 h window per user (the window is sized to the
+    test corpus's error density; the operator shape is
+    threshold-independent).  LAG(ts, 2) over the per-user error
+    stream flags every burst-completing event (a window over the
+    FILTERED stream — the filter rides the scan, so the shuffle carries
+    only error rows); per-user burst-event counts + the tightest
+    3-event span.  One keyed shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("__us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    span_us = F.col("__us") - F.lag("__us", 2).over(w)
+    flagged = errs.withColumn("__span", span_us).filter(
+        F.col("__span") <= 21_600_000_000
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_burst_events"),
+        F.round(F.min("__span") / 1_000_000.0, 6).alias("tightest_span_s"),
+    )
+
+
+_ERROR_BURSTS_SQL = """
+WITH errs AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'error'
+), flagged AS (
+  SELECT user_id,
+         us - lag(us, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS span
+  FROM errs
+)
+SELECT user_id, count(*)::BIGINT AS n_burst_events,
+       round(min(span) / 1000000.0::DOUBLE, 6) AS tightest_span_s
+FROM flagged WHERE span <= 21600000000
+GROUP BY user_id
+"""
+
+ANALYTICS_QUERIES["events_error_bursts"] = events_error_bursts
+ANALYTICS_ORACLE_SQL["events_error_bursts"] = _ERROR_BURSTS_SQL
+
+
+def docs_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis A-ES scheme): each doc draws u = md5-uniform in
+    (0,1) and is ranked by u^(1/w) with w = ln(1+n_chars) — longer docs
+    proportionally likelier, yet the draw is a pure function of doc_id,
+    so the sample is reproducible across runs, partitionings, and
+    engines (df.sample can promise none of that, and weighted reservoir
+    state never shuffles: the top-k is a TakeOrdered over a map-only
+    scan).  Top-500 selected."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("wsample|"),
+                                          F.col("doc_id").cast("string"))), 1, 8),
+               16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 32) + 2.0)
+    w = F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        docs.select("doc_id", "lang", "n_chars", F.round(key, 8).alias("draw_key"))
+        .orderBy(F.desc("draw_key"), F.asc("doc_id"))
+        .limit(500)
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(pow((CAST('0x' || substr(md5('wsample|' || doc_id::VARCHAR), 1, 8)
+                         AS BIGINT) + 1.0::DOUBLE) / 4294967298.0::DOUBLE,
+                   1.0::DOUBLE / ln(1.0::DOUBLE + n_chars)), 8) AS draw_key
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, draw_key
+FROM keyed ORDER BY draw_key DESC, doc_id LIMIT 500
+"""
+
+ANALYTICS_QUERIES["docs_weighted_sample"] = docs_weighted_sample
+ANALYTICS_ORACLE_SQL["docs_weighted_sample"] = _WEIGHTED_SAMPLE_SQL

@@ -19,7 +19,9 @@ SELF-CERTIFICATION (r4 verdict ask #4): the r4 committed artifact was
 taken under ~2-core background host load and read +17% vs r3 — a number
 that cost review time to exonerate.  The harness now (a) records
 ``/proc/loadavg`` before and after, (b) AUTO-EXTENDS timed passes
-(min 2, cap 6) until the two best per-pass totals agree within 5%, and
+(min 2, cap 6) until the time-weighted second-best spread —
+(Σ second-best − Σ best) / Σ best across queries — is ≤ 5%, i.e. every
+reported minimum is backed by a second independent observation, and
 (c) emits the per-query spread between its two best observations — so a
 committed BENCH_r*.json carries the evidence that it is plan cost, not
 load noise (``converged: false`` + high loadavg = rerun on a quiet
@@ -96,9 +98,13 @@ def main() -> None:
         SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         free_cached_blocks(spark)
 
-    # Auto-extending timed passes: stop when the two BEST per-pass totals
-    # agree within 5% (two independent quiet observations), cap at
-    # SPARK_GRAFT_BENCH_MAX_PASSES (default 6).
+    # Auto-extending timed passes: since the reported number is the
+    # per-query MINIMUM, the certificate is that each minimum is backed by
+    # a second independent observation — stop when the TIME-WEIGHTED
+    # second-best spread (Σ second_best − Σ best) / Σ best is ≤ 5%.
+    # (Per-pass totals are recorded but NOT the criterion: a total mixes
+    # all queries, so one noisy query would veto convergence forever.)
+    # Cap at SPARK_GRAFT_BENCH_MAX_PASSES (default 6).
     min_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "6"))
     converged = False
@@ -113,8 +119,9 @@ def main() -> None:
             free_cached_blocks(spark)
         pass_totals.append(round(pass_total, 3))
         if p + 1 >= min_passes:
-            best2 = sorted(pass_totals)[:2]
-            converged = (best2[1] - best2[0]) <= 0.05 * best2[0]
+            best = sum(sorted(o)[0] for o in observations.values())
+            second = sum(sorted(o)[1] for o in observations.values())
+            converged = best > 0 and (second - best) <= 0.05 * best
             if converged:
                 break
 

@@ -50,7 +50,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # 128 MB input splits: good parquet scan granularity at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # Wide analytic plans (the ~150-column delta/rank fan-out) serialize
         # deeply nested operator trees; default 1 MB thread stacks overflow
         # during task (de)serialization.  Applied at JVM launch.

@@ -91,23 +91,28 @@ def main() -> None:
                    user_id + i*{user} AS user_id,
                    event_type, value, props
             FROM {src('events')}, {copies}""",
-        # word rotation per copy: vocabulary and length distributions are
-        # preserved, shingle sets are not — cross-copy Jaccard stays low
+        # per-copy VOCABULARY REMAP (w -> w + 'q' + i for copies i > 0):
+        # cross-copy shingle overlap is exactly zero, while WITHIN each
+        # copy the n-gram structure (hot-shingle dfs, dup clusters, length
+        # distribution) mirrors the original corpus — so posting-list
+        # fan-out scales exactly linearly in the copy count.  Two rejected
+        # alternatives, both measured as degenerate: word ROTATION
+        # preserves cyclic n-grams (copies become near-perfect Jaccard
+        # duplicates → 100× pair blow-up), and a hash SCRAMBLE turns text
+        # into stopword soup whose common-word trigrams collide across
+        # thousands of docs (max shingle df 25 → 144, pair fan-out
+        # 1.27M → 125M).
         "documents": f"""
-            WITH w AS (
-              SELECT doc_id, string_split(text, ' ') AS words, lang, source,
-                     n_chars, i
-              FROM {src('documents')}, {copies}
-            )
+            SELECT doc_id, text, lang, source, n_chars FROM {src('documents')}
+            UNION ALL
             SELECT doc_id + i*{doc} AS doc_id,
-                   CASE WHEN i = 0 OR len(words) < 2 THEN array_to_string(words, ' ')
-                        ELSE array_to_string(
-                               list_concat(words[(1 + ((7*i) % len(words))):],
-                                           words[1:((7*i) % len(words))]),
-                               ' ')
-                   END AS text,
+                   array_to_string(
+                     list_transform(string_split(text, ' '),
+                                    w -> w || 'q' || i::VARCHAR),
+                     ' ') AS text,
                    lang, source, n_chars
-            FROM w""",
+            FROM {src('documents')},
+                 (SELECT unnest(range(1, {FACTOR})) AS i) c""",
         # vector rotation per copy: norms and coordinate distributions are
         # preserved, directions are not — copies are not mutual neighbors
         "embeddings": f"""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import WORD_RE
 
@@ -171,13 +172,42 @@ def jaccard_pairs(
     )
 
 
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a pathologically-coalesced input (one small parquet split)
+    across the cluster's cores before a compute-heavy map stage: one
+    RoundRobin exchange, only when the scan has fewer partitions than the
+    default parallelism.  A properly-split lake scan passes through
+    untouched (the sf1 rehearsal caught the 64-hash signature stage
+    grinding on a single 6 MB input split)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
     """MinHash signature per document: num_perm seeded-xxhash64 minima over
     the shingle set — computed entirely map-side from the per-doc shingle
-    array (``array_min`` over a hash ``transform``), ZERO shuffles."""
-    arrs = shingle_arrays(df, id_col, text_col, n).filter(F.col("n_shingles") > 0)
+    array (``array_min`` over a hash ``transform``) — no shuffle beyond
+    the conditional ``_spread`` of an under-split scan.
+
+    The shingle frame is persisted BEFORE both the empty-doc filter and
+    the num_perm min-hash columns.  Order is load-bearing twice over:
+    (a) a filter on the DERIVED ``n_shingles`` column placed below the
+    persist re-inlines the regex + trigram chain into the filter
+    predicate (measured 8 s → 60 s at sf1 for that one placement); (b)
+    without the persist, projection collapse inlines the chain into
+    every transform column.  Persist-then-filter evaluates the chain
+    exactly once and filters on the cached column.  Callers sweep with
+    ``cache.free_cached_blocks``."""
+    arrs = (
+        shingle_arrays(_spread(df), id_col, text_col, n)
+        .persist()
+        .filter(F.col("n_shingles") > 0)
+    )
     mins = [
         F.array_min(F.expr(f"transform(sh_arr, s -> xxhash64(s, {i}))")).alias(f"mh_{i}")
         for i in range(num_perm)
@@ -274,7 +304,9 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document from token xxhash64s — the per-bit ±1
-    vote runs as one array aggregate, no Python."""
+    vote runs as one array aggregate, no Python; under-split scans are
+    spread first (see ``_spread``)."""
+    df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
     votes = F.expr(
         "transform(sequence(0, 63), b -> "

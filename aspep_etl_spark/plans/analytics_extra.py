@@ -1729,3 +1729,150 @@ FROM keyed ORDER BY draw_key DESC, doc_id LIMIT 500
 
 ANALYTICS_QUERIES["docs_weighted_sample"] = docs_weighted_sample
 ANALYTICS_ORACLE_SQL["docs_weighted_sample"] = _WEIGHTED_SAMPLE_SQL
+
+
+def graph_triangles(spark, sf_dir):
+    """Triangle census of the supplier co-supply kNN graph
+    (operators/triangles.py): per-part supplier pairs (bounded posting
+    lists with a hot-part cap) → each supplier's 10 strongest partners →
+    degree-ordered wedge-close triangle count + global clustering
+    coefficient.  The kNN step keeps the graph sparse at every scale
+    (the RAW co-supply graph is near-complete — its triangle count is
+    the degenerate n³/6); the orientation bounds the wedge join at
+    O(m^1.5).  Third iterative-adjacent graph op after connected
+    components and PageRank."""
+    from ..operators.triangles import cooccurrence_knn_edges, triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_knn_edges(
+        li, "l_partkey", "l_suppkey", k=10, max_group_size=256
+    )
+    return triangle_count(edges)
+
+
+_TRIANGLES_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS g, l_suppkey AS n FROM lineitem
+), ok AS (
+  SELECT g FROM ps GROUP BY g HAVING count(*) <= 256
+), psf AS (
+  SELECT ps.g, ps.n FROM ps JOIN ok USING (g)
+), pairs AS (
+  SELECT a.n AS u, b.n AS v, count(*) AS w
+  FROM psf a JOIN psf b ON a.g = b.g AND a.n < b.n
+  GROUP BY 1, 2
+), sym AS (
+  SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs
+), top AS (
+  SELECT u, v FROM (
+    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+    FROM sym
+  ) WHERE r <= 10
+), edges AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM top
+), deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+  GROUP BY n
+), o AS (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg d1 ON e.u = d1.n JOIN deg d2 ON e.v = d2.n
+), wedges AS (
+  SELECT e1.t AS b, e2.t AS c FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t
+), closing AS (
+  SELECT s AS b, t AS c FROM o UNION ALL SELECT t AS b, s AS c FROM o
+), tri AS (
+  SELECT count(*) AS n_triangles FROM wedges JOIN closing USING (b, c)
+), wd AS (
+  SELECT sum(d * (d - 1) / 2) AS wedge_cnt FROM deg
+)
+SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+       (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+       n_triangles::BIGINT AS n_triangles,
+       round(3.0::DOUBLE * n_triangles / wedge_cnt, 6) AS clustering_coefficient
+FROM tri, wd
+"""
+
+ANALYTICS_QUERIES["graph_triangles"] = graph_triangles
+ANALYTICS_ORACLE_SQL["graph_triangles"] = _TRIANGLES_SQL
+
+
+def events_kmv_type_overlap(spark, sf_dir):
+    """Pairwise distinct-user OVERLAP between event types from KMV
+    sketches (the theta-sketch set-operation pattern): per-type k-min
+    sketches (one agg), then for each type pair the union sketch is the
+    k smallest of the merged hash sets and the Jaccard estimate is the
+    fraction of the union sketch present in both inputs — |A∩B| ≈
+    J·(|A|∪|B| estimate).  The pair stage joins SKETCHES (≤k hashes per
+    type — 5 types here, broadcastable at any corpus size); raw rows are
+    touched exactly once.  All md5 arithmetic → hash-exact oracle."""
+    from ..operators.sketch import kmv_build, kmv_estimate
+
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_build(
+        ev.select("event_type", "user_id").distinct(),
+        "user_id",
+        group_cols=["event_type"],
+        k=k,
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    union_sk = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("ka"), F.col("kb")))), 1, k
+    )
+    both = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("__u"), F.col("ka")), F.col("kb")
+        )
+    )
+    return (
+        pairs.withColumn("__u", union_sk)
+        .withColumn("__jacc", both / F.size("__u"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round("__jacc", 4).alias("jaccard_est"),
+            F.round(
+                F.col("__jacc") * kmv_estimate(F.col("__u"), k=k), 1
+            ).alias("overlap_users_est"),
+        )
+    )
+
+
+_KMV_OVERLAP_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type, substr(md5('kmv|' || user_id::VARCHAR), 1, 8) AS h FROM d
+), sk AS (
+  SELECT event_type, list_sort(list(DISTINCT h))[1:64] AS kmv
+  FROM hashed GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.kmv AS ka, b.kmv AS kb
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), m AS (
+  SELECT type_a, type_b, ka, kb,
+         list_sort(list_distinct(list_concat(ka, kb)))[1:64] AS u
+  FROM pairs
+), j AS (
+  SELECT type_a, type_b, u,
+         len(list_intersect(list_intersect(u, ka), kb))
+           / len(u)::DOUBLE AS jacc
+  FROM m
+)
+SELECT type_a, type_b, round(jacc, 4) AS jaccard_est,
+       round(jacc * (CASE WHEN len(u) < 64 THEN len(u)::DOUBLE
+                          ELSE round(63.0::DOUBLE /
+                                     (CAST('0x' || u[64] AS BIGINT)
+                                      / 4294967296.0::DOUBLE), 4)
+                     END), 1) AS overlap_users_est
+FROM j
+"""
+
+ANALYTICS_QUERIES["events_kmv_type_overlap"] = events_kmv_type_overlap
+ANALYTICS_ORACLE_SQL["events_kmv_type_overlap"] = _KMV_OVERLAP_SQL

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Scale-tier bench: times the dedup / ANN / iterative / sketch queries
+(the ones whose SCALING is the interesting property — candidate-pair
+growth, iteration costs, sketch merges) at ``$SPARK_GRAFT_SF_DIR``.
+
+Same methodology as bench.py (untimed warmup, min over passes, loadavg
+recorded); one JSON line.  Used for the sf0.1 → sf1 dress-rehearsal
+curve (r4 verdict ask #6): a map-shaped or bucketed query should scale
+~linearly in rows; superlinear growth flags a candidate-generation
+blow-up the skew tests didn't catch.
+
+Usage: SPARK_GRAFT_SF_DIR=... python tools/bench_tier.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TIER_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_clusters",
+    "graph_pagerank",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "events_cms_heavy_hitters",
+    "events_kmv_distinct",
+    "events_rolling_distinct_users",
+    "events_rolling_distinct_users_kmv",
+    "orders_price_deciles_scaled",
+    "customer_abc_analysis_scaled",
+    "customer_rfm_segments_scaled",
+]
+
+
+def main() -> None:
+    from aspep_etl_spark.cache import free_cached_blocks
+    from aspep_etl_spark.plans.contract import SPARK_QUERIES
+    from aspep_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="aspep-etl-spark-bench-tier",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
+            ),
+            "spark.sql.files.openCostInBytes": "1m",
+        },
+    )
+    names = [n for n in TIER_QUERIES if n in SPARK_QUERIES]
+
+    def loadavg():
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except OSError:
+            return []
+
+    load_before = loadavg()
+    observations: dict[str, list[float]] = {q: [] for q in names}
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    for timed in [False] + [True] * n_passes:
+        for name in names:
+            t0 = time.time()
+            SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.time() - t0, 3)
+            if timed:
+                observations[name].append(dt)
+            free_cached_blocks(spark)
+    timings = {q: min(o) for q, o in observations.items()}
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "scale_tier_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "warmup": True,
+                "passes": n_passes,
+                "loadavg_before": load_before,
+                "loadavg_after": loadavg(),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

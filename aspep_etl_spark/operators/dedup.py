@@ -186,6 +186,22 @@ def _spread(df: DataFrame) -> DataFrame:
         return df.repartition(par)
     return df
 
+
+def _fan(df: DataFrame, *cols: str) -> DataFrame:
+    """Force a candidate-pair frame onto full parallelism BEFORE a
+    compute-heavy verify join.  AQE coalesces shuffle partitions by
+    BYTE size — a bare-(id_a, id_b) candidate list is a few MB even
+    when each row expands into an interpreted 64-element cosine/Jaccard
+    fold after the vector/array attach, so AQE happily funnels millions
+    of folds through 2 tasks (the sf1 rehearsal measured two 1100-second
+    tasks in `dedup_embedding_cosine`'s verify stage, ~16× the whole
+    query's budget).  An explicit numbered repartition is exempt from
+    AQE coalescing and restores the cluster's parallelism at the cost
+    of one cheap exchange of bare ids."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *[F.col(c) for c in cols])
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
@@ -288,6 +304,7 @@ def minhash_lsh_pairs(
     sigs = banded.select(
         id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
     )
+    cand_ids = _fan(cand_ids, "id_a")  # signature-agreement folds are per-pair CPU
     cand = cand_ids.join(
         sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     ).join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -337,7 +354,7 @@ def embedding_near_dup_pairs(
     """
     from .similarity import with_norm, cosine_expr
 
-    v = with_norm(df, id_col, vec_col)
+    v = with_norm(_spread(df), id_col, vec_col)
     a = v.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
     return (
@@ -408,7 +425,7 @@ def embedding_near_dup_pairs_bucketed(
 
     if n_leaders is None:
         n_leaders = canopy_leader_count(df.select(id_col).count())
-    v = with_norm(df, id_col, vec_col)
+    v = with_norm(_spread(df), id_col, vec_col)
     leaders = (
         v.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))
         .limit(n_leaders)
@@ -437,6 +454,7 @@ def embedding_near_dup_pairs_bucketed(
     )
     a = v.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
+    cand = _fan(cand, "id_a")  # each candidate row is an interpreted d-dim fold
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -731,4 +749,179 @@ def incremental_jaccard_matches(
             F.max(F.when(F.col("__rn") == 1, F.col("jaccard"))).alias("best_jaccard"),
         )
         .withColumnRenamed("__new_id", id_col)
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    family, cf. Bayardo et al. "Scaling Up All Pairs Similarity Search"
+    and Xiao et al. PPJoin — public algorithms): a second, sharper
+    candidate-generation strategy than ``jaccard_pairs``' full posting
+    lists.
+
+    Order every document's shingle set by GLOBAL rarity (document
+    frequency asc, shingle asc); a pair with Jaccard ≥ t must share at
+    least one shingle inside each side's first ``|A| - ceil(t·|A|) + 1``
+    shingles (if they only shared later ones, the overlap couldn't reach
+    t).  Posting lists are built from PREFIXES only — at t = 0.5 that's
+    ~half the postings of the full-list strategy, concentrated on RARE
+    shingles (short lists), so pair fan-out collapses without any recall
+    loss: the filter is lossless for raw J ≥ t, unlike the df cap.
+    Candidates are then verified with one exact set intersection against
+    the persisted full arrays.
+
+    The output filter applies the registry's rounded-threshold semantics
+    (round(J,4) ≥ t, same as ``jaccard_pairs``); prefixes are sized with
+    a half-ulp-of-rounding slack (t − 5e-5) so raw-J values that ROUND
+    up to t are still generated.  Same schema as ``jaccard_pairs`` —
+    equality is pinned in tests/test_prefix_filter.py and by sharing its
+    DuckDB oracle."""
+    t_eff = max(threshold - 5e-5, 0.0)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    arrs = shingle_arrays(df.repartition(par), id_col, text_col, n).persist()
+    arrs = arrs.filter(F.col("n_shingles") > 0)
+    sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # per-doc shingles in global-rarity order; prefix slice sized by the
+    # doc's own set size — one re-agg shuffle on the doc id
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(__df, shingle))), x -> x.shingle)").alias(
+                "__ordered"
+            )
+        )
+        .withColumn(
+            "__plen",
+            F.size("__ordered")
+            - F.ceil(F.lit(t_eff) * F.size("__ordered")).cast("int")
+            + F.lit(1),
+        )
+    )
+    prefixes = ranked.select(
+        F.col(id_col),
+        F.explode(F.expr("slice(__ordered, 1, __plen)")).alias("shingle"),
+    )
+    posting = (
+        prefixes.groupBy("shingle")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        posting.select(F.array_sort("ids").alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    cand = _fan(cand, "id_a")  # per-pair array_intersect is CPU, not bytes
+    # exact verification against the persisted full arrays (candidate-
+    # bounded: two hash joins on the doc id, no re-shingling)
+    fa = arrs.select(
+        F.col(id_col).alias("id_a"), F.col("sh_arr").alias("__sa"), F.col("n_shingles").alias("n_a")
+    )
+    fb = arrs.select(
+        F.col(id_col).alias("id_b"), F.col("sh_arr").alias("__sb"), F.col("n_shingles").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("__nc", inter)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("__nc") / (F.col("n_a") + F.col("n_b") - F.col("__nc")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    key_chars: int = 32,
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (the classic record-
+    linkage SNM blocking, cf. Hernandez & Stolfo — public algorithm):
+    the third candidate-generation strategy next to posting lists
+    (``jaccard_pairs``) and rarity prefixes (``prefix_filter_pairs``).
+
+    Sort the corpus by a normalized ``key_chars``-char text-prefix key,
+    pair each document with the next ``window − 1`` documents in that
+    TOTAL order, then verify trigram Jaccard exactly.  Recall is bounded
+    by the window (docs whose keys sort far apart are never compared —
+    a documented trade, unlike the lossless prefix filter); cost is
+    strictly linear in corpus size: ``window − 1`` candidates per row,
+    no posting lists at all, so it is immune to hot-shingle skew by
+    construction.
+
+    The global sort uses ``operators/global_order.global_row_number``
+    (range repartition + per-partition windows) — NO single-partition
+    Window, so the sort scales like any shuffle.  Output schema matches
+    ``jaccard_pairs``: (id_a < id_b, jaccard ≥ threshold, rounded 4).
+    """
+    from .global_order import global_row_number
+
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), 1, key_chars
+    )
+    base = df.select(F.col(id_col), key.alias("__snkey"))
+    ranked, _total = global_row_number(
+        base, [F.col("__snkey"), F.col(id_col)], "__r"
+    )
+    a = ranked.select(F.col(id_col).alias("__ia"), F.col("__r").alias("__ra"))
+    b = ranked.select(F.col(id_col).alias("__ib"), F.col("__r").alias("__rb"))
+    cand = (
+        a.withColumn("__o", F.explode(F.expr(f"sequence(1, {window - 1})")))
+        .withColumn("__rb", F.col("__ra") + F.col("__o"))
+        .join(b, "__rb")
+        .select("__ia", "__ib")
+    )
+    cand = _fan(cand, "__ia")  # per-pair array_intersect is CPU, not bytes
+    arrs = shingle_arrays(_spread(df), id_col, text_col, n).persist()
+    fa = arrs.select(
+        F.col(id_col).alias("__ia"),
+        F.col("sh_arr").alias("__sa"),
+        F.col("n_shingles").alias("__na"),
+    ).filter(F.col("__na") > 0)
+    fb = arrs.select(
+        F.col(id_col).alias("__ib"),
+        F.col("sh_arr").alias("__sb"),
+        F.col("n_shingles").alias("__nb"),
+    ).filter(F.col("__nb") > 0)
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        cand.join(fa, "__ia")
+        .join(fb, "__ib")
+        .withColumn("__nc", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__nc") / (F.col("__na") + F.col("__nb") - F.col("__nc")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "jaccard",
+        )
     )

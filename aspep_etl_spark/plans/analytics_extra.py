@@ -1876,3 +1876,551 @@ FROM j
 
 ANALYTICS_QUERIES["events_kmv_type_overlap"] = events_kmv_type_overlap
 ANALYTICS_ORACLE_SQL["events_kmv_type_overlap"] = _KMV_OVERLAP_SQL
+
+
+def docs_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval ([EXT]): top-20 documents for a fixed
+    4-term query — the IR scoring function behind lexical search over a
+    training corpus (pairs with ``tfidf_topk``'s keyword extraction and
+    the ANN tier's dense retrieval).
+
+    Scale shape: doc length is ``size()`` of the map-side token array
+    (no explode needed for |d|); the explode is FILTERED to the query
+    terms before the per-doc aggregate, so the shuffle carries only
+    query-term postings — corpus-size-independent per term; df/idf is a
+    4-row broadcast; top-20 is TakeOrdered.  At 100 TB the only
+    full-width pass is the scan itself.
+
+    Cross-engine exactness: every BIGINT is cast to DOUBLE before
+    meeting a literal (DECIMAL-trap rule), the per-doc score sum is an
+    ordered left fold over the term-sorted (term, score) array on both
+    engines, and ln() arguments are built with identical op order.
+    k1 = 1.2, b = 0.75 (the standard Robertson defaults)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["filter", "hash", "join", "scan"]
+    base = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias(
+            "toks"
+        ),
+    ).select("doc_id", "toks", F.size("toks").alias("dl")).filter(F.col("dl") > 0)
+    # two driver-side scalars (count + total length), same policy as
+    # tfidf_topk's n_docs — a 1-row agg, fine at any scale
+    st = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs = int(st["n_docs"])
+    avgdl = st["sum_dl"] / n_docs  # exact-int binary64 division, both engines
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "s", idf * (F.col("tf").cast("double") * F.lit(2.2)) / denom
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("term", "s"))).alias("ts"),
+        F.count("*").alias("n_terms"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_terms").cast("long").alias("n_terms_matched"),
+            F.round(
+                F.expr("aggregate(ts, 0D, (acc, x) -> acc + x.s)"), 4
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_BM25_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), b2 AS (
+  SELECT doc_id, toks, len(toks) AS dl FROM base WHERE len(toks) > 0
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM b2
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+  WHERE term IN ('filter', 'hash', 'join', 'scan')
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT doc_id, term,
+         ln(1.0 + ((SELECT n_docs FROM stats)::DOUBLE - df::DOUBLE + 0.5)
+                  / (df::DOUBLE + 0.5))
+         * (tf::DOUBLE * 2.2)
+         / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE
+                                / (SELECT avgdl FROM stats))) AS s
+  FROM tf JOIN dfreq USING (term)
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_terms_matched,
+         round(list_reduce(list_prepend(0.0::DOUBLE, list(s ORDER BY term)),
+                           (acc, x) -> acc + x), 4) AS bm25
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms_matched, bm25
+FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+ANALYTICS_QUERIES["docs_bm25_search"] = docs_bm25_search
+ANALYTICS_ORACLE_SQL["docs_bm25_search"] = _BM25_SQL
+
+
+def dedup_prefix_filter(spark, sf_dir):
+    """Prefix-filtered trigram-Jaccard near-dup pairs at t = 0.5
+    (operators/dedup.prefix_filter_pairs — the AllPairs/PPJoin candidate
+    strategy): posting lists built from each doc's RAREST
+    ``|A| - ceil(t·|A|) + 1`` shingles only, then exact verification.
+    Lossless, unlike the df cap — so the oracle is simply exact Jaccard;
+    equality with ``jaccard_pairs`` is additionally pinned in tests.  At
+    t = 0.5 candidate postings halve and concentrate on rare (short-
+    list) shingles — the fan-out collapse that makes all-pairs
+    similarity feasible at corpus scale."""
+    from ..operators.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+_PREFIX_FILTER_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM tri a JOIN tri b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+"""
+
+ANALYTICS_QUERIES["dedup_prefix_filter"] = dedup_prefix_filter
+ANALYTICS_ORACLE_SQL["dedup_prefix_filter"] = _PREFIX_FILTER_SQL
+
+
+def graph_label_propagation(spark, sf_dir):
+    """Community detection on the supplier co-supply kNN graph:
+    4 rounds of deterministic synchronous label propagation
+    (operators/labelprop.py — most-frequent neighbor label, min-label
+    tie-break) over the same k-strongest-partner edges as
+    ``graph_triangles``.  All-integer arithmetic, so the unrolled-CTE
+    oracle is exact with no rounding at all.  Fourth iterative graph
+    operator (CC, PageRank, triangles, LPA)."""
+    from ..operators.labelprop import label_propagation
+    from ..operators.triangles import cooccurrence_knn_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_knn_edges(
+        li, "l_partkey", "l_suppkey", k=10, max_group_size=256
+    )
+    return label_propagation(edges, iters=4)
+
+
+_LPA_ROUND = """
+r{i} AS (
+  SELECT node, lbl FROM (
+    SELECT s.u AS node, r.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY s.u
+                              ORDER BY count(*) DESC, r.lbl) AS rn
+    FROM sym s JOIN r{j} r ON s.v = r.node
+    GROUP BY s.u, r.lbl
+  ) WHERE rn = 1
+)"""
+
+_LPA_SQL = (
+    """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS g, l_suppkey AS n FROM lineitem
+), ok AS (
+  SELECT g FROM ps GROUP BY g HAVING count(*) <= 256
+), psf AS (
+  SELECT ps.g, ps.n FROM ps JOIN ok USING (g)
+), pairs AS (
+  SELECT a.n AS u, b.n AS v, count(*) AS w
+  FROM psf a JOIN psf b ON a.g = b.g AND a.n < b.n
+  GROUP BY 1, 2
+), symw AS (
+  SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs
+), top AS (
+  SELECT u, v FROM (
+    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+    FROM symw
+  ) WHERE r <= 10
+), edges AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM top
+), sym AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+), r0 AS (
+  SELECT DISTINCT u AS node, u AS lbl FROM sym
+),"""
+    + ",".join(_LPA_ROUND.format(i=i, j=i - 1) for i in range(1, 5))
+    + """
+SELECT node, lbl AS community FROM r4
+"""
+)
+
+ANALYTICS_QUERIES["graph_label_propagation"] = graph_label_propagation
+ANALYTICS_ORACLE_SQL["graph_label_propagation"] = _LPA_SQL
+
+
+def events_incident_overlap(spark, sf_dir):
+    """Interval × interval overlap join (operators/intervals.py): user
+    sessions (30-min-gap islands) against error-incident hours (hours
+    with ≥5 error events), reporting per-session incident exposure.
+    All arithmetic in epoch-microsecond BIGINTs.  The Spark side runs
+    the day-grid bucketed join; the oracle is the DIRECT range join —
+    the gate itself proves the bucketing lossless (same proof pattern
+    as the geo radius join's brute-force twin)."""
+    from ..operators.intervals import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    brk = F.when(
+        F.col("us") - F.lag("us").over(w) > F.lit(1_800_000_000), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        ev.withColumn("__brk", brk)
+        .withColumn("__sid", F.sum("__brk").over(run))
+        .groupBy("user_id", "__sid")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+        .drop("__sid")
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.expr("us div 3600000000").alias("__h"))
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 5)
+        .select(
+            (F.col("__h") * F.lit(3_600_000_000)).alias("w_start"),
+            (F.col("__h") * F.lit(3_600_000_000) + F.lit(3_599_999_999)).alias(
+                "w_end"
+            ),
+        )
+    )
+    ov = interval_overlap_join(
+        sessions, incidents, "s_start", "s_end", "w_start", "w_end"
+    )
+    return ov.groupBy("user_id", F.col("s_start").alias("session_start_us")).agg(
+        F.count("*").alias("n_incident_hours"),
+        F.sum(
+            F.least("s_end", "w_end") - F.greatest("s_start", "w_start") + F.lit(1)
+        ).alias("overlap_us"),
+    )
+
+
+_INCIDENT_OVERLAP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+), s0 AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM ev
+), s1 AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s0
+), sessions AS (
+  SELECT user_id, min(us) AS s_start, max(us) AS s_end
+  FROM s1 GROUP BY user_id, sid
+), inc AS (
+  SELECT us // 3600000000 AS h FROM ev WHERE event_type = 'error'
+  GROUP BY 1 HAVING count(*) >= 5
+), win AS (
+  SELECT h * 3600000000 AS w_start, h * 3600000000 + 3599999999 AS w_end FROM inc
+), ov AS (
+  SELECT user_id, s_start, s_end, w_start, w_end
+  FROM sessions JOIN win ON s_start <= w_end AND w_start <= s_end
+)
+SELECT user_id, s_start AS session_start_us,
+       count(*)::BIGINT AS n_incident_hours,
+       sum(least(s_end, w_end) - greatest(s_start, w_start) + 1)::BIGINT AS overlap_us
+FROM ov GROUP BY 1, 2
+"""
+
+ANALYTICS_QUERIES["events_incident_overlap"] = events_incident_overlap
+ANALYTICS_ORACLE_SQL["events_incident_overlap"] = _INCIDENT_OVERLAP_SQL
+
+
+def basket_association_rules(spark, sf_dir):
+    """Market-basket association rules ([EXT]) at brand grain: each
+    order's distinct part brands form a basket; emit every directed
+    rule ant → cons with basket support ≥ max(2, n_baskets // 50) (2%),
+    with confidence and lift.  Scale shape: the pair self-join fans out
+    within a basket only, bounded by the ITEM-DOMAIN size (≤ brands²
+    per order, not corpus²); item supports are a 25-row broadcast; the
+    only corpus-sized shuffles are the basket distinct and the pair
+    count — both keyed.  Integer-only thresholding (// 50) avoids the
+    cross-engine 0.02·n DECIMAL trap documented in CLAUDE.md."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    nb = baskets.select("o").distinct().count()  # driver scalar, documented
+    minsup = max(2, nb // 50)
+    isup = baskets.groupBy("item").agg(F.count("*").alias("sup_i"))
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), "o")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count("*").alias("sup_ab"))
+        .filter(F.col("sup_ab") >= F.lit(minsup))
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "sup_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "sup_ab"
+        )
+    )
+    sa = isup.select(F.col("item").alias("antecedent"), F.col("sup_i").alias("sup_a"))
+    sc = isup.select(F.col("item").alias("consequent"), F.col("sup_i").alias("sup_c"))
+    conf = F.col("sup_ab").cast("double") / F.col("sup_a").cast("double")
+    lift = conf / (F.col("sup_c").cast("double") / F.lit(float(nb)))
+    return (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            "sup_ab",
+            F.round(conf, 4).alias("confidence"),
+            F.round(lift, 4).alias("lift"),
+        )
+    )
+
+
+_ASSOC_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), nb AS (
+  SELECT count(DISTINCT o) AS n FROM baskets
+), isup AS (
+  SELECT item, count(*) AS sup_i FROM baskets GROUP BY item
+), pairs AS (
+  SELECT a.item AS x, b.item AS y, count(*) AS sup_ab
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= greatest(2, (SELECT n // 50 FROM nb))
+), rules AS (
+  SELECT x AS antecedent, y AS consequent, sup_ab FROM pairs
+  UNION ALL
+  SELECT y AS antecedent, x AS consequent, sup_ab FROM pairs
+)
+SELECT antecedent, consequent, sup_ab,
+       round(sup_ab::DOUBLE / sa.sup_i::DOUBLE, 4) AS confidence,
+       round((sup_ab::DOUBLE / sa.sup_i::DOUBLE)
+             / (sc.sup_i::DOUBLE / (SELECT n FROM nb)::DOUBLE), 4) AS lift
+FROM rules
+JOIN isup sa ON sa.item = antecedent
+JOIN isup sc ON sc.item = consequent
+"""
+
+ANALYTICS_QUERIES["basket_association_rules"] = basket_association_rules
+ANALYTICS_ORACLE_SQL["basket_association_rules"] = _ASSOC_SQL
+
+
+def graph_bfs_distance(spark, sf_dir):
+    """Multi-source BFS hop distance ([EXT], fifth graph operator):
+    distance ≤ 3 from the seed set (suppliers of nation 0) over the
+    bipartite customer–supplier trade graph (customer c ↔ supplier s
+    iff some order of c has a lineitem of s; node key = 2·custkey /
+    2·suppkey+1).  Three synchronous relaxation rounds — dist_{k+1}(v)
+    = min(dist_k(v), 1 + min over neighbors dist_k(u)) — each one
+    edge-relation join + one min-aggregate on the node key, the same
+    two-shuffles-per-round shape as PageRank; all-integer, so the
+    unrolled-CTE oracle is exact.  Unreached nodes are absent (no
+    sentinel infinities shuffled)."""
+    from ..cache import persistent_rdd_ids, unpersist_rdds
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    ends = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = ends.select(F.col("c").alias("u"), F.col("s").alias("v")).union(
+        ends.select(F.col("s").alias("u"), F.col("c").alias("v"))
+    ).persist()
+    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    dist = seeds.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
+    spark_ = edges.sparkSession
+    ids = set()
+    for _ in range(3):
+        before = persistent_rdd_ids(spark_)
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        new_ids = persistent_rdd_ids(spark_) - before
+        unpersist_rdds(spark_, ids)
+        ids = new_ids
+        dist = relaxed
+    edges.unpersist()
+    return dist
+
+
+_BFS_ROUND = """
+d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT e.v AS node, d.dist + 1 AS dist
+    FROM edges e JOIN d{j} d ON e.u = d.node
+    UNION ALL SELECT node, dist FROM d{j}
+  ) GROUP BY node
+)"""
+
+_BFS_SQL = (
+    """
+WITH ends AS (
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT c AS u, s AS v FROM ends UNION ALL SELECT s AS u, c AS v FROM ends
+), d0 AS (
+  SELECT s_suppkey * 2 + 1 AS node, 0::BIGINT AS dist
+  FROM supplier WHERE s_nationkey = 0
+),"""
+    + ",".join(_BFS_ROUND.format(i=i, j=i - 1) for i in range(1, 4))
+    + """
+SELECT node, dist FROM d3
+"""
+)
+
+ANALYTICS_QUERIES["graph_bfs_distance"] = graph_bfs_distance
+ANALYTICS_ORACLE_SQL["graph_bfs_distance"] = _BFS_SQL
+
+
+def events_user_growth(spark, sf_dir):
+    """Daily audience growth curve: new users (first-touch) per day and
+    the cumulative user count — the first chart on any growth
+    dashboard.  First-touch is one keyed min-aggregate; the cumulative
+    sum runs over the ~n_days-row DAILY relation (dim grain, not fact
+    grain — the same reasoning as the retention matrix), so the
+    ordered window is trivially safe at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    daily = first.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+_USER_GROWTH_SQL = """
+WITH first AS (
+  SELECT user_id, min(ts::DATE) AS d FROM events GROUP BY user_id
+), daily AS (
+  SELECT d, count(*)::BIGINT AS new_users FROM first GROUP BY d
+)
+SELECT d AS day, new_users,
+       sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cumulative_users
+FROM daily
+"""
+
+ANALYTICS_QUERIES["events_user_growth"] = events_user_growth
+ANALYTICS_ORACLE_SQL["events_user_growth"] = _USER_GROWTH_SQL
+
+
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood near-dup pairs
+    (operators/dedup.sorted_neighborhood_pairs): sort by a 32-char
+    normalized text-prefix key via the DISTRIBUTED global row number
+    (no single-partition window), compare each doc with its next 7
+    neighbors in the total order, verify trigram Jaccard ≥ 0.05.
+    Strictly linear candidate volume — the blocking strategy of choice
+    when even posting lists skew (recall bounded by the window, a
+    documented trade).  The oracle replicates the same windowed pairing
+    with a row_number self-join."""
+    from ..operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=8, key_chars=32, n=3, threshold=0.05
+    )
+
+
+_SNM_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 32)
+           AS k
+  FROM documents
+), ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS r FROM keyed
+), cand AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 7
+), words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), sets AS (
+  SELECT doc_id, list(sh) AS shs, count(*) AS n FROM tri GROUP BY doc_id
+), scored AS (
+  SELECT ia, ib,
+         len(list_intersect(sa.shs, sb.shs)) AS nc, sa.n AS na, sb.n AS nb
+  FROM cand JOIN sets sa ON sa.doc_id = ia JOIN sets sb ON sb.doc_id = ib
+)
+SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+       round(nc / (na + nb - nc), 4) AS jaccard
+FROM scored
+WHERE round(nc / (na + nb - nc), 4) >= 0.05
+"""
+
+ANALYTICS_QUERIES["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
+ANALYTICS_ORACLE_SQL["dedup_sorted_neighborhood"] = _SNM_SQL

@@ -1,0 +1,91 @@
+"""Round-5 analytics additions: BM25, association rules, BFS — hand-
+checkable fixtures (the registry oracles cover the full-table paths)."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_bm25_hand_computed(spark, monkeypatch):
+    # 3 docs, query terms {'hash','join'}; doc 3 contains neither
+    rows = [
+        (1, "hash join hash build probe"),
+        (2, "join order and scan cost"),
+        (3, "window frame spill"),
+    ]
+    import aspep_etl_spark.plans.analytics_extra as ax
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(ax, "_t", lambda s, d, t: df)
+    out = {r["doc_id"]: r for r in ax.docs_bm25_search(spark, "ignored").collect()}
+    assert set(out) == {1, 2}
+
+    def bm25(tf, df_, n, dl, avgdl, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+        return idf * (tf * 2.2) / (tf + k1 * (0.25 + 0.75 * dl / avgdl))
+
+    avgdl = (5 + 5 + 3) / 3
+    exp1 = bm25(2, 1, 3, 5, avgdl) + bm25(1, 2, 3, 5, avgdl)  # hash + join
+    exp2 = bm25(1, 2, 3, 5, avgdl)  # join only (scan: df=1? no — scan in doc2 only)
+    exp2 += bm25(1, 1, 3, 5, avgdl)  # scan
+    assert out[1]["bm25"] == round(exp1, 4)
+    assert out[2]["bm25"] == round(exp2, 4)
+    assert out[1]["n_terms_matched"] == 2
+
+
+def test_association_rules_hand_checked(spark, monkeypatch):
+    import aspep_etl_spark.plans.analytics_extra as ax
+
+    # 4 baskets at brand grain: {A,B} x3, {A} x1 -> rule A->B sup 3,
+    # conf 3/4, lift (3/4)/(3/4)=1; B->A conf 1, lift 1/(4/4)... = 1.0
+    li = spark.createDataFrame(
+        [(o, p) for o, ps in [(1, [1, 2]), (2, [1, 2]), (3, [1, 2]), (4, [1])] for p in ps],
+        "l_orderkey long, l_partkey long",
+    )
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey long, p_brand string"
+    )
+    tables = {"lineitem": li, "part": part}
+    monkeypatch.setattr(ax, "_t", lambda s, d, t: tables[t])
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in ax.basket_association_rules(spark, "ignored").collect()
+    }
+    assert set(out) == {("A", "B"), ("B", "A")}
+    ab = out[("A", "B")]
+    assert (ab["sup_ab"], ab["confidence"], ab["lift"]) == (3, 0.75, 1.0)
+    ba = out[("B", "A")]
+    assert (ba["sup_ab"], ba["confidence"], ba["lift"]) == (3, 1.0, 1.0)
+
+
+def test_bfs_distances_on_path(spark, monkeypatch):
+    import aspep_etl_spark.plans.analytics_extra as ax
+
+    # chain: supplier 1 (nation 0, node 3) - customer 1 (node 2) -
+    # supplier 2 (node 5) - customer 2 (node 4): dists 0,1,2,3
+    li = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 2)], "l_orderkey long, l_suppkey long"
+    )
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2)], "o_orderkey long, o_custkey long"
+    )
+    supplier = spark.createDataFrame(
+        [(1, 0), (2, 7)], "s_suppkey long, s_nationkey long"
+    )
+    tables = {"lineitem": li, "orders": orders, "supplier": supplier}
+    monkeypatch.setattr(ax, "_t", lambda s, d, t: tables[t])
+    out = {r["node"]: r["dist"] for r in ax.graph_bfs_distance(spark, "x").collect()}
+    # node ids: cust c -> 2c, supp s -> 2s+1
+    assert out == {3: 0, 2: 1, 5: 2, 4: 3}
+
+
+def test_labelprop_registry_graph_runs_small(spark, monkeypatch):
+    import aspep_etl_spark.plans.analytics_extra as ax
+
+    li = spark.createDataFrame(
+        [(p, s) for p in range(4) for s in [p % 2, 2 + p % 2]],
+        "l_partkey long, l_suppkey long",
+    )
+    monkeypatch.setattr(ax, "_t", lambda s, d, t: li)
+    out = ax.graph_label_propagation(spark, "x").collect()
+    assert len(out) == 4  # suppliers 0..3 all labeled

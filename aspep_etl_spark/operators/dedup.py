@@ -140,8 +140,11 @@ def jaccard_pairs(
     # Sort ONCE per posting before the pair transform — an `array_sort`
     # inlined in the lambda re-sorts per element, O(k² log k) on the
     # stopword-shingle postings the frequency cap exists for.
+    # _fan: the posting frame is byte-tiny but each row EXPLODES into
+    # O(df²) pairs feeding the intersection agg — without the explicit
+    # numbered repartition AQE coalesces it to ~2 tasks (sf1 rehearsal).
     pairs = (
-        posting.select(F.array_sort("ids").alias("ids"))
+        _fan(posting, "shingle").select(F.array_sort("ids").alias("ids"))
         .select(
             F.explode(
                 F.expr(
@@ -295,8 +298,10 @@ def minhash_lsh_pairs(
     # first, then re-attach each signature exactly once.
     left = bands_long.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = bands_long.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # _fan: band rows are bytes-tiny, the bucket self-join output is not —
+    # keep the join + distinct off AQE's ~2-task coalesce (sf1 rehearsal)
     cand_ids = (
-        left.join(right, ["band", "band_hash"])
+        _fan(left, "band", "band_hash").join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -446,7 +451,7 @@ def embedding_near_dup_pairs_bucketed(
     )
 
     cand = (
-        assign.select(F.col(id_col).alias("id_a"), "bucket")
+        _fan(assign.select(F.col(id_col).alias("id_a"), "bucket"), "bucket")
         .join(assign.select(F.col(id_col).alias("id_b"), "bucket"), "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -722,7 +727,7 @@ def incremental_jaccard_matches(
 
     d_sh = d_arr.select(F.col(id_col).alias("__new_id"), F.explode("sh_arr").alias("shingle"))
     inter = (
-        d_sh.join(posting, "shingle")
+        _fan(d_sh, "shingle").join(posting, "shingle")
         .select("__new_id", F.explode("old_ids").alias("__old_id"))
         .groupBy("__new_id", "__old_id")
         .agg(F.count("*").alias("n_common"))
@@ -815,7 +820,8 @@ def prefix_filter_pairs(
         .filter(F.size("ids") >= 2)
     )
     cand = (
-        posting.select(F.array_sort("ids").alias("ids"))
+        _fan(posting, "shingle")  # posting rows explode into O(df²) pairs
+        .select(F.array_sort("ids").alias("ids"))
         .select(
             F.explode(
                 F.expr(

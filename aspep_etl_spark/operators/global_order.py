@@ -159,3 +159,52 @@ def global_running_sum(
         .drop(_PID, "__go_offset")
     )
     return out, total
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "__running_max",
+    num_partitions: int | None = None,
+    exclusive: bool = True,
+) -> DataFrame:
+    """Exact running MAX of ``value_col`` in the total order
+    ``order_cols`` — same two-pass distributed prefix scheme as
+    ``global_running_sum`` (max is associative AND commutative, so
+    unlike the sum there is no DECIMAL caveat: the result is invariant
+    to the partition split for any type).  ``exclusive=True`` (the
+    default) computes the max over STRICTLY PRECEDING rows — the shape
+    dominance tests need (``plans/analytics_extra.orders_pareto_frontier``);
+    the first row's value is NULL.  Single extra job: the ≤ #partitions
+    per-partition maxima collected and prefix-scanned on the driver."""
+    ranged = _ranged(df, order_cols, num_partitions)
+    per_part = ranged.groupBy(_PID).agg(F.max(value_col).alias("__m"))
+    from pyspark.sql import types as T
+
+    rows = sorted(per_part.collect(), key=lambda r: r[0])
+    acc = None
+    out_rows = []
+    for pid, val in rows:
+        out_rows.append((pid, acc))
+        if val is not None:
+            acc = val if acc is None else max(acc, val)
+    schema = T.StructType(
+        [
+            T.StructField(_PID, T.IntegerType()),
+            T.StructField("__go_prev_max", per_part.schema[1].dataType),
+        ]
+    )
+    offsets = df.sparkSession.createDataFrame(out_rows, schema)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), _PID, "left")
+        .withColumn(
+            out_col, F.greatest(F.max(value_col).over(w), F.col("__go_prev_max"))
+        )
+        .drop(_PID, "__go_prev_max")
+    )

@@ -2424,3 +2424,137 @@ WHERE round(nc / (na + nb - nc), 4) >= 0.05
 
 ANALYTICS_QUERIES["dedup_sorted_neighborhood"] = dedup_sorted_neighborhood
 ANALYTICS_ORACLE_SQL["dedup_sorted_neighborhood"] = _SNM_SQL
+
+
+def orders_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier / skyline ([EXT]): the orders no other order
+    dominates on (cheaper-or-equal price, same-or-later date, one
+    strict).  The classic skyline operator, computed WITHOUT the
+    quadratic dominance self-join: collapse to distinct (price, date)
+    points, then one pass of ``global_running_max`` (exclusive) over
+    the (price asc, date desc) total order — a point is dominated iff
+    some strictly-preceding point in that order carries a date ≥ its
+    own (preceding ⇒ cheaper, or equal-price-later — exactly the
+    dominators).  Distributed range sort + per-partition windows, no
+    single-partition Window, no O(n²) join; the gate oracle replays the
+    same sweep in SQL and the NOT-EXISTS spec form is pinned in
+    tests/test_pareto.py."""
+    from ..operators.global_order import global_running_max
+
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.groupBy(
+        F.col("o_totalprice").alias("price"),
+        # o_orderdate is TIMESTAMP_NTZ in the parquet; the cast re-tags it
+        # (session tz is UTC) so unix_micros matches DuckDB's epoch_us
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("date_us"),
+    ).agg(
+        F.count("*").alias("n_orders"), F.min("o_orderkey").alias("min_orderkey")
+    )
+    swept = global_running_max(
+        pts,
+        [F.asc("price"), F.desc("date_us")],
+        "date_us",
+        out_col="__dmax",
+        exclusive=True,
+    )
+    return swept.filter(
+        F.col("__dmax").isNull() | (F.col("__dmax") < F.col("date_us"))
+    ).select("price", "date_us", "n_orders", "min_orderkey")
+
+
+_PARETO_SQL = """
+WITH pts AS (
+  SELECT o_totalprice AS price, epoch_us(o_orderdate) AS date_us,
+         count(*)::BIGINT AS n_orders, min(o_orderkey) AS min_orderkey
+  FROM orders GROUP BY 1, 2
+), s AS (
+  SELECT *, max(date_us) OVER (ORDER BY price ASC, date_us DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS dmax
+  FROM pts
+)
+SELECT price, date_us, n_orders, min_orderkey
+FROM s WHERE dmax IS NULL OR dmax < date_us
+"""
+
+ANALYTICS_QUERIES["orders_pareto_frontier"] = orders_pareto_frontier
+ANALYTICS_ORACLE_SQL["orders_pareto_frontier"] = _PARETO_SQL
+
+
+def events_cusum_changepoints(spark, sf_dir):
+    """CUSUM change-point detection on daily event volume ([EXT]) — the
+    drift monitor a production ingest pipeline runs on its own intake.
+    Two-sided CUSUM with slack k = mean/20 and threshold h = mean/2,
+    computed via the closed form  C_i = S_i − min(0, min_{j≤i} S_j)
+    (cumulative sum + running min — two day-grain windows, NO recursive
+    fold).  All window arithmetic runs on INTEGER numerators scaled by
+    20·n_days (delta ≡ (20·n·cnt − 21·total) / (20n)), so the cumsum is
+    associativity-exact across engines and partition splits; the one
+    double division per row happens at the contract boundary.  Windows
+    run at DAY grain — corpus-size-independent, the documented safe
+    shape."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = daily.agg(
+        F.sum("cnt").alias("__total"), F.count("*").alias("__nd")
+    )
+    d = daily.crossJoin(F.broadcast(tot))
+    # integer numerators: pos delta = 20n·cnt − 21·total ; neg = 19·total − 20n·cnt
+    d = d.withColumn(
+        "__dp", F.lit(20) * F.col("__nd") * F.col("cnt") - F.lit(21) * F.col("__total")
+    ).withColumn(
+        "__dn", F.lit(19) * F.col("__total") - F.lit(20) * F.col("__nd") * F.col("cnt")
+    )
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        d.withColumn("__sp", F.sum("__dp").over(cum))
+        .withColumn("__sn", F.sum("__dn").over(cum))
+        .withColumn("__mp", F.least(F.lit(0).cast("long"), F.min("__sp").over(cum)))
+        .withColumn("__mn", F.least(F.lit(0).cast("long"), F.min("__sn").over(cum)))
+    )
+    scale = F.lit(20.0) * F.col("__nd").cast("double")
+    return d.select(
+        "day",
+        "cnt",
+        F.round((F.col("__sp") - F.col("__mp")) / scale, 4).alias("cusum_pos"),
+        F.round((F.col("__sn") - F.col("__mn")) / scale, 4).alias("cusum_neg"),
+        (
+            ((F.col("__sp") - F.col("__mp")) > F.lit(10) * F.col("__total"))
+            | ((F.col("__sn") - F.col("__mn")) > F.lit(10) * F.col("__total"))
+        ).alias("drift_flag"),
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*) AS cnt FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS total, count(*) AS nd FROM daily
+), d AS (
+  SELECT day, cnt,
+         20 * nd * cnt - 21 * total AS dp,
+         19 * total - 20 * nd * cnt AS dn,
+         total, nd
+  FROM daily CROSS JOIN tot
+), c AS (
+  SELECT day, cnt, total, nd,
+         sum(dp) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sp,
+         sum(dn) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sn
+  FROM d
+), m AS (
+  SELECT day, cnt, total, nd, sp, sn,
+         least(0, min(sp) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS mp,
+         least(0, min(sn) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS mn
+  FROM c
+)
+SELECT day, cnt::BIGINT AS cnt,
+       round((sp - mp)::DOUBLE / ((20.0 * nd)::DOUBLE), 4) AS cusum_pos,
+       round((sn - mn)::DOUBLE / ((20.0 * nd)::DOUBLE), 4) AS cusum_neg,
+       ((sp - mp) > 10 * total OR (sn - mn) > 10 * total) AS drift_flag
+FROM m
+"""
+
+ANALYTICS_QUERIES["events_cusum_changepoints"] = events_cusum_changepoints
+ANALYTICS_ORACLE_SQL["events_cusum_changepoints"] = _CUSUM_SQL

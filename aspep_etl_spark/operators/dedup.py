@@ -393,6 +393,7 @@ def embedding_near_dup_pairs_bucketed(
     n_leaders: int | None = None,
     n_assign: int = 4,
     seed: int = 42,
+    screen: str = "gemm",
 ) -> DataFrame:
     """Bucketed embedding-cosine near-dup pairs — the 100 TB path.
 
@@ -425,6 +426,15 @@ def embedding_near_dup_pairs_bucketed(
     set-equality with the brute-force baseline on real testdata, and the
     contract query `dedup_embedding_cosine` hash-matches the all-pairs
     DuckDB oracle through THIS path.
+
+    ``screen="gemm"`` (default) runs assignment AND the in-bucket pair
+    screen as per-batch/per-bucket numpy gemms (filter-refine — see
+    ``similarity.gemm_screen_pairs``; the sf1 rehearsal measured the
+    interpreted per-pair fold at 308 s for ~10⁸ candidates, the gemm
+    screen replaces ~all of it); survivors are still RE-SCORED with the
+    exact JVM ordered fold the oracle replays, so emitted values are
+    unchanged.  ``screen="fold"`` keeps the all-JVM path (useful to
+    difference the two, and for Arrow-less deployments).
     """
     from .similarity import with_norm, cosine_expr
 
@@ -440,26 +450,36 @@ def embedding_near_dup_pairs_bucketed(
             F.col("norm").alias("norm_l"),
         )
     )
-    scored = v.crossJoin(F.broadcast(leaders)).withColumn(
-        "__sim", cosine_expr("vec", "vec_l", "norm", "norm_l")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("bucket"))
-    assign = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_assign)
-        .select(id_col, "bucket")
-    )
+    if screen == "gemm":
+        from .similarity import (
+            assign_buckets_gemm,
+            collect_leader_matrix,
+            gemm_screen_pairs,
+        )
 
-    cand = (
-        _fan(assign.select(F.col(id_col).alias("id_a"), "bucket"), "bucket")
-        .join(assign.select(F.col(id_col).alias("id_b"), "bucket"), "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        lids, lmat = collect_leader_matrix(leaders, "bucket", "vec_l")
+        assign = assign_buckets_gemm(v, lids, lmat, id_col, n_assign)
+        cand = gemm_screen_pairs(assign, v, id_col, threshold=threshold)
+    else:
+        scored = v.crossJoin(F.broadcast(leaders)).withColumn(
+            "__sim", cosine_expr("vec", "vec_l", "norm", "norm_l")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("bucket"))
+        assign = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n_assign)
+            .select(id_col, "bucket")
+        )
+        cand = (
+            _fan(assign.select(F.col(id_col).alias("id_a"), "bucket"), "bucket")
+            .join(assign.select(F.col(id_col).alias("id_b"), "bucket"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     a = v.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
-    cand = _fan(cand, "id_a")  # each candidate row is an interpreted d-dim fold
+    cand = _fan(cand, "id_a")  # survivors re-scored by the exact fold
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")

@@ -294,3 +294,128 @@ def srp_lsh_topk(
         .withColumn("cosine", F.round(cosine_expr("vec_q", "vec_n", "norm_q", "norm_n"), 4))
     )
     return _rank_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# BLAS filter-refine kernels (round 5).
+#
+# The sf1 dress rehearsal measured the interpreted `aggregate(zip_with(...))`
+# cosine fold at ~µs/pair (CodegenFallback — never compiled), which is fine
+# for the ANN queries' bounded candidate sets but made the canopy dedup's
+# ~10⁸-candidate verify stage the single slowest thing in the engine (308 s
+# at sf1 AFTER the AQE fan fix).  The classic answer is FILTER-REFINE:
+#
+#   screen every in-bucket pair with one per-bucket numpy gemm
+#   (U @ U.T — vectors cross Arrow ONCE per bucket, ~100× cheaper per
+#   pair than the interpreted fold), admitting pairs at threshold − 1e-6;
+#   then REFINE the tiny surviving set through the exact JVM ordered
+#   fold that the DuckDB oracle replays, so emitted values stay
+#   hash-exact (numpy's pairwise summation differs from the ordered
+#   fold by ~ulp·d — far inside the margin, never inside the contract).
+# ---------------------------------------------------------------------------
+
+
+def collect_leader_matrix(leaders: DataFrame, bucket_col: str, vec_col: str):
+    """Collect the (tiny, ≤ canopy cap) leader table into a
+    deterministically-ordered numpy matrix — the documented bounded
+    driver collect (same budget class as the KMeans centroids)."""
+    import numpy as np
+
+    rows = leaders.select(bucket_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def assign_buckets_gemm(
+    vectors: DataFrame,
+    leader_ids,
+    leader_mat,
+    id_col: str,
+    n_assign: int,
+) -> DataFrame:
+    """(id, bucket) assignment of every vector to its ``n_assign``
+    nearest leaders by cosine — one numpy gemm per Arrow batch against
+    the broadcast leader matrix instead of n·L interpreted folds.
+    Ties (and degenerate zero-norm rows, whose sims are all equal)
+    break toward the SMALLEST leader id: the leader columns are
+    id-sorted and the argsort is stable — the same (sim desc, bucket
+    asc) rule as the JVM row_number path."""
+    import numpy as np
+    import pandas as pd
+
+    ln = np.linalg.norm(leader_mat, axis=1, keepdims=True)
+    ln[ln == 0] = np.inf
+    lu_t = (leader_mat / ln).T
+    k = min(n_assign, len(leader_ids))
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            xn[xn == 0] = np.inf
+            sims = (x / xn) @ lu_t
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, k),
+                    "bucket": leader_ids[idx].ravel(),
+                }
+            )
+
+    return vectors.select(id_col, "vec").mapInPandas(fn, f"{id_col} long, bucket long")
+
+
+def gemm_screen_pairs(
+    assign: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    bucket_col: str = "bucket",
+    threshold: float = 0.95,
+    margin: float = 1e-6,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """All in-bucket pairs whose numpy cosine clears ``threshold −
+    margin`` — the screen half of filter-refine.  One
+    ``applyInPandas`` group per bucket; the upper-triangle gemm runs in
+    ``block_rows`` row-blocks so a hot bucket of k vectors peaks at
+    O(block_rows·k) floats, not k².  Zero-norm rows yield NaN sims and
+    screen out.  Output: bare (id_a < id_b), de-duplicated across
+    buckets — feed to the exact fold for refinement."""
+    import numpy as np
+    import pandas as pd
+
+    thr = threshold - margin
+    joined = assign.join(vectors.select(id_col, "vec"), id_col)
+
+    def fn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = x / np.linalg.norm(x, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy()
+        out_a, out_b = [], []
+        for i0 in range(0, n, block_rows):
+            i1 = min(i0 + block_rows, n)
+            s = u[i0:i1] @ u.T  # (block, n)
+            ri, ci = np.nonzero(s >= thr)  # NaN compares False
+            keep = ci > (ri + i0)  # strict upper triangle, no self
+            ia, ib = ids[ri[keep] + i0], ids[ci[keep]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return (
+        joined.groupBy(bucket_col)
+        .applyInPandas(fn, "id_a long, id_b long")
+        .distinct()
+    )

@@ -2558,3 +2558,58 @@ FROM m
 
 ANALYTICS_QUERIES["events_cusum_changepoints"] = events_cusum_changepoints
 ANALYTICS_ORACLE_SQL["events_cusum_changepoints"] = _CUSUM_SQL
+
+
+def events_pattern_match(spark, sf_dir):
+    """Sequence-pattern mining over per-user event streams ([EXT], the
+    MATCH_RECOGNIZE shape generalized): encode each user's time-ordered
+    events as an initial-letter string (c/e/p/s/v) and count
+    non-overlapping matches of the regex  v+c+p  (≥1 view, ≥1 click,
+    then a purchase) — the "browse-engage-buy" motif.  One keyed
+    aggregate builds the sequence (ordered collect at user grain, the
+    sessionize shape); the regex scan is map-side JVM.  Users whose
+    stream never matches are dropped (no sentinel rows shuffled)."""
+    ev = _t(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ch"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(us, event_id, ch))),"
+                    " x -> x.ch)"
+                ),
+            ).alias("s"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    n_matches = F.size(F.expr("regexp_extract_all(s, 'v+c+p', 0)"))
+    return (
+        seq.withColumn("n_conversion_motifs", n_matches.cast("long"))
+        .filter(F.col("n_conversion_motifs") > 0)
+        .select("user_id", "n_events", "n_conversion_motifs")
+    )
+
+
+_PATTERN_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY epoch_us(ts), event_id) AS s,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       len(regexp_extract_all(s, 'v+c+p'))::BIGINT AS n_conversion_motifs
+FROM seq
+WHERE len(regexp_extract_all(s, 'v+c+p')) > 0
+"""
+
+ANALYTICS_QUERIES["events_pattern_match"] = events_pattern_match
+ANALYTICS_ORACLE_SQL["events_pattern_match"] = _PATTERN_SQL

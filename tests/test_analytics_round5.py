@@ -89,3 +89,30 @@ def test_labelprop_registry_graph_runs_small(spark, monkeypatch):
     monkeypatch.setattr(ax, "_t", lambda s, d, t: li)
     out = ax.graph_label_propagation(spark, "x").collect()
     assert len(out) == 4  # suppliers 0..3 all labeled
+
+
+def test_pattern_match_hand_checked(spark, monkeypatch):
+    import datetime as dt
+
+    import aspep_etl_spark.plans.analytics_extra as ax
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda i: t0 + dt.timedelta(minutes=i)
+    rows = [
+        # user 1: v v c p v c p -> motifs 'vvcp' and 'vcp' = 2 matches
+        (1, mk(0), 1, "view"), (1, mk(1), 2, "view"), (1, mk(2), 3, "click"),
+        (1, mk(3), 4, "purchase"), (1, mk(4), 5, "view"), (1, mk(5), 6, "click"),
+        (1, mk(6), 7, "purchase"),
+        # user 2: p c v -> no match, dropped
+        (2, mk(0), 8, "purchase"), (2, mk(1), 9, "click"), (2, mk(2), 10, "view"),
+        # user 3: v e c e p -> error breaks the motif, no match
+        (3, mk(0), 11, "view"), (3, mk(1), 12, "error"), (3, mk(2), 13, "click"),
+        (3, mk(3), 14, "error"), (3, mk(4), 15, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    monkeypatch.setattr(ax, "_t", lambda s, d, t: ev)
+    out = {r["user_id"]: r["n_conversion_motifs"]
+           for r in ax.events_pattern_match(spark, "x").collect()}
+    assert out == {1: 2}

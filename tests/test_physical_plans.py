@@ -205,3 +205,71 @@ def test_scaled_global_windows_have_no_single_partition_exchange(spark, sf):
         plan = plan_of(contract.SPARK_QUERIES[name](spark, sf), mode="simple")
         assert "Exchange SinglePartition" not in plan, name
         assert "rangepartitioning" in plan, name
+
+
+# --- round-5 operators -----------------------------------------------------
+
+
+def test_prefix_filter_no_cartesian(spark, sf):
+    from aspep_etl_spark.plans.analytics_extra import dedup_prefix_filter
+
+    plan = plan_of(dedup_prefix_filter(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangles_no_cartesian_joins(spark, sf):
+    # the wedge-close pipeline must stay equi-join only; the single
+    # legitimate nested-loop is broadcasting the 1-row count frames
+    from aspep_etl_spark.plans.analytics_extra import graph_triangles
+
+    plan = plan_of(graph_triangles(spark, sf))
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_idf_and_prunes_scan(spark, sf):
+    from aspep_etl_spark.plans.analytics_extra import docs_bm25_search
+
+    plan = plan_of(docs_bm25_search(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema  # only doc_id + text read
+
+
+def test_pareto_no_single_partition_exchange_before_filter(spark, sf):
+    # the whole point of global_running_max: no Exchange SinglePartition
+    from aspep_etl_spark.plans.analytics_extra import orders_pareto_frontier
+
+    plan = plan_of(orders_pareto_frontier(spark, sf))
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_interval_overlap_is_equi_join(spark, sf):
+    from aspep_etl_spark.plans.analytics_extra import events_incident_overlap
+
+    plan = plan_of(events_incident_overlap(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_dedup_gemm_path_has_python_stages(spark, sf):
+    # filter-refine: candidate screen runs in Arrow Python (ArrowEvalPython /
+    # FlatMapGroupsInPandas + MapInPandas), exact fold only on survivors
+    from aspep_etl_spark.plans import contract as c
+
+    plan = plan_of(c.SPARK_QUERIES["dedup_embedding_cosine"](spark, sf))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_windows_run_at_day_grain(spark, sf):
+    # one shuffle for the daily agg; the single-partition window is fed by
+    # the DAY-grain aggregate, never the fact scan
+    from aspep_etl_spark.plans.analytics_extra import events_cusum_changepoints
+
+    df = events_cusum_changepoints(spark, sf)
+    plan = plan_of(df)
+    agg_before_window = plan.index("HashAggregate") < plan.index("Window")
+    assert agg_before_window

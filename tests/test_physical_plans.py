@@ -271,5 +271,8 @@ def test_cusum_windows_run_at_day_grain(spark, sf):
 
     df = events_cusum_changepoints(spark, sf)
     plan = plan_of(df)
-    agg_before_window = plan.index("HashAggregate") < plan.index("Window")
-    assert agg_before_window
+    # formatted plans print sink-first: the Window node sits ABOVE the
+    # day-grain HashAggregate that feeds it, and the scan reads only ts
+    assert plan.index("Window") < plan.index("HashAggregate")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "ts" in read_schema and "user_id" not in read_schema

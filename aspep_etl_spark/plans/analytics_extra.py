@@ -2613,3 +2613,84 @@ WHERE len(regexp_extract_all(s, 'v+c+p')) > 0
 
 ANALYTICS_QUERIES["events_pattern_match"] = events_pattern_match
 ANALYTICS_ORACLE_SQL["events_pattern_match"] = _PATTERN_SQL
+
+
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from the
+    nation-0 suppliers over the symmetrized customer–supplier trade
+    graph (operators/pagerank.personalized_pagerank): 3 damped rounds,
+    top-100 — "which customers/suppliers are closest to this cohort",
+    the recommendation-expansion shape.  Sixth graph operator; same
+    unrolled-CTE oracle exactness as graph_pagerank (rounded fixpoint,
+    ::DOUBLE literals)."""
+    from ..operators.pagerank import personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
+    )
+    pr = personalized_pagerank(edges, seeds, iters=3, damping=0.85, round_dp=9)
+    return pr.orderBy(F.desc("rank"), F.asc("node")).limit(100)
+
+
+def _ppr_sql(iters: int = 3, dp: int = 9, top: int = 100) -> str:
+    parts = [
+        f"""WITH e0 AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), sd AS (
+  SELECT DISTINCT 's' || s_suppkey AS node FROM supplier WHERE s_nationkey = 0
+), nodes AS (
+  SELECT node, CASE WHEN node IN (SELECT node FROM sd) THEN 1 ELSE 0 END AS seed
+  FROM (SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), ns AS (
+  SELECT sum(seed)::DOUBLE AS n FROM nodes
+), r0 AS (
+  SELECT node, CASE WHEN seed = 1 THEN round(1.0 / ns.n, {dp})
+                    ELSE 0.0::DOUBLE END AS rank
+  FROM nodes, ns
+)"""
+    ]
+    prev = "r0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", r{t} AS (
+  SELECT nd.node,
+         round(CASE WHEN any_value(nd.seed) = 1
+                    THEN (1.0 - 0.85::DOUBLE) * (1.0 / any_value(ns.n))
+                    ELSE 0.0::DOUBLE END
+               + 0.85::DOUBLE * coalesce(sum(r.rank / deg.d), 0.0), {dp}) AS rank
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN {prev} r ON e.src = r.node
+  LEFT JOIN deg ON deg.src = e.src
+  CROSS JOIN ns
+  GROUP BY nd.node
+)"""
+        )
+        prev = f"r{t}"
+    parts.append(
+        f"""
+SELECT node, rank FROM {prev} ORDER BY rank DESC, node LIMIT {top}"""
+    )
+    return "".join(parts)
+
+
+ANALYTICS_QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
+ANALYTICS_ORACLE_SQL["graph_personalized_pagerank"] = _ppr_sql()

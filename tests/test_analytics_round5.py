@@ -116,3 +116,38 @@ def test_pattern_match_hand_checked(spark, monkeypatch):
     out = {r["user_id"]: r["n_conversion_motifs"]
            for r in ax.events_pattern_match(spark, "x").collect()}
     assert out == {1: 2}
+
+
+def test_personalized_pagerank_mass_near_seeds(spark):
+    from pyspark.sql import functions as F
+
+    from aspep_etl_spark.operators.pagerank import personalized_pagerank
+
+    # path graph a-b-c-d, seed {a}: rank must decay with distance from a
+    e0 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = spark.createDataFrame([("a",)], "node string")
+    # near the fixpoint: the far end of the chain ranks last, the seed
+    # beats the equal-degree node two hops out (hub b may legitimately
+    # outrank the seed — degree effects, not an error), and restart
+    # keeps total mass <= 1
+    pr = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds, iters=20).collect()
+    }
+    assert pr["d"] == min(pr.values())
+    assert pr["a"] > pr["c"] > pr["d"]
+    assert 0 < sum(pr.values()) <= 1.000001
+
+
+def test_personalized_pagerank_empty_seed_set(spark):
+    from pyspark.sql import functions as F
+
+    from aspep_etl_spark.operators.pagerank import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    seeds = spark.createDataFrame([], "node string")
+    out = personalized_pagerank(edges, seeds).collect()
+    assert all(r["rank"] == 0.0 for r in out)

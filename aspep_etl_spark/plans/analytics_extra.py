@@ -2694,3 +2694,102 @@ SELECT node, rank FROM {prev} ORDER BY rank DESC, node LIMIT {top}"""
 
 ANALYTICS_QUERIES["graph_personalized_pagerank"] = graph_personalized_pagerank
 ANALYTICS_ORACLE_SQL["graph_personalized_pagerank"] = _ppr_sql()
+
+
+def docs_classifier_auc(spark, sf_dir):
+    """Distributed AUC of the quality-classifier score ([EXT]) — the
+    eval metric every model-gated corpus pipeline needs, computed as the
+    exact Mann-Whitney rank statistic WITHOUT collecting scores:
+
+        AUC = (2·Σ_pos avgrank − n_pos·(n_pos+1)) / (2·n_pos·n_neg)
+
+    Ranks come from ``global_row_number`` over (score, doc_id) — the
+    distributed two-pass scheme, no single-partition window; ties get
+    the standard average rank via per-score (min+max) — and the whole
+    statistic stays INTEGER until one final division, so it is
+    associativity-exact across engines and partition splits (labels:
+    even/odd source id, a deterministic synthetic ground truth)."""
+    from ..operators.classifier import score_documents
+    from ..operators.global_order import global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_documents(docs, "text", "doc_id", dim=4096).select(
+        "doc_id", "score"
+    )
+    lab = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0)
+        .cast("long")
+        .alias("label"),
+    )
+    j = scored.join(lab, "doc_id")
+    ranked, _n = global_row_number(j, [F.asc("score"), F.asc("doc_id")], "__r")
+    g = ranked.groupBy("score").agg(
+        F.min("__r").alias("__mn"),
+        F.max("__r").alias("__mx"),
+        F.sum("label").alias("__npos_g"),
+    )
+    agg = g.agg(
+        F.sum(F.col("__npos_g") * (F.col("__mn") + F.col("__mx"))).alias("__rs2")
+    )
+    tot = ranked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("label").alias("n_pos"),
+        (F.count("*") - F.sum("label")).alias("n_neg"),
+    )
+    return tot.crossJoin(F.broadcast(agg)).select(
+        "n_docs",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (
+                F.col("__rs2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+            ).cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+_AUC_SQL = """
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), feat AS (
+  SELECT doc_id,
+         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
+  FROM base WHERE len(w) >= 1
+), wts AS (
+  SELECT doc_id,
+         list_transform(f, t ->
+           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
+             / 1000.0 - 1.0) AS wv
+  FROM feat
+), folded AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv), 6)
+           AS score
+  FROM wts
+), lab AS (
+  SELECT doc_id,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1 ELSE 0 END
+           AS label
+  FROM documents
+), j AS (
+  SELECT f.doc_id, f.score, l.label FROM folded f JOIN lab l USING (doc_id)
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY score, doc_id) AS rk FROM j
+), g AS (
+  SELECT score, min(rk) AS mn, max(rk) AS mx, sum(label) AS npos_g
+  FROM r GROUP BY score
+), s2 AS (
+  SELECT sum(npos_g * (mn + mx)) AS rs2 FROM g
+), tot AS (
+  SELECT count(*) AS n_docs, sum(label) AS np, count(*) - sum(label) AS nn FROM j
+)
+SELECT n_docs::BIGINT AS n_docs, np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       round((rs2 - np * (np + 1))::DOUBLE / ((2 * np * nn)::DOUBLE), 6) AS auc
+FROM tot, s2
+"""
+
+ANALYTICS_QUERIES["docs_classifier_auc"] = docs_classifier_auc
+ANALYTICS_ORACLE_SQL["docs_classifier_auc"] = _AUC_SQL

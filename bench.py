@@ -55,11 +55,16 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "aspep_extended_pipeline",
     "docs_classifier_score",
+    "dedup_embedding_cosine",
 ]
 
 # Queries added to the headline set after round 3 — excluded from the
 # like-for-like r3_queryset_total subtotal.
-_POST_R3_QUERIES = {"a1_grouped_median_approx", "docs_classifier_score"}
+_POST_R3_QUERIES = {
+    "a1_grouped_median_approx",
+    "docs_classifier_score",
+    "dedup_embedding_cosine",  # r5: BLAS filter-refine showcase
+}
 
 
 def main() -> None:

@@ -151,3 +151,38 @@ def test_personalized_pagerank_empty_seed_set(spark):
     seeds = spark.createDataFrame([], "node string")
     out = personalized_pagerank(edges, seeds).collect()
     assert all(r["rank"] == 0.0 for r in out)
+
+
+def test_classifier_auc_matches_pandas_rank_formula(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import aspep_etl_spark.plans.analytics_extra as ax
+    from aspep_etl_spark.operators.classifier import score_documents
+
+    sf = "/root/testdata/sf0.001"
+    row = ax.docs_classifier_auc(spark, sf).collect()[0]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pdf = (
+        score_documents(docs, "text", "doc_id", dim=4096)
+        .join(
+            docs.select(
+                "doc_id",
+                (F.substring("source", 4, 10).cast("int") % 2 == 0)
+                .cast("long")
+                .alias("label"),
+            ),
+            "doc_id",
+        )
+        .select("score", "label")
+        .toPandas()
+    )
+    ranks = pd.Series(pdf["score"]).rank(method="average")
+    n_pos = int(pdf["label"].sum())
+    n_neg = len(pdf) - n_pos
+    auc = (ranks[pdf["label"] == 1].sum() - n_pos * (n_pos + 1) / 2) / (
+        n_pos * n_neg
+    )
+    assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
+    assert abs(row["auc"] - auc) < 1e-6
+    assert 0.0 <= row["auc"] <= 1.0

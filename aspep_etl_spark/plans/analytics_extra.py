@@ -2793,3 +2793,71 @@ FROM tot, s2
 
 ANALYTICS_QUERIES["docs_classifier_auc"] = docs_classifier_auc
 ANALYTICS_ORACLE_SQL["docs_classifier_auc"] = _AUC_SQL
+
+
+def events_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of daily event volume ([EXT],
+    STL-lite): trend = 7-day centered moving average (ROWS −3..+3, edge
+    windows use their actual row count), seasonal = per-day-of-week mean
+    of the detrended series, residual = value − trend − seasonal.  All
+    windows/aggregates run at DAY grain.  Cross-engine exactness: trend
+    is one exact integer division (sum/count of integer counts); the
+    per-DOW mean folds over the day-ordered detrended list on both
+    engines (the ordered-fold recipe), so every emitted double is
+    bit-identical before rounding."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("cnt")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    d = daily.withColumn(
+        "__trend", F.sum("cnt").over(w7) / F.count("cnt").over(w7)
+    ).withColumn("__det", F.col("cnt") - F.col("__trend"))
+    dow = d.withColumn("__dow", F.dayofweek("day"))
+    seas = dow.groupBy("__dow").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(day, __det))),"
+            " x -> x.__det), 0D, (acc, v) -> acc + v)"
+        ).alias("__s"),
+        F.count("*").alias("__n"),
+    ).select("__dow", (F.col("__s") / F.col("__n")).alias("__seasonal"))
+    return (
+        dow.join(F.broadcast(seas), "__dow")
+        .select(
+            "day",
+            "cnt",
+            F.round("__trend", 4).alias("trend"),
+            F.round("__seasonal", 4).alias("seasonal"),
+            F.round(
+                F.col("__det") - F.col("__seasonal"), 4
+            ).alias("residual"),
+        )
+    )
+
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*) AS cnt FROM events GROUP BY 1
+), t AS (
+  SELECT day, cnt,
+         sum(cnt) OVER w / count(cnt) OVER w AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT day, cnt, trend, cnt - trend AS det,
+         dayofweek(day) + 1 AS dow
+  FROM t
+), seas AS (
+  SELECT dow,
+         list_reduce(list_prepend(0.0::DOUBLE, list(det ORDER BY day)),
+                     (a, b) -> a + b) / count(*) AS seasonal
+  FROM d GROUP BY dow
+)
+SELECT day, cnt::BIGINT AS cnt, round(trend, 4) AS trend,
+       round(seasonal, 4) AS seasonal,
+       round(det - seasonal, 4) AS residual
+FROM d JOIN seas USING (dow)
+"""
+
+ANALYTICS_QUERIES["events_seasonal_decompose"] = events_seasonal_decompose
+ANALYTICS_ORACLE_SQL["events_seasonal_decompose"] = _SEASONAL_SQL

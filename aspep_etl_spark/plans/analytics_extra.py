@@ -2861,3 +2861,92 @@ FROM d JOIN seas USING (dow)
 
 ANALYTICS_QUERIES["events_seasonal_decompose"] = events_seasonal_decompose
 ANALYTICS_ORACLE_SQL["events_seasonal_decompose"] = _SEASONAL_SQL
+
+
+def embedding_pq_codes(spark, sf_dir):
+    """Product quantization ([EXT]) — the industry-standard compressed
+    ANN representation (IVF-PQ's second half; complements the scalar
+    int8 path in operators/quantize.py): split each 64-d embedding into
+    two 32-d subspaces, learn a deterministic k=4 Lloyd codebook PER
+    SUBSPACE (operators/clustering.py — id-seeded init, 2 iterations,
+    rounded updates, the oracle-checkable KMeans), and report the code
+    co-occurrence histogram (≤ k² rows).  A 64-d float vector compresses
+    to 2 sub-byte codes; at 100 TB the codebooks are driver-scalar-sized
+    and training/assignment are the same map-only passes the
+    `embedding_clusters` plan pins."""
+    from ..operators.clustering import lloyd_kmeans_assign, seeded_id_init
+
+    emb = _t(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "vec_id",
+        F.expr("slice(embedding, 1, 32)").alias("h0"),
+        F.expr("slice(embedding, 33, 32)").alias("h1"),
+    )
+    a = halves
+    out = None
+    for s, col in ((0, "h0"), (1, "h1")):
+        init = seeded_id_init(a, "vec_id", col, 4)
+        assigned = lloyd_kmeans_assign(
+            a, "vec_id", col, init, iters=2, round_dp=6
+        ).withColumnRenamed("cluster", f"code{s}")
+        out = assigned if out is None else out.join(assigned, "vec_id")
+    return out.groupBy("code0", "code1").agg(F.count("*").alias("n_vectors"))
+
+
+def _pq_sql(k: int = 4, iters: int = 2, dp: int = 6) -> str:
+    """Two unrolled Lloyd chains (one per subspace) — the `_lloyd_sql`
+    recipe from contract.py applied to sliced vectors with id-seeded
+    init, joined into the code histogram."""
+
+    def assign(s: str, prev: str) -> str:
+        return (
+            f"SELECT v{s}.vec_id, v{s}.e, {prev}.cl,"
+            f" row_number() OVER (PARTITION BY v{s}.vec_id ORDER BY"
+            f" round(list_dot_product(v{s}.e, v{s}.e)"
+            f" + list_dot_product({prev}.c, {prev}.c)"
+            f" - 2 * list_dot_product(v{s}.e, {prev}.c), {dp}), {prev}.cl) AS rn"
+            f" FROM v{s}, {prev}"
+        )
+
+    def sub(s: int, lo: int, hi: int) -> list[str]:
+        ctes = [
+            f"v{s} AS (SELECT vec_id, embedding[{lo}:{hi}]::DOUBLE[] AS e"
+            f" FROM embeddings)",
+            f"""c{s}0 AS (
+  SELECT rn - 1 AS cl, e AS c FROM (
+    SELECT e, row_number() OVER (ORDER BY vec_id) AS rn FROM v{s})
+  WHERE rn <= {k})""",
+        ]
+        prev = f"c{s}0"
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"a{s}{t} AS (\n  SELECT vec_id, e, cl FROM ({assign(s, prev)})"
+                f" WHERE rn = 1)"
+            )
+            ctes.append(
+                f"""c{s}{t} AS (
+  SELECT cl, list(m ORDER BY pos) AS c FROM (
+    SELECT cl, pos, round(avg(val), {dp}) AS m FROM (
+      SELECT cl, unnest(e) AS val, generate_subscripts(e, 1) AS pos
+      FROM a{s}{t})
+    GROUP BY cl, pos)
+  GROUP BY cl)"""
+            )
+            prev = f"c{s}{t}"
+        ctes.append(
+            f"f{s} AS (\n  SELECT vec_id, cl FROM ({assign(s, prev)})"
+            f" WHERE rn = 1)"
+        )
+        return ctes
+
+    return (
+        "WITH "
+        + ",\n".join(sub(0, 1, 32) + sub(1, 33, 64))
+        + """
+SELECT f0.cl AS code0, f1.cl AS code1, count(*)::BIGINT AS n_vectors
+FROM f0 JOIN f1 USING (vec_id) GROUP BY 1, 2"""
+    )
+
+
+ANALYTICS_QUERIES["embedding_pq_codes"] = embedding_pq_codes
+ANALYTICS_ORACLE_SQL["embedding_pq_codes"] = _pq_sql()

@@ -440,6 +440,14 @@ def embedding_near_dup_pairs_bucketed(
 
     if n_leaders is None:
         n_leaders = canopy_leader_count(df.select(id_col).count())
+    # the gemm kernels emit a hardcoded `<id> long` Arrow schema (and rank
+    # leaders as np.int64) — valid only for integral ids.  String/decimal
+    # ids (which the fold path handles fine) silently fall back to "fold"
+    # rather than mangling ids on the default path.
+    if screen == "gemm":
+        id_type = dict(df.dtypes)[id_col]
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            screen = "fold"
     v = with_norm(_spread(df), id_col, vec_col)
     leaders = (
         v.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col))

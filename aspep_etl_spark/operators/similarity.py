@@ -334,6 +334,8 @@ def assign_buckets_gemm(
     leader_mat,
     id_col: str,
     n_assign: int,
+    tie_eps: float = 1e-9,
+    tie_cap: int = 8,
 ) -> DataFrame:
     """(id, bucket) assignment of every vector to its ``n_assign``
     nearest leaders by cosine — one numpy gemm per Arrow batch against
@@ -341,7 +343,20 @@ def assign_buckets_gemm(
     Ties (and degenerate zero-norm rows, whose sims are all equal)
     break toward the SMALLEST leader id: the leader columns are
     id-sorted and the argsort is stable — the same (sim desc, bucket
-    asc) rule as the JVM row_number path."""
+    asc) rule as the JVM row_number path.
+
+    Near-tie slack: numpy's pairwise summation differs from the exact
+    JVM fold by ~d·ulp, so a leader the fold ranks inside the top
+    ``n_assign`` can land just BELOW the gemm's n_assign-th sim.  To
+    keep the gemm candidate set a superset of the fold path's, every
+    leader within ``tie_eps`` of the n_assign-th sim is ALSO assigned
+    (``tie_eps=1e-9`` is ~1e5× the d=64 float64 summation noise and far
+    below any real inter-leader sim gap).  The extra assignments are
+    capped at ``n_assign + tie_cap`` per vector so an all-equal-sims
+    degenerate row (e.g. zero-norm) cannot fan out to every leader;
+    if a pathological corpus has more than ``tie_cap`` near-ties the
+    two paths may diverge — the pinned gemm-vs-fold set-equality test
+    (tests/test_dedup_properties.py) is the regression guard."""
     import numpy as np
     import pandas as pd
 
@@ -349,6 +364,7 @@ def assign_buckets_gemm(
     ln[ln == 0] = np.inf
     lu_t = (leader_mat / ln).T
     k = min(n_assign, len(leader_ids))
+    limit = min(k + tie_cap, len(leader_ids))
 
     def fn(batches):
         for pdf in batches:
@@ -358,12 +374,17 @@ def assign_buckets_gemm(
             xn = np.linalg.norm(x, axis=1, keepdims=True)
             xn[xn == 0] = np.inf
             sims = (x / xn) @ lu_t
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :limit]
+            osims = np.take_along_axis(sims, order, axis=1)
+            # top-k always; positions k..limit only within tie_eps of kth
+            mask = osims >= (osims[:, k - 1 : k] - tie_eps)
+            mask[:, :k] = True
+            rows, cols = np.nonzero(mask)
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame(
                 {
-                    id_col: np.repeat(ids, k),
-                    "bucket": leader_ids[idx].ravel(),
+                    id_col: ids[rows],
+                    "bucket": leader_ids[order[rows, cols]],
                 }
             )
 
@@ -376,7 +397,7 @@ def gemm_screen_pairs(
     id_col: str,
     bucket_col: str = "bucket",
     threshold: float = 0.95,
-    margin: float = 1e-6,
+    margin: float = 5e-5 + 1e-6,
     block_rows: int = 1024,
 ) -> DataFrame:
     """All in-bucket pairs whose numpy cosine clears ``threshold −
@@ -385,7 +406,17 @@ def gemm_screen_pairs(
     ``block_rows`` row-blocks so a hot bucket of k vectors peaks at
     O(block_rows·k) floats, not k².  Zero-norm rows yield NaN sims and
     screen out.  Output: bare (id_a < id_b), de-duplicated across
-    buckets — feed to the exact fold for refinement."""
+    buckets — feed to the exact fold for refinement.
+
+    The default ``margin`` is NOT a bare ulp guard: the refine filter
+    (and the DuckDB oracle) accept ``round(cosine, 4) >= threshold``,
+    i.e. raw cosine >= threshold − 5e-5 (HALF_UP boundary), so the
+    screen must admit down to ``threshold − 5e-5`` or boundary pairs
+    that round UP to the threshold would be silently dropped — a
+    data-dependent recall loss vs the rounded-threshold contract.
+    5e-5 covers the rounding slack; the extra 1e-6 covers gemm-vs-fold
+    float noise (~d·ulp).  Callers screening against an UNROUNDED
+    accept rule can pass ``margin=1e-6``."""
     import numpy as np
     import pandas as pd
 

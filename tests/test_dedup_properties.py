@@ -250,3 +250,71 @@ def test_substring_dedup_matches_python_twin(spark, texts, k):
         for r in substring_span_dedup(df, "doc_id", "text", k=k).collect()
     )
     assert got == _py_substring_dedup(texts, k)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_gemm_and_fold_screens_emit_identical_pairs(spark, sf):
+    """The gemm filter-refine path and the all-JVM fold path of
+    `embedding_near_dup_pairs_bucketed` must emit the SAME pair set on
+    real testdata: the gemm screen admits down to threshold − (5e-5 +
+    1e-6) to cover the round(cosine,4) >= threshold accept rule, and
+    the assignment kernel takes near-tied leaders within tie_eps of the
+    n_assign-th sim — the regression guard the ADVICE items asked for."""
+    from aspep_etl_spark.operators.dedup import embedding_near_dup_pairs_bucketed
+
+    emb = spark.read.parquet(f"/root/testdata/{sf}/embeddings.parquet")
+    kw = dict(threshold=0.4, n_leaders=24, n_assign=10)
+    gemm = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs_bucketed(emb, screen="gemm", **kw).collect()
+    }
+    fold = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs_bucketed(emb, screen="fold", **kw).collect()
+    }
+    assert gemm, "pair set must be non-empty for the guard to mean anything"
+    assert gemm == fold
+
+
+def test_gemm_screen_keeps_rounding_boundary_pairs(spark):
+    """A pair whose RAW cosine sits in [t−5e-5, t−1e-6) rounds UP to the
+    threshold and must be emitted by the gemm path: with the old 1e-6
+    screen margin it was silently screened out (ADVICE r5, high)."""
+    import math
+
+    from aspep_etl_spark.operators.dedup import embedding_near_dup_pairs_bucketed
+
+    t = 0.95
+    c = t - 4e-5  # round4(0.94996) == 0.95 → accepted by the contract
+    theta = math.acos(c)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [math.cos(theta), math.sin(theta), 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),  # far from both
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for screen in ("gemm", "fold"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_pairs_bucketed(
+                emb, threshold=t, n_leaders=2, n_assign=2, screen=screen
+            ).collect()
+        }
+        assert (1, 2) in got, f"boundary pair dropped by screen={screen!r}"
+
+
+def test_gemm_default_falls_back_for_string_ids(spark):
+    """embedding_near_dup_pairs_bucketed defaults to screen='gemm', whose
+    Arrow kernels hardcode long ids — non-integral id columns must fall
+    back to the fold path and still produce correct pairs (ADVICE r5, low)."""
+    from aspep_etl_spark.operators.dedup import embedding_near_dup_pairs_bucketed
+
+    rows = [("a", [1.0, 0.0]), ("b", [1.0, 1e-4]), ("c", [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_bucketed(
+            emb, threshold=0.95, n_leaders=2, n_assign=2
+        ).collect()
+    }
+    assert got == {("a", "b")}

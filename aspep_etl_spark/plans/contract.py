@@ -2204,6 +2204,7 @@ from .ingest_funnel import INGEST_ORACLE_SQL, INGEST_QUERIES  # noqa: E402
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
 from .llm_scale import SCALE_ORACLE_SQL, SCALE_QUERIES  # noqa: E402
 from .relational_extra import REL_ORACLE_SQL, REL_QUERIES  # noqa: E402
+from .tokenizer import TOKENIZER_ORACLE_SQL, TOKENIZER_QUERIES  # noqa: E402
 from .tpch_extra import EXTRA_ORACLE_SQL, EXTRA_QUERIES  # noqa: E402
 
 SPARK_QUERIES.update(EXTRA_QUERIES)
@@ -2213,6 +2214,7 @@ SPARK_QUERIES.update(CURATION_QUERIES)
 SPARK_QUERIES.update(SCALE_QUERIES)
 SPARK_QUERIES.update(ANALYTICS_QUERIES)
 SPARK_QUERIES.update(INGEST_QUERIES)
+SPARK_QUERIES.update(TOKENIZER_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
 ORACLE_SQL.update(LLM_ORACLE_SQL)
 ORACLE_SQL.update(REL_ORACLE_SQL)
@@ -2220,3 +2222,4 @@ ORACLE_SQL.update(CURATION_ORACLE_SQL)
 ORACLE_SQL.update(SCALE_ORACLE_SQL)
 ORACLE_SQL.update(ANALYTICS_ORACLE_SQL)
 ORACLE_SQL.update(INGEST_ORACLE_SQL)
+ORACLE_SQL.update(TOKENIZER_ORACLE_SQL)

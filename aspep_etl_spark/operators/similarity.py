@@ -450,3 +450,141 @@ def gemm_screen_pairs(
         .applyInPandas(fn, "id_a long, id_b long")
         .distinct()
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 100,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_sub: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-compressed scale path that pairs with the PQ
+    codebooks of `embedding_pq_codes`: Jégou et al.'s IVF-PQ second
+    half, filter-refine shaped like the gemm dedup screen.
+
+    0. NORMALIZE: vectors are L2-normalized first, so squared L2
+       distance is monotone in cosine (‖a−b‖² = 2 − 2·cos) and the ADC
+       screen ranks by the same quantity the refine step scores —
+       without this, PQ on raw vectors ranks by magnitude-dominated L2
+       and cosine recall collapses (measured 0.24 → 0.96 on testdata).
+       Zero-norm vectors pass through unnormalized (their cosine is
+       NULL downstream and the refine drops them).
+    1. TRAIN: split the unit vectors into ``n_sub`` contiguous
+       subspaces and learn a deterministic ``k_codes`` Lloyd codebook
+       per subspace (operators/clustering.py: id-seeded init, fixed
+       iterations, rounded updates — cross-engine reproducible).
+       Codebooks are driver-scalar sized (n_sub · k_codes · dim/n_sub
+       floats).
+    2. ENCODE: each corpus vector compresses to ``n_sub`` small codes —
+       one map-only pass; at 100 TB the code table is the stored index
+       (dim·4 bytes → n_sub bytes per vector) and the raw vectors are
+       only touched by the refine step.
+    3. SCREEN (ADC): per query, a distance TABLE of rounded squared
+       distances query-half ↔ centroid (n_sub · k_codes rows — tiny,
+       broadcast); approximate distance of query q to vector x is
+       round(Σ_s dt_s[code_s(x)], round_dp) — the corpus-side scan
+       touches only the code columns, never the vectors.  Top
+       ``n_candidates`` per query by (adc, id) — deterministic.
+    4. REFINE: re-score ONLY the candidates with the exact JVM-fold
+       cosine (rounded 4), rank, emit top ``k``.
+
+    Everything (init, iterations, table lookups, tie-breaks) is
+    deterministic, so the DuckDB twin replays the identical pipeline
+    and the output is hash-exact — recall vs brute force is data-
+    dependent (pinned separately in tests/test_similarity.py), but the
+    EMITTED rows are reproducible bit-for-bit.
+    Output: (query_id, neighbor_id, cosine, knn_rank).
+    """
+    from .clustering import _sqdist_expr, lloyd_kmeans, seeded_id_init
+
+    sub_dim = dim // n_sub
+    unit = (
+        f"CASE WHEN aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE)"
+        f" * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v) > 0"
+        f" THEN transform({vec_col}, x -> CAST(x AS DOUBLE)"
+        f" / sqrt(aggregate(transform({vec_col}, y -> CAST(y AS DOUBLE)"
+        f" * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)))"
+        f" ELSE transform({vec_col}, x -> CAST(x AS DOUBLE)) END"
+    )
+
+    def _sliced(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(id_alias), F.expr(unit).alias("__u")
+        ).select(
+            id_alias,
+            *[
+                F.expr(f"slice(__u, {s * sub_dim + 1}, {sub_dim})").alias(f"h{s}")
+                for s in range(n_sub)
+            ],
+        )
+
+    halves = _sliced(corpus, id_col)
+    q_halves = _sliced(queries, "query_id")
+    codes = None
+    dts = []
+    for s in range(n_sub):
+        sub = halves.select(id_col, F.col(f"h{s}"))
+        init = seeded_id_init(sub, id_col, f"h{s}", k_codes)
+        assigned, cents = lloyd_kmeans(
+            sub, id_col, f"h{s}", init, iters=iters, round_dp=round_dp
+        )
+        assigned = assigned.withColumnRenamed("cluster", f"code{s}")
+        codes = assigned if codes is None else codes.join(assigned, id_col)
+        # per-query ADC distance table: one row per (query, code)
+        dts.append(
+            q_halves.select(
+                "query_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(cl).alias(f"code{s}"),
+                                _sqdist_expr(f"h{s}", c, round_dp).alias(f"d{s}"),
+                            )
+                            for cl, c in cents
+                        ]
+                    )
+                ).alias("e"),
+            ).select("query_id", f"e.code{s}", f"e.d{s}")
+        )
+    cand = codes
+    for s, dt in enumerate(dts):
+        on = ["query_id", f"code{s}"] if s else [f"code{s}"]
+        cand = cand.join(F.broadcast(dt), on)
+    cand = (
+        cand.filter(F.col("query_id") != F.col(id_col))
+        .withColumn(
+            "adc",
+            F.round(sum(F.col(f"d{s}") for s in range(n_sub)), round_dp),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc(id_col))
+            ),
+        )
+        .filter(F.col("__rn") <= n_candidates)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    c = with_norm(corpus, id_col, vec_col).withColumnsRenamed(
+        {id_col: "neighbor_id", "vec": "vec_n", "norm": "norm_n"}
+    )
+    q = with_norm(queries, id_col, vec_col).withColumnsRenamed(
+        {id_col: "query_id", "vec": "vec_q", "norm": "norm_q"}
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine", F.round(cosine_expr("vec_q", "vec_n", "norm_q", "norm_n"), 4)
+        )
+    )
+    return _rank_topk(scored, k)

@@ -2893,55 +2893,75 @@ def embedding_pq_codes(spark, sf_dir):
     return out.groupBy("code0", "code1").agg(F.count("*").alias("n_vectors"))
 
 
-def _pq_sql(k: int = 4, iters: int = 2, dp: int = 6) -> str:
-    """Two unrolled Lloyd chains (one per subspace) — the `_lloyd_sql`
-    recipe from contract.py applied to sliced vectors with id-seeded
-    init, joined into the code histogram."""
+def _pq_assign_sql(s, prev: str, dp: int) -> str:
+    """Rounded-sq-distance argmin assignment of subspace ``s`` vectors to
+    the ``prev`` centroid CTE (row_number with tie-break on cluster id) —
+    the shared kernel of the PQ training/encode oracles."""
+    return (
+        f"SELECT v{s}.vec_id, v{s}.e, {prev}.cl,"
+        f" row_number() OVER (PARTITION BY v{s}.vec_id ORDER BY"
+        f" round(list_dot_product(v{s}.e, v{s}.e)"
+        f" + list_dot_product({prev}.c, {prev}.c)"
+        f" - 2 * list_dot_product(v{s}.e, {prev}.c), {dp}), {prev}.cl) AS rn"
+        f" FROM v{s}, {prev}"
+    )
 
-    def assign(s: str, prev: str) -> str:
-        return (
-            f"SELECT v{s}.vec_id, v{s}.e, {prev}.cl,"
-            f" row_number() OVER (PARTITION BY v{s}.vec_id ORDER BY"
-            f" round(list_dot_product(v{s}.e, v{s}.e)"
-            f" + list_dot_product({prev}.c, {prev}.c)"
-            f" - 2 * list_dot_product(v{s}.e, {prev}.c), {dp}), {prev}.cl) AS rn"
-            f" FROM v{s}, {prev}"
-        )
 
-    def sub(s: int, lo: int, hi: int) -> list[str]:
-        ctes = [
-            f"v{s} AS (SELECT vec_id, embedding[{lo}:{hi}]::DOUBLE[] AS e"
-            f" FROM embeddings)",
-            f"""c{s}0 AS (
+def _pq_sub_ctes(
+    s: int,
+    lo: int,
+    hi: int,
+    k: int,
+    iters: int,
+    dp: int,
+    slice_expr: str | None = None,
+    src: str = "embeddings",
+) -> list[str]:
+    """Unrolled Lloyd chain for one PQ subspace: sliced vectors v{s},
+    id-seeded init c{s}0, ``iters`` assign/update rounds, and the final
+    assignment f{s}.  The last centroid CTE is c{s}{iters}.
+    ``slice_expr``/``src`` let the ADC oracle slice NORMALIZED vectors
+    from a prepended unit-vector CTE instead of raw embeddings."""
+    sl = slice_expr or f"embedding[{lo}:{hi}]::DOUBLE[]"
+    ctes = [
+        f"v{s} AS (SELECT vec_id, {sl} AS e FROM {src})",
+        f"""c{s}0 AS (
   SELECT rn - 1 AS cl, e AS c FROM (
     SELECT e, row_number() OVER (ORDER BY vec_id) AS rn FROM v{s})
   WHERE rn <= {k})""",
-        ]
-        prev = f"c{s}0"
-        for t in range(1, iters + 1):
-            ctes.append(
-                f"a{s}{t} AS (\n  SELECT vec_id, e, cl FROM ({assign(s, prev)})"
-                f" WHERE rn = 1)"
-            )
-            ctes.append(
-                f"""c{s}{t} AS (
+    ]
+    prev = f"c{s}0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{s}{t} AS (\n  SELECT vec_id, e, cl FROM ({_pq_assign_sql(s, prev, dp)})"
+            f" WHERE rn = 1)"
+        )
+        ctes.append(
+            f"""c{s}{t} AS (
   SELECT cl, list(m ORDER BY pos) AS c FROM (
     SELECT cl, pos, round(avg(val), {dp}) AS m FROM (
       SELECT cl, unnest(e) AS val, generate_subscripts(e, 1) AS pos
       FROM a{s}{t})
     GROUP BY cl, pos)
   GROUP BY cl)"""
-            )
-            prev = f"c{s}{t}"
-        ctes.append(
-            f"f{s} AS (\n  SELECT vec_id, cl FROM ({assign(s, prev)})"
-            f" WHERE rn = 1)"
         )
-        return ctes
+        prev = f"c{s}{t}"
+    ctes.append(
+        f"f{s} AS (\n  SELECT vec_id, cl FROM ({_pq_assign_sql(s, prev, dp)})"
+        f" WHERE rn = 1)"
+    )
+    return ctes
 
+
+def _pq_sql(k: int = 4, iters: int = 2, dp: int = 6) -> str:
+    """Two unrolled Lloyd chains (one per subspace) — the `_lloyd_sql`
+    recipe from contract.py applied to sliced vectors with id-seeded
+    init, joined into the code histogram."""
     return (
         "WITH "
-        + ",\n".join(sub(0, 1, 32) + sub(1, 33, 64))
+        + ",\n".join(
+            _pq_sub_ctes(0, 1, 32, k, iters, dp) + _pq_sub_ctes(1, 33, 64, k, iters, dp)
+        )
         + """
 SELECT f0.cl AS code0, f1.cl AS code1, count(*)::BIGINT AS n_vectors
 FROM f0 JOIN f1 USING (vec_id) GROUP BY 1, 2"""
@@ -2950,3 +2970,326 @@ FROM f0 JOIN f1 USING (vec_id) GROUP BY 1, 2"""
 
 ANALYTICS_QUERIES["embedding_pq_codes"] = embedding_pq_codes
 ANALYTICS_ORACLE_SQL["embedding_pq_codes"] = _pq_sql()
+
+
+def graph_weighted_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths ([EXT]): Bellman-Ford over
+    the customer–supplier trade graph with INTEGER edge weights
+    w = 10 − min(9, #distinct orders linking the pair) — stronger trade
+    ties are "shorter", so the frontier prefers heavily-traded links
+    (the weighted counterpart of `graph_bfs_distance`; node key =
+    2·custkey / 2·suppkey+1, seeds = suppliers of nation 0).  Three
+    synchronous relaxation rounds, each ONE edge join + ONE min-agg on
+    the node key (two shuffles/round, lineage bounded by localCheckpoint
+    with the measured per-round block frees).  All-integer arithmetic →
+    the unrolled-CTE DuckDB twin is hash-exact."""
+    from ..cache import persistent_rdd_ids, unpersist_rdds
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    ends = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .agg(F.count_distinct("o_orderkey").alias("n_orders"))
+        .withColumn("w", (F.lit(10) - F.least(F.lit(9), F.col("n_orders"))).cast("long"))
+    )
+    edges = (
+        ends.select(F.col("c").alias("u"), F.col("s").alias("v"), "w")
+        .union(ends.select(F.col("s").alias("u"), F.col("c").alias("v"), "w"))
+        .persist()
+    )
+    seeds = supplier.filter(F.col("s_nationkey") == 0).select(
+        (F.col("s_suppkey") * 2 + 1).alias("node")
+    )
+    dist = seeds.withColumn("dist", F.lit(0).cast("long")).localCheckpoint()
+    spark_ = edges.sparkSession
+    ids = set()
+    for _ in range(3):
+        before = persistent_rdd_ids(spark_)
+        relaxed = (
+            edges.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        new_ids = persistent_rdd_ids(spark_) - before
+        unpersist_rdds(spark_, ids)
+        ids = new_ids
+        dist = relaxed
+    edges.unpersist()
+    return dist
+
+
+_SSSP_ROUND = """
+d{i} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT e.v AS node, d.dist + e.w AS dist
+    FROM edges e JOIN d{j} d ON e.u = d.node
+    UNION ALL SELECT node, dist FROM d{j}
+  ) GROUP BY node
+)"""
+
+_SSSP_SQL = (
+    """
+WITH ends AS (
+  SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+         (10 - least(9, count(DISTINCT o_orderkey)))::BIGINT AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT c AS u, s AS v, w FROM ends UNION ALL SELECT s AS u, c AS v, w FROM ends
+), d0 AS (
+  SELECT s_suppkey * 2 + 1 AS node, 0::BIGINT AS dist
+  FROM supplier WHERE s_nationkey = 0
+),"""
+    + ",".join(_SSSP_ROUND.format(i=i, j=i - 1) for i in range(1, 4))
+    + """
+SELECT node, dist FROM d3
+"""
+)
+
+ANALYTICS_QUERIES["graph_weighted_sssp"] = graph_weighted_sssp
+ANALYTICS_ORACLE_SQL["graph_weighted_sssp"] = _SSSP_SQL
+
+
+def graph_hits(spark, sf_dir):
+    """HITS hubs & authorities ([EXT], seventh graph operator): two
+    mutual-reinforcement rounds over the DIRECTED customer→supplier
+    trade graph (customers are hubs, suppliers authorities).  The
+    UNNORMALIZED integer form — a_i(v) = Σ h_{i−1}(u) over in-edges,
+    h_i(u) = Σ a_i(v) over out-edges, h₀ = 1 — keeps every score a
+    BIGINT so the unrolled twin is hash-exact with zero float traps
+    (scores grow ~degree² per round; the 100 TB variant normalizes by
+    the round's max — an order-independent scalar — to stay bounded,
+    documented not implemented as it changes nothing structural).
+    Each half-round is one edge join + one sum-agg on the node key —
+    the same two-shuffle shape as PageRank/BFS/SSSP."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_suppkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    hubs = edges.select("u").distinct().withColumn("h", F.lit(1).cast("long"))
+    for _ in range(2):
+        auth = (
+            edges.join(hubs, "u")
+            .groupBy("v")
+            .agg(F.sum("h").alias("a"))
+        )
+        hubs = (
+            edges.join(auth, "v")
+            .groupBy("u")
+            .agg(F.sum("a").alias("h"))
+        )
+    out = hubs.select(
+        F.col("u").alias("node"), F.lit("hub").alias("kind"), F.col("h").alias("score")
+    ).unionByName(
+        auth.select(
+            F.col("v").alias("node"), F.lit("auth").alias("kind"), F.col("a").alias("score")
+        )
+    )
+    edges.unpersist()
+    return out
+
+
+_HITS_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), h0 AS (
+  SELECT DISTINCT u, 1::BIGINT AS h FROM edges
+), a1 AS (
+  SELECT v, sum(h)::BIGINT AS a FROM edges JOIN h0 USING (u) GROUP BY v
+), h1 AS (
+  SELECT u, sum(a)::BIGINT AS h FROM edges JOIN a1 USING (v) GROUP BY u
+), a2 AS (
+  SELECT v, sum(h)::BIGINT AS a FROM edges JOIN h1 USING (u) GROUP BY v
+), h2 AS (
+  SELECT u, sum(a)::BIGINT AS h FROM edges JOIN a2 USING (v) GROUP BY u
+)
+SELECT u AS node, 'hub' AS kind, h AS score FROM h2
+UNION ALL
+SELECT v AS node, 'auth' AS kind, a AS score FROM a2
+"""
+
+ANALYTICS_QUERIES["graph_hits"] = graph_hits
+ANALYTICS_ORACLE_SQL["graph_hits"] = _HITS_SQL
+
+
+def events_value_winsorized(spark, sf_dir):
+    """Winsorized robust stats per event type ([EXT]): clip `value` at
+    the exact p05/p95 (quantile_cont interpolation on both engines, the
+    events_value_mad convention), then report the clipped mean and the
+    clip counts — the standard tail-taming step before training on
+    noisy metrics.  Two passes: one percentile agg (5 rows, broadcast
+    back) + one partial+final agg over the clipped scan; at scale the
+    exact percentiles swap for percentile_approx boundary cuts exactly
+    as documented for a1_grouped_median."""
+    ev = _t(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.any_value("lo").alias("__lo"),
+            F.any_value("hi").alias("__hi"),
+            F.avg("wv").alias("__mean"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_high"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("__lo"), 6).alias("p05"),
+            F.round(F.col("__hi"), 6).alias("p95"),
+            F.round(F.col("__mean"), 4).alias("winsorized_mean"),
+            "n_clipped_low",
+            "n_clipped_high",
+        )
+    )
+
+
+_WINSORIZED_SQL = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*)::BIGINT                                     AS n_events,
+       round(any_value(lo), 6)                              AS p05,
+       round(any_value(hi), 6)                              AS p95,
+       round(avg(least(greatest(e.value, c.lo), c.hi)), 4)  AS winsorized_mean,
+       sum(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_low,
+       sum(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_high
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY e.event_type
+"""
+
+ANALYTICS_QUERIES["events_value_winsorized"] = events_value_winsorized
+ANALYTICS_ORACLE_SQL["events_value_winsorized"] = _WINSORIZED_SQL
+
+
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ-compressed ANN via asymmetric distance computation ([EXT],
+    fourth ANN variant — the memory-bound 100 TB path where the index
+    holds CODES, not vectors): train the `embedding_pq_codes` codebooks,
+    screen with per-query ADC lookup tables over the code columns only,
+    exact-cosine refine the survivors.  Deterministic end to end, so the
+    DuckDB twin (same Lloyd chains, same rounded lookup arithmetic, same
+    tie-breaks) is hash-exact; recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    from ..operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = pq_adc_topk(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("knn_rank").cast("long").alias("knn_rank"),
+    )
+
+
+def _pq_adc_sql(
+    k_codes: int = 16,
+    iters: int = 2,
+    dp: int = 6,
+    n_cand: int = 100,
+    topk: int = 5,
+    n_sub: int = 4,
+    dim: int = 64,
+) -> str:
+    """Replay `ann_pq_adc_topk`: L2-normalize, the ``n_sub``
+    `_pq_sub_ctes` Lloyd chains over sliced UNIT vectors, per-query ADC
+    distance tables against the FINAL centroids (c{s}{iters}), rounded
+    table-sum screen with (adc, id) tie-break, exact-cosine refine."""
+    sub_dim = dim // n_sub
+    chains: list[str] = []
+    for s in range(n_sub):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        chains += _pq_sub_ctes(
+            s, lo, hi, k_codes, iters, dp,
+            slice_expr=f"eu[{lo}:{hi}]", src="un",
+        )
+    parts = [
+        """WITH un AS (
+  SELECT vec_id,
+         CASE WHEN list_dot_product(e, e) > 0
+              THEN [x / sqrt(list_dot_product(e, e)) FOR x IN e]
+              ELSE e END AS eu
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+),
+"""
+        + ",\n".join(chains)
+    ]
+    for s in range(n_sub):
+        parts.append(
+            f""",
+dt{s} AS (
+  SELECT q.vec_id AS query_id, c.cl AS code,
+         round(list_dot_product(q.e, q.e) + list_dot_product(c.c, c.c)
+               - 2 * list_dot_product(q.e, c.c), {dp}) AS d
+  FROM v{s} q, c{s}{iters} c WHERE q.vec_id < 10
+)"""
+        )
+    code_joins = "\n    ".join(
+        f"JOIN f{s} ON f{s}.vec_id = f0.vec_id" for s in range(1, n_sub)
+    )
+    dt_joins = "\n    ".join(
+        f"JOIN dt{s} ON dt{s}.code = f{s}.cl AND dt{s}.query_id = dt0.query_id"
+        for s in range(1, n_sub)
+    )
+    adc_sum = " + ".join(f"dt{s}.d" for s in range(n_sub))
+    parts.append(
+        f""",
+cand AS (
+  SELECT query_id, nid FROM (
+    SELECT dt0.query_id, f0.vec_id AS nid,
+           row_number() OVER (PARTITION BY dt0.query_id
+                              ORDER BY round({adc_sum}, {dp}), f0.vec_id) AS rn
+    FROM f0
+    {code_joins}
+    JOIN dt0 ON dt0.code = f0.cl
+    {dt_joins}
+    WHERE dt0.query_id <> f0.vec_id)
+  WHERE rn <= {n_cand}
+), vv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT cand.query_id, cand.nid,
+         round(list_dot_product(qv.e, nv.e) /
+               (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(nv.e, nv.e))),
+               4) AS cosine
+  FROM cand JOIN vv qv ON qv.vec_id = cand.query_id
+            JOIN vv nv ON nv.vec_id = cand.nid
+), r AS (
+  SELECT query_id, nid AS neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nid) AS knn_rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cosine, knn_rank::BIGINT AS knn_rank
+FROM r WHERE knn_rank <= {topk}"""
+    )
+    return "".join(parts)
+
+
+ANALYTICS_QUERIES["ann_pq_adc_topk"] = ann_pq_adc_topk
+ANALYTICS_ORACLE_SQL["ann_pq_adc_topk"] = _pq_adc_sql()

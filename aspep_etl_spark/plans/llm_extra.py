@@ -566,7 +566,61 @@ WHERE substr(md5('wsample' || '|' || d.doc_id::VARCHAR), 1, 8) < r.thr
 """
 
 
+def docs_ngram_novelty(spark, sf_dir):
+    """Cross-corpus novelty score per document ([EXT]): the fraction of a
+    doc's distinct word-5-gram shingles that appear in NO other document
+    (corpus document-frequency 1) — high novelty separates original
+    content from boilerplate/mirrored text, the complement of the
+    within-doc ``docs_repetition`` signals.  Posting-list shape: one
+    shuffle on shingle for the df counts, one join back, one doc-grain
+    agg — no pairwise work, so a hot boilerplate shingle costs a count,
+    not O(df²).  The ratio is a single IEEE division of two BIGINTs
+    (identical bits on both engines), emitted UNROUNDED — no round()
+    boundary traps.  Docs shorter than 5 words have no shingles and are
+    absent, mirroring the jaccard family's convention."""
+    from ..operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=5)
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            (F.col("n_unique") / F.col("n_shingles")).alias("novelty_ratio"),
+        )
+    )
+
+
+_NGRAM_NOVELTY_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+), dfc AS (
+  SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle
+)
+SELECT doc_id,
+       count(*)::BIGINT                                      AS n_shingles,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT       AS n_unique,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         / count(*)::BIGINT                                  AS novelty_ratio
+FROM sh JOIN dfc USING (shingle)
+GROUP BY doc_id
+"""
+
+
 LLM_QUERIES = {
+    "docs_ngram_novelty": docs_ngram_novelty,
     "docs_repetition": docs_repetition,
     "pii_scan": pii_scan,
     "docs_decontaminate": docs_decontaminate,
@@ -580,6 +634,7 @@ LLM_QUERIES = {
 }
 
 LLM_ORACLE_SQL = {
+    "docs_ngram_novelty": _NGRAM_NOVELTY_SQL,
     "docs_repetition": _DOCS_REPETITION_SQL,
     "pii_scan": _PII_SCAN_SQL,
     "docs_decontaminate": _DECONTAMINATE_SQL,

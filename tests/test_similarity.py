@@ -75,3 +75,34 @@ def test_srp_planes_deterministic(spark):
     assert set(flat) <= {1.0, -1.0}
     # roughly balanced signs (sha256-derived, not degenerate)
     assert 0.3 < sum(1 for x in flat if x > 0) / len(flat) < 0.7
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
+    """PQ-ADC screen + exact refine: candidates come from 2×4-code
+    compressed distances, so recall < 1 is the design trade; the refine
+    keeps emitted cosines exact and ranks deterministic."""
+    from aspep_etl_spark.operators.similarity import pq_adc_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    rows = pq_adc_topk(emb, queries, k=5).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert set(per_q.values()) == {5}
+    # emitted cosines are the EXACT fold values: spot-check against brute
+    brute_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=500).collect()
+    }
+    for r in rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute_cos:
+            assert r["cosine"] == brute_cos[key]

@@ -588,3 +588,107 @@ def pq_adc_topk(
         )
     )
     return _rank_topk(scored, k)
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k ([EXT]) — the
+    retrieval re-ranker that trades pure relevance for diversity
+    (Carbonell & Goldstein 1998): greedily pick the candidate maximizing
+    ``λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s)`` against the
+    already-selected set S.
+
+    MMR is inherently sequential in k, but NOT in the corpus: the
+    corpus-scale work is the relevance pool (``brute_force_topk`` here;
+    any ANN variant slots in at scale), after which the greedy loop runs
+    on a per-query POOL of ``pool`` candidates — pool² pairwise sims and
+    k bounded DataFrame steps, each one broadcast-sized join + argmin
+    window, all JVM-side.  Per-query state never leaves the cluster.
+
+    Determinism: relevance and pairwise sims are the rounded(4) exact
+    fold cosines, the MMR score rounds to 6, ties break on neighbor id —
+    so the unrolled k-step DuckDB twin is hash-exact.
+    Output: (query_id, neighbor_id, relevance, mmr_rank).
+    """
+    rel = brute_force_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    rel = rel.select("query_id", "neighbor_id", F.col("cosine").alias("rel")).persist()
+    # pairwise sims among each query's pool (pool² per query, bounded)
+    cv = with_norm(corpus, id_col, vec_col)
+    a = rel.select("query_id", F.col("neighbor_id").alias("a"))
+    b = rel.select("query_id", F.col("neighbor_id").alias("b"))
+    va = cv.withColumnsRenamed({id_col: "a", "vec": "vec_a", "norm": "norm_a"})
+    vb = cv.withColumnsRenamed({id_col: "b", "vec": "vec_b", "norm": "norm_b"})
+    pair = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(va, "a")
+        .join(vb, "b")
+        .withColumn("sim", F.round(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 4))
+        .select("query_id", "a", "b", "sim")
+        .persist()
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    selected = (
+        rel.withColumn("__rn", F.row_number().over(w_rel))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "neighbor_id", "rel", F.lit(1).alias("mmr_rank"))
+    )
+    w_score = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr"), F.asc("neighbor_id")
+    )
+    for t in range(2, k + 1):
+        # drop candidates already selected for their query (any position)
+        remaining = (
+            rel.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("__sel")
+                ).groupBy("query_id").agg(F.collect_set("__sel").alias("__sels")),
+                "query_id",
+            )
+            .filter(~F.array_contains("__sels", F.col("neighbor_id")))
+            .drop("__sels")
+        )
+        max_sim = (
+            remaining.alias("r")
+            .join(
+                pair.alias("p"),
+                (F.col("p.query_id") == F.col("r.query_id"))
+                & (F.col("p.a") == F.col("r.neighbor_id")),
+            )
+            .join(
+                selected.select(
+                    F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sb")
+                ),
+                (F.col("sq") == F.col("r.query_id")) & (F.col("p.b") == F.col("sb")),
+            )
+            .groupBy(F.col("r.query_id").alias("query_id"),
+                     F.col("r.neighbor_id").alias("neighbor_id"),
+                     F.col("r.rel").alias("rel"))
+            .agg(F.max("p.sim").alias("max_sim"))
+        )
+        pick = (
+            max_sim.withColumn(
+                "mmr",
+                F.round(
+                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("max_sim"), 6
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(w_score))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "neighbor_id", "rel", F.lit(t).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick)
+    out = selected.select(
+        "query_id", "neighbor_id", F.col("rel").alias("relevance"),
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+    )
+    rel.unpersist()
+    pair.unpersist()
+    return out

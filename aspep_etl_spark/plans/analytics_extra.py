@@ -3293,3 +3293,86 @@ FROM r WHERE knn_rank <= {topk}"""
 
 ANALYTICS_QUERIES["ann_pq_adc_topk"] = ann_pq_adc_topk
 ANALYTICS_ORACLE_SQL["ann_pq_adc_topk"] = _pq_adc_sql()
+
+
+def ann_mmr_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversified retrieval ([EXT], the
+    re-ranking stage of a retrieval stack): greedy λ·relevance −
+    (1−λ)·max-sim-to-selected over a 20-candidate pool per query
+    (operators/similarity.py:mmr_topk).  The greedy loop is sequential
+    in k but bounded in data — corpus-scale work is only the relevance
+    pool.  Unrolled 5-step DuckDB twin; hash-exact."""
+    from ..operators.similarity import mmr_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mmr_topk(emb, queries, k=5, pool=20)
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Replay mmr_topk: rounded(4) cosine pool + pairwise sims, then k−1
+    unrolled greedy steps.  The (1−λ) literal is embedded as the repr of
+    Python's ``1.0 − lam`` so both engines multiply by the SAME binary64
+    (1.0−0.7 is 0.30000000000000004, NOT 0.3)."""
+    cos = (
+        "round(list_dot_product({a}.e, {b}.e) / "
+        "(sqrt(list_dot_product({a}.e, {a}.e)) * "
+        "sqrt(list_dot_product({b}.e, {b}.e))), 4)"
+    )
+    parts = [
+        f"""WITH vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+relall AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nid, {cos.format(a='q', b='c')} AS rel
+  FROM vv q JOIN vv c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+pool AS (
+  SELECT query_id, nid, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+    FROM relall) WHERE rn <= {pool}
+),
+pair AS (
+  SELECT p1.query_id, p1.nid AS a, p2.nid AS b, {cos.format(a='va', b='vb')} AS sim
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id AND p1.nid <> p2.nid
+  JOIN vv va ON va.vec_id = p1.nid
+  JOIN vv vb ON vb.vec_id = p2.nid
+),
+selu1 AS (
+  SELECT query_id, nid, rel, 1 AS mmr_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nid) AS rn
+    FROM pool) WHERE rn = 1
+)"""
+    ]
+    for t in range(2, k + 1):
+        j = t - 1
+        parts.append(
+            f""",
+sc{t} AS (
+  SELECT p.query_id, p.nid, p.rel,
+         round({lam!r} * p.rel - {1.0 - lam!r} * max(pr.sim), 6) AS mmr
+  FROM pool p
+  JOIN pair pr ON pr.query_id = p.query_id AND pr.a = p.nid
+  JOIN selu{j} s ON s.query_id = pr.query_id AND s.nid = pr.b
+  WHERE NOT EXISTS (SELECT 1 FROM selu{j} x
+                    WHERE x.query_id = p.query_id AND x.nid = p.nid)
+  GROUP BY p.query_id, p.nid, p.rel
+),
+selu{t} AS (
+  SELECT query_id, nid, rel, mmr_rank FROM selu{j}
+  UNION ALL
+  SELECT query_id, nid, rel, {t} AS mmr_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, nid) AS rn
+    FROM sc{t}) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, nid AS neighbor_id, rel AS relevance, mmr_rank::BIGINT AS mmr_rank
+FROM selu{k}"""
+    )
+    return "".join(parts)
+
+
+ANALYTICS_QUERIES["ann_mmr_topk"] = ann_mmr_topk
+ANALYTICS_ORACLE_SQL["ann_mmr_topk"] = _mmr_sql()

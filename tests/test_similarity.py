@@ -106,3 +106,25 @@ def test_pq_adc_recall_vs_bruteforce(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in brute_cos:
             assert r["cosine"] == brute_cos[key]
+
+
+def test_mmr_rank1_is_pure_relevance_and_penalizes_redundancy(spark):
+    """Constructed corpus: two near-identical highly-relevant vectors and
+    one moderately-relevant orthogonal one.  Pure top-2 takes the twins;
+    MMR must take one twin then the diverse vector."""
+    from aspep_etl_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.14, 0.0]),      # relevant
+        (2, [0.99, 0.141, 0.001]),   # near-duplicate of 1
+        (3, [0.7, 0.0, 0.71]),       # diverse, less relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    got = {
+        r["mmr_rank"]: r["neighbor_id"]
+        for r in mmr_topk(emb, q, k=2, pool=3, lam=0.5).collect()
+    }
+    assert got[1] == 1  # best relevance, id tie-break
+    assert got[2] == 3  # diversity beats the near-duplicate twin

@@ -635,10 +635,17 @@ def mmr_topk(
         .persist()
     )
     w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    # Each greedy step references the previous selection THREE times
+    # (exclusion filter, max-sim join, union) — left lazy, the plan tree
+    # grows 3^k copies of the corpus-scale pool stage (measured: the sf1
+    # tier run wedged for 40+ min).  localCheckpoint per step materializes
+    # the ≤ k·n_queries-row selection eagerly, the same per-round
+    # discipline as the other iterative operators.
     selected = (
         rel.withColumn("__rn", F.row_number().over(w_rel))
         .filter(F.col("__rn") == 1)
         .select("query_id", "neighbor_id", "rel", F.lit(1).alias("mmr_rank"))
+        .localCheckpoint()
     )
     w_score = Window.partitionBy("query_id").orderBy(
         F.desc("mmr"), F.asc("neighbor_id")
@@ -684,11 +691,14 @@ def mmr_topk(
             .filter(F.col("__rn") == 1)
             .select("query_id", "neighbor_id", "rel", F.lit(t).alias("mmr_rank"))
         )
-        selected = selected.unionByName(pick)
+        selected = selected.unionByName(pick).localCheckpoint()
     out = selected.select(
         "query_id", "neighbor_id", F.col("rel").alias("relevance"),
         F.col("mmr_rank").cast("long").alias("mmr_rank"),
-    )
+    ).localCheckpoint()
+    # safe to release only AFTER the eager checkpoint above materialized
+    # the result — an unpersist before the caller's action would force
+    # full pool recomputes at execution time
     rel.unpersist()
     pair.unpersist()
     return out

@@ -276,3 +276,48 @@ def test_cusum_windows_run_at_day_grain(spark, sf):
     assert plan.index("Window") < plan.index("HashAggregate")
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "ts" in read_schema and "user_id" not in read_schema
+
+
+def test_bpe_pair_counts_have_partial_agg(spark, sf):
+    """BPE pair counting must map-side combine before the exchange — at
+    web scale the pair space is small but the vocab rows are many."""
+    from aspep_etl_spark.operators.bpe import (
+        _adjacent_pair_counts,
+        initial_segmentation,
+        word_frequencies,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    seg = initial_segmentation(word_frequencies(docs))
+    plan = plan_of(_adjacent_pair_counts(seg))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_pq_adc_candidate_screen_joins_codes_not_vectors(spark, sf):
+    """The ADC candidate stage must join broadcast distance TABLES
+    against the code columns — no cartesian product, and the heavy
+    embedding arrays only re-enter at the refine join."""
+    from aspep_etl_spark.plans.analytics_extra import ann_pq_adc_topk
+
+    plan = plan_of(ann_pq_adc_topk(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hits_and_sssp_no_cartesian(spark, sf):
+    from aspep_etl_spark.plans.analytics_extra import graph_hits, graph_weighted_sssp
+
+    for q in (graph_hits, graph_weighted_sssp):
+        plan = plan_of(q(spark, sf))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorized_cuts_are_broadcast(spark, sf):
+    """The 5-row percentile-cut table must broadcast onto the events
+    scan, never shuffle the fact side for it."""
+    from aspep_etl_spark.plans.analytics_extra import events_value_winsorized
+
+    plan = plan_of(events_value_winsorized(spark, sf))
+    assert "BroadcastHashJoin" in plan

@@ -41,6 +41,14 @@ TIER_QUERIES = [
     "orders_price_deciles_scaled",
     "customer_abc_analysis_scaled",
     "customer_rfm_segments_scaled",
+    # round 6 additions: new ANN variants, tokenizer training, graph ops,
+    # posting-list novelty — each with its own candidate/iteration scaling
+    "ann_pq_adc_topk",
+    "ann_mmr_topk",
+    "docs_bpe_merges",
+    "docs_ngram_novelty",
+    "graph_weighted_sssp",
+    "graph_hits",
 ]
 
 

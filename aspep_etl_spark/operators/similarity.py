@@ -506,19 +506,32 @@ def pq_adc_topk(
     from .clustering import _sqdist_expr, lloyd_kmeans, seeded_id_init
 
     sub_dim = dim // n_sub
-    unit = (
-        f"CASE WHEN aggregate(transform({vec_col}, x -> CAST(x AS DOUBLE)"
-        f" * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v) > 0"
-        f" THEN transform({vec_col}, x -> CAST(x AS DOUBLE)"
-        f" / sqrt(aggregate(transform({vec_col}, y -> CAST(y AS DOUBLE)"
-        f" * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)))"
-        f" ELSE transform({vec_col}, x -> CAST(x AS DOUBLE)) END"
-    )
 
     def _sliced(df: DataFrame, id_alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(id_alias), F.expr(unit).alias("__u")
-        ).select(
+        # Norm as its OWN column, referenced from the division lambda —
+        # NEVER inline the norm fold inside the transform: higher-order
+        # functions are CodegenFallback (interpreted), and an inlined fold
+        # re-evaluates once PER ELEMENT (64× the work; caught by jstack on
+        # the sf1 tier run as an 800 s single task).
+        base = (
+            df.select(
+                F.col(id_col).alias(id_alias),
+                F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("__v"),
+            )
+            .withColumn(
+                "__n",
+                F.sqrt(
+                    F.expr("aggregate(transform(__v, x -> x * x), 0D, (a, v) -> a + v)")
+                ),
+            )
+            .withColumn(
+                "__u",
+                F.when(
+                    F.col("__n") > 0, F.expr("transform(__v, x -> x / __n)")
+                ).otherwise(F.col("__v")),
+            )
+        )
+        return base.select(
             id_alias,
             *[
                 F.expr(f"slice(__u, {s * sub_dim + 1}, {sub_dim})").alias(f"h{s}")
@@ -526,7 +539,11 @@ def pq_adc_topk(
             ],
         )
 
-    halves = _sliced(corpus, id_col)
+    # persisted: Lloyd training is multi-pass (iters collect jobs per
+    # subspace) — without the fence every pass re-normalizes the corpus
+    # through the interpreted folds (at 100 TB: train on a sample or
+    # materialize the unit vectors once as the stored layout)
+    halves = _sliced(corpus, id_col).persist()
     q_halves = _sliced(queries, "query_id")
     codes = None
     dts = []
@@ -555,6 +572,11 @@ def pq_adc_topk(
                 ).alias("e"),
             ).select("query_id", f"e.code{s}", f"e.d{s}")
         )
+    # the (id, code…) table IS the compressed index — materialize it once
+    # (eager, narrow: one id + n_sub small ints per vector) and release
+    # the unit-vector fence; downstream touches codes + raw vectors only
+    codes = codes.localCheckpoint()
+    halves.unpersist()
     cand = codes
     for s, dt in enumerate(dts):
         on = ["query_id", f"code{s}"] if s else [f"code{s}"]

@@ -120,3 +120,71 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             ).alias("clustering_coefficient"),
         )
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected simple
+    graph given as a (u < v) edge list: the node-grain refinement of
+    ``triangle_count``.  Same degree-ordered orientation and
+    wedge-close join, but each closed triangle credits its three
+    corners; lcc(v) = 2·T(v)/(d(v)·(d(v)−1)) for d(v) ≥ 2, NULL below.
+    Integer counts until the one final division, so the result is
+    DuckDB-oracle hash-exact.  Output: (node, degree, n_triangles, lcc)."""
+    nodes = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count("*").alias("d"))
+    e = (
+        edges.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # the oriented edge list is read by the wedge self-join AND both
+    # closing branches — an eager fence stops the kNN-construction
+    # lineage (window + joins) being recomputed four times; its blocks
+    # are freed below once the result is materialized
+    from ..cache import persistent_rdd_ids, unpersist_rdds
+
+    spark_ = edges.sparkSession
+    before = persistent_rdd_ids(spark_)
+    oriented = e.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    ).localCheckpoint()
+    fence_ids = persistent_rdd_ids(spark_) - before
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), "s")
+        .filter(F.col("e1.t") < F.col("e2.t"))
+        .select(
+            F.col("s").alias("a"),
+            F.col("e1.t").alias("b"),
+            F.col("e2.t").alias("c"),
+        )
+    )
+    closing = oriented.select(
+        F.col("s").alias("b"), F.col("t").alias("c")
+    ).unionByName(oriented.select(F.col("t").alias("b"), F.col("s").alias("c")))
+    tri = wedges.join(closing, ["b", "c"])
+    corners = (
+        tri.select(F.col("a").alias("n"))
+        .unionByName(tri.select(F.col("b").alias("n")))
+        .unionByName(tri.select(F.col("c").alias("n")))
+    )
+    tcount = corners.groupBy("n").agg(F.count("*").alias("t"))
+    joined = deg.join(tcount, "n", "left")
+    t = F.coalesce(F.col("t"), F.lit(0)).cast("long")
+    res = joined.select(
+        F.col("n").alias("node"),
+        F.col("d").cast("long").alias("degree"),
+        t.alias("n_triangles"),
+        F.when(
+            F.col("d") >= 2,
+            (F.lit(2) * t).cast("double")
+            / (F.col("d") * (F.col("d") - 1)).cast("double"),
+        ).alias("lcc"),
+    ).localCheckpoint()
+    unpersist_rdds(spark_, fence_ids)
+    return res

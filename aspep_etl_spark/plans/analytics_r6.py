@@ -583,3 +583,246 @@ LIMIT {_RAKE_TOP_K}
 
 R6_QUERIES["docs_rake_keywords"] = docs_rake_keywords
 R6_ORACLE_SQL["docs_rake_keywords"] = _RAKE_SQL
+
+
+# --------------------------------------------------------------------------
+# docs_hybrid_rrf
+# --------------------------------------------------------------------------
+
+
+def docs_hybrid_rrf(spark, sf_dir):
+    """Reciprocal-rank-fusion hybrid retrieval ([EXT] IR tier): fuse the
+    lexical BM25 top-20 (``docs_bm25_search``) with the dense cosine
+    top-20 for query vector 0 (``brute_force_topk``) via the standard
+    RRF score 1/(60+r_lex) + 1/(60+r_dense) — the fusion step every
+    hybrid search stack (lexical + embedding) runs.  Both input
+    rankings are already bounded top-k relations, so the rank windows
+    and the outer join are constant-size at ANY corpus scale; missing
+    ranks contribute 0 via coalesce on both engines, and each RRF term
+    is an exact int→double division summed in the same written order."""
+    from ..operators.similarity import brute_force_topk
+    from .analytics_extra import docs_bm25_search
+
+    lex = docs_bm25_search(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("r_lex")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    denser = dense.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("knn_rank").cast("long").alias("r_dense"),
+    )
+    fused = lexr.join(denser, "doc_id", "full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(60.0) + F.col(c).cast("double")), F.lit(0.0)
+    )
+    return fused.select(
+        "doc_id",
+        "r_lex",
+        "r_dense",
+        (term("r_lex") + term("r_dense")).alias("rrf_score"),
+    )
+
+
+def _rrf_sql() -> str:
+    from .analytics_extra import _BM25_SQL
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id)::BIGINT AS r_lex
+  FROM ({_BM25_SQL}) t
+), dense AS (
+  SELECT doc_id, r_dense FROM (
+    SELECT nid AS doc_id,
+           row_number() OVER (ORDER BY cosine DESC, nid)::BIGINT AS r_dense
+    FROM (
+      SELECT c.vec_id AS nid,
+             round(list_dot_product(q.qe, c.ne) /
+                   (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(c.ne, c.ne))), 4) AS cosine
+      FROM (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) q,
+           (SELECT vec_id, embedding::DOUBLE[] AS ne
+            FROM embeddings WHERE vec_id <> 0) c
+    ) s
+  ) r WHERE r_dense <= 20
+)
+SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense,
+       coalesce(1.0::DOUBLE / (60.0::DOUBLE + r_lex::DOUBLE), 0.0::DOUBLE)
+       + coalesce(1.0::DOUBLE / (60.0::DOUBLE + r_dense::DOUBLE), 0.0::DOUBLE)
+         AS rrf_score
+FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+"""
+
+
+R6_QUERIES["docs_hybrid_rrf"] = docs_hybrid_rrf
+R6_ORACLE_SQL["docs_hybrid_rrf"] = _rrf_sql()
+
+
+# --------------------------------------------------------------------------
+# graph_local_clustering
+# --------------------------------------------------------------------------
+
+
+def graph_local_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient ([EXT]): the node-grain
+    refinement of ``graph_triangles`` — same supplier co-supply kNN
+    graph, same degree-ordered wedge-close enumeration, but each closed
+    triangle credits its three corners, and lcc(v) = 2·T(v)/(d(v)·(d(v)−1))
+    flags the suppliers whose partner neighborhoods are themselves
+    interconnected (community cores vs bridges).  Integer triangle
+    counts and degrees until one final division → hash-exact."""
+    from ..operators.triangles import cooccurrence_knn_edges, local_clustering
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_knn_edges(
+        li, "l_partkey", "l_suppkey", k=10, max_group_size=256
+    )
+    return local_clustering(edges)
+
+
+_LCC_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS g, l_suppkey AS n FROM lineitem
+), ok AS (
+  SELECT g FROM ps GROUP BY g HAVING count(*) <= 256
+), psf AS (
+  SELECT ps.g, ps.n FROM ps JOIN ok USING (g)
+), pairs AS (
+  SELECT a.n AS u, b.n AS v, count(*) AS w
+  FROM psf a JOIN psf b ON a.g = b.g AND a.n < b.n
+  GROUP BY 1, 2
+), sym AS (
+  SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs
+), top AS (
+  SELECT u, v FROM (
+    SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+    FROM sym
+  ) WHERE r <= 10
+), edges AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM top
+), deg AS (
+  SELECT n, count(*)::BIGINT AS d
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+  GROUP BY n
+), o AS (
+  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg d1 ON e.u = d1.n JOIN deg d2 ON e.v = d2.n
+), wedges AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t
+), closing AS (
+  SELECT s AS b, t AS c FROM o UNION ALL SELECT t AS b, s AS c FROM o
+), tri AS (
+  SELECT a, b, c FROM wedges JOIN closing USING (b, c)
+), corners AS (
+  SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+  UNION ALL SELECT c AS n FROM tri
+), tcount AS (
+  SELECT n, count(*)::BIGINT AS t FROM corners GROUP BY n
+)
+SELECT deg.n AS node, deg.d AS degree,
+       coalesce(tcount.t, 0)::BIGINT AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN (2 * coalesce(tcount.t, 0))::DOUBLE / (deg.d * (deg.d - 1))::DOUBLE
+       END AS lcc
+FROM deg LEFT JOIN tcount ON deg.n = tcount.n
+"""
+
+R6_QUERIES["graph_local_clustering"] = graph_local_clustering
+R6_ORACLE_SQL["graph_local_clustering"] = _LCC_SQL
+
+
+# --------------------------------------------------------------------------
+# docs_cdc_chunks
+# --------------------------------------------------------------------------
+
+_CDC_WINDOW = 4
+_CDC_MODULUS = 16
+
+
+def docs_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking ([EXT] LLM-data tier): split each
+    document at positions where the md5 of the trailing 4-token window
+    hits 0 mod 16 — the rolling-hash boundary rule (FastCDC/rsync
+    genus) that keeps chunk boundaries STABLE under insertions, unlike
+    fixed-size chunking (``docs_chunking``), which is what makes
+    chunk-grain dedup incremental-friendly.  Output is the chunk
+    relation (doc_id, chunk_id, chunk_len, chunk_hash) ready for a
+    chunk-level exact-dedup groupBy.
+
+    Scale shape: the token stream is a map-side posexplode; the gram
+    hash is three bounded lag windows per doc; the chunk id is one
+    running sum per doc — all whole-stage-codegen'd, no corpus-wide
+    shuffle until the final doc-grain agg.  The md5-prefix integer uses
+    the registry's standard cross-engine hash recipe."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.lag("w", 3).over(wo), F.lag("w", 2).over(wo), F.lag("w", 1).over(wo),
+        F.col("w"),
+    )
+    has_full = F.lag("w", _CDC_WINDOW - 1).over(wo).isNotNull()
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cdc|"), gram)), 1, 8), 16, 10
+    ).cast("long")
+    flag = F.when(has_full & (h % _CDC_MODULUS == 0), 1).otherwise(0)
+    cut = tok.withColumn("flag", flag)
+    wc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunks = cut.withColumn(
+        "chunk_id", F.coalesce(F.sum("flag").over(wc), F.lit(0)).cast("long")
+    )
+    per_chunk = chunks.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("chunk_len"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)"),
+            )
+        ).alias("chunk_hash"),
+    )
+    return per_chunk
+
+
+_CDC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1)::BIGINT AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), tok1 AS (
+  SELECT * FROM tok WHERE w <> ''
+), flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN lag(w, 3) OVER wo IS NOT NULL
+               AND CAST('0x' || substr(md5('cdc|' ||
+                     lag(w, 3) OVER wo || ' ' || lag(w, 2) OVER wo || ' ' ||
+                     lag(w, 1) OVER wo || ' ' || w), 1, 8) AS BIGINT)
+                   % {_CDC_MODULUS} = 0
+              THEN 1 ELSE 0 END AS flag
+  FROM tok1
+  WINDOW wo AS (PARTITION BY doc_id ORDER BY pos)
+), chunked AS (
+  SELECT doc_id, pos, w,
+         coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS chunk_id
+  FROM flagged
+)
+SELECT doc_id, chunk_id, count(*)::BIGINT AS chunk_len,
+       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+FROM chunked GROUP BY 1, 2
+"""
+
+R6_QUERIES["docs_cdc_chunks"] = docs_cdc_chunks
+R6_ORACLE_SQL["docs_cdc_chunks"] = _CDC_SQL

@@ -173,3 +173,65 @@ def test_r6_plans_have_no_cartesian(spark):
         plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rrf_fusion_arithmetic(spark, monkeypatch):
+    # lex ranks: doc1=1, doc2=2; dense ranks: doc2=1, doc3=2
+    import aspep_etl_spark.operators.similarity as sim
+    import aspep_etl_spark.plans.analytics_extra as ax
+
+    lex = spark.createDataFrame(
+        [(1, 1, 2.0), (2, 1, 1.0)], "doc_id long, n_terms_matched long, bm25 double"
+    )
+    dense = spark.createDataFrame(
+        [(0, 2, 0.9, 1), (0, 3, 0.8, 2)],
+        "query_id long, neighbor_id long, cosine double, knn_rank int",
+    )
+    emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    monkeypatch.setattr(ax, "docs_bm25_search", lambda s, d: lex)
+    monkeypatch.setattr(sim, "brute_force_topk", lambda *a, **k: dense)
+    monkeypatch.setattr(r6, "_t", lambda s, d, t: emb)
+    out = {r["doc_id"]: r for r in r6.docs_hybrid_rrf(spark, "x").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["rrf_score"] == 1.0 / 61.0 + 0.0
+    assert out[2]["rrf_score"] == 1.0 / 62.0 + 1.0 / 61.0
+    assert out[3]["rrf_score"] == 0.0 + 1.0 / 62.0
+    assert out[3]["r_lex"] is None and out[1]["r_dense"] is None
+
+
+def test_local_clustering_hand_graph(spark):
+    from aspep_etl_spark.operators.triangles import local_clustering
+
+    # triangle 1-2-3 plus pendant edge 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+    )
+    out = {r["node"]: r for r in local_clustering(edges).collect()}
+    assert out[1]["degree"] == 2 and out[1]["n_triangles"] == 1
+    assert out[1]["lcc"] == 1.0
+    assert out[2]["lcc"] == 1.0
+    assert out[3]["degree"] == 3 and out[3]["n_triangles"] == 1
+    assert out[3]["lcc"] == 2.0 / 6.0
+    assert out[4]["degree"] == 1 and out[4]["n_triangles"] == 0
+    assert out[4]["lcc"] is None
+
+
+def test_cdc_chunks_properties(spark, monkeypatch):
+    # identical docs chunk identically; lens sum to token count;
+    # short docs are a single chunk
+    text = " ".join(f"w{i % 7}x{i % 5}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", 0), (2, text, "en", "s", 0), (3, "a b c", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(r6, "_t", lambda s, d, t: docs)
+    rows = r6.docs_cdc_chunks(spark, "x").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # duplicate docs -> identical (chunk_id, len, hash) sets
+    k1 = sorted((r["chunk_id"], r["chunk_len"], r["chunk_hash"]) for r in by_doc[1])
+    k2 = sorted((r["chunk_id"], r["chunk_len"], r["chunk_hash"]) for r in by_doc[2])
+    assert k1 == k2
+    assert sum(r["chunk_len"] for r in by_doc[1]) == 200
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 3

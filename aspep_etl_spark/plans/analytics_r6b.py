@@ -1,0 +1,767 @@
+"""[EXT] Round-6 batch 2: ML-evaluation, robust-trend, and table-layout
+contract queries, each with a hash-exact DuckDB twin.
+
+- ``docs_pmi_pairs`` — pointwise-mutual-information word-pair mining
+  over the documents corpus.  The PMI *argument* (the lift
+  ``N·c12 / (c1·c2)``) is emitted instead of its log, so the score is a
+  single correctly-rounded IEEE division of exact BIGINT products —
+  hash-exact with no libm involvement.  Candidate pairs come from
+  per-doc posting lists under TWO scale guards: a per-document distinct
+  -word cap (first ``_PMI_DOC_CAP`` words by first occurrence) bounds
+  fan-out per doc at cap², and a relative document-frequency ceiling
+  drops corpus-ubiquitous words the way ``dedup_ngram_jaccard_capped``
+  drops hot shingles.
+- ``docs_nb_classify`` — multinomial Naive Bayes trained on the
+  md5-split train fold (lang labels, Laplace smoothing) and scored on
+  the test fold.  Per-token log10 likelihoods are summed with the
+  ordered-left-fold recipe (position order on both engines), so the
+  only cross-engine slack is libm's sub-ulp log10 difference, absorbed
+  by ``round(score, 6)`` — the ``docs_bigram_logprob`` precedent.
+- ``classifier_pr_thresholds`` — precision / recall / F1 for the hashed
+  linear quality classifier over an 11-point threshold grid.  The
+  confusion counts are BIGINTs and every metric is ONE division of
+  integers (F1 in its ``2tp / (2tp+fp+fn)`` form), so the sweep is
+  associativity-exact — no ordered folds needed.
+- ``events_theilsen_trend`` — Theil–Sen robust slope per event type
+  over the daily count series: the lower median of all pairwise slopes.
+  Slopes are single divisions of BIGINT differences; the median is an
+  element *selection* from the sorted slope array (never interpolation),
+  so the statistic is exact on both engines.  Day-grain first: the
+  pairwise step is O(days²) per type, not O(events²).
+- ``files_compaction_plan`` — the small-file compaction planner every
+  100 TB table needs: documents are rolled into synthetic input files,
+  files are binned first-fit-decreasing by cumulative size toward a
+  target bin, per source partition.  Integer window sums only (the
+  cumulative sum stays BIGINT), partitioned by source — no global sort.
+- ``layout_zonemap_skipping`` — min/max zone maps per file for two
+  physical layouts of the same orders table (insertion order vs Morton
+  / Z-order by (custkey, day)) and the scan-vs-skip verdict a reader
+  would make for a 2-D range predicate.  Demonstrates WHY the
+  ``orders_zorder_key`` layout wins: the Z-order layout's files are
+  rectangle-ish regions with tight zone maps.  Pure integer arithmetic.
+- ``graph_resource_allocation`` — Zhou–Lü–Zhang resource-allocation
+  link-prediction index Σ 1/deg(z) over common neighbors, on the same
+  df-capped co-purchase posting lists as ``graph_common_neighbors``.
+  The reciprocal-degree sum uses the ordered-fold recipe over the
+  ascending-sorted degree list, so the double sum is bit-identical.
+
+Reference parity: all [EXT] — the reference (``process_aspep/``) has no
+model-eval, robust-regression, or storage-layout tier; these follow the
+same contract/oracle pattern as every other [EXT] query.
+
+Cross-engine determinism rules are the module-level ones from
+``analytics_extra.py``: integer arithmetic until one final division
+wherever possible; identically-ordered left folds otherwise; md5-prefix
+integers (``conv(substr(md5(x),1,8),16,10)``) for every hash split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table as _t
+
+R6B_QUERIES: dict = {}
+R6B_ORACLE_SQL: dict = {}
+
+_WORD_RE = "[a-z0-9]+"
+
+
+# --------------------------------------------------------------------------
+# docs_pmi_pairs
+# --------------------------------------------------------------------------
+
+_PMI_DOC_CAP = 32  # distinct words per doc entering pair generation
+_PMI_DF_REL_CAP = 0.95  # drop words present in > 95% of docs
+_PMI_MIN_PAIR = 10  # min co-occurrence count
+
+
+def docs_pmi_pairs(spark, sf_dir):
+    """PMI word-pair mining ([EXT]): for every word pair co-occurring in
+    at least ``_PMI_MIN_PAIR`` documents, emit the PMI lift
+    ``N·c12/(c1·c2)`` (the exponential of PMI — same ranking, zero libm).
+    Scale guards: per-doc distinct-word cap (first 32 words by first
+    occurrence → ≤ cap² pairs per doc) and a relative df ceiling that
+    drops corpus-stopwords from pair generation AND from the marginals,
+    keeping the lift internally consistent on the capped vocabulary.
+    Counts are BIGINT; the lift is one exact division."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), 0)
+            ).alias("pos", "w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    capped = tok.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("first_pos", "w")),
+    ).filter(F.col("rk") <= _PMI_DOC_CAP)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = capped.groupBy("w").agg(F.count("*").alias("df"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n_docs") * F.lit(_PMI_DF_REL_CAP))
+        .select("w", "df")
+    )
+    post = capped.join(kept, "w").select("doc_id", "w", "df")
+    a = post.select("doc_id", F.col("w").alias("w1"), F.col("df").alias("c1"))
+    b = post.select("doc_id", F.col("w").alias("w2"), F.col("df").alias("c2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2", "c1", "c2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_PAIR)
+    )
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "w1",
+        "w2",
+        F.col("c12"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        (
+            (F.col("c12") * F.col("n_docs")).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double")
+        ).alias("lift"),
+    )
+
+
+_PMI_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, w, min(pos) AS first_pos
+  FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS w,
+           generate_subscripts(regexp_extract_all(lower(text), '{_WORD_RE}'), 1)
+             AS pos
+    FROM documents
+  )
+  GROUP BY 1, 2
+), capped AS (
+  SELECT doc_id, w
+  FROM (
+    SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY first_pos, w) AS rk
+    FROM tok
+  )
+  WHERE rk <= {_PMI_DOC_CAP}
+), nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+dfreq AS (SELECT w, count(*)::BIGINT AS df FROM capped GROUP BY w),
+kept AS (
+  SELECT w, df FROM dfreq, nd WHERE df <= n_docs * {_PMI_DF_REL_CAP}
+), post AS (
+  SELECT doc_id, capped.w, df FROM capped JOIN kept ON capped.w = kept.w
+), pairs AS (
+  SELECT a.w AS w1, b.w AS w2, a.df AS c1, b.df AS c2,
+         count(*)::BIGINT AS c12
+  FROM post a JOIN post b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {_PMI_MIN_PAIR}
+)
+SELECT w1, w2, c12, c1, c2,
+       (c12 * n_docs)::DOUBLE / (c1 * c2)::DOUBLE AS lift
+FROM pairs, nd
+"""
+
+R6B_QUERIES["docs_pmi_pairs"] = docs_pmi_pairs
+R6B_ORACLE_SQL["docs_pmi_pairs"] = _PMI_SQL
+
+
+# --------------------------------------------------------------------------
+# docs_nb_classify
+# --------------------------------------------------------------------------
+
+
+def _nb_is_test():
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("nb|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % 5) == 0
+
+
+def docs_nb_classify(spark, sf_dir):
+    """Multinomial Naive Bayes ([EXT]): train per-lang token counts with
+    Laplace smoothing on the md5-split train fold (4/5 of docs), score
+    every test doc against every class.  Per-token log10 likelihoods
+    fold in position order on BOTH engines (the ordered-left-fold
+    recipe); the per-class constants (log prior, smoothing denominator)
+    are broadcast 5-row relations, so scoring rides the test-fold token
+    scan — the same scan-bound shape as ``docs_classifier_score``.
+    ``round(score, 6)`` absorbs libm's sub-ulp log10 slack (the
+    ``docs_bigram_logprob`` precedent)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("is_test", _nb_is_test())
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "is_test",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), 0)
+        ).alias("pos", "w"),
+    )
+    train_tok = tok.filter(~F.col("is_test"))
+    cw = train_tok.groupBy(F.col("lang").alias("cls"), "w").agg(
+        F.count("*").alias("cnt")
+    )
+    totc = cw.groupBy("cls").agg(F.sum("cnt").alias("tot_c"))
+    vocab = cw.select("w").distinct().agg(F.count("*").alias("v"))
+    pri = (
+        docs.filter(~F.col("is_test"))
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.count("*").alias("n_c"))
+    )
+    n_train = docs.filter(~F.col("is_test")).agg(F.count("*").alias("n_train"))
+    classes = (
+        pri.join(totc, "cls")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "cls",
+            "tot_c",
+            "v",
+            F.log10(F.col("n_c").cast("double") / F.col("n_train").cast("double"))
+            .alias("log_prior"),
+        )
+    )
+    test_tok = tok.filter(F.col("is_test")).select("doc_id", "lang", "pos", "w")
+    terms = (
+        test_tok.crossJoin(F.broadcast(classes))
+        .join(cw, ["cls", "w"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            "log_prior",
+            "pos",
+            F.log10(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("tot_c") + F.col("v")).cast("double")
+            ).alias("term"),
+        )
+    )
+    folded = terms.groupBy("doc_id", "lang", "cls", "log_prior").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("loglik")
+    )
+    return folded.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        "cls",
+        F.round(F.col("log_prior") + F.col("loglik"), 6).alias("score"),
+    )
+
+
+_NB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST('0x' || substr(md5('nb|' || doc_id::VARCHAR), 1, 8) AS BIGINT)
+           % 5 = 0 AS is_test
+  FROM documents
+), tok AS (
+  SELECT doc_id, lang, is_test,
+         unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS w,
+         generate_subscripts(regexp_extract_all(lower(text), '{_WORD_RE}'), 1)
+           AS pos
+  FROM base
+), cw AS (
+  SELECT lang AS cls, w, count(*)::BIGINT AS cnt
+  FROM tok WHERE NOT is_test GROUP BY 1, 2
+), totc AS (SELECT cls, sum(cnt)::BIGINT AS tot_c FROM cw GROUP BY cls),
+vocab AS (SELECT count(DISTINCT w)::BIGINT AS v FROM cw),
+pri AS (
+  SELECT lang AS cls, count(*)::BIGINT AS n_c
+  FROM base WHERE NOT is_test GROUP BY 1
+), ntr AS (SELECT count(*)::BIGINT AS n_train FROM base WHERE NOT is_test),
+classes AS (
+  SELECT pri.cls, tot_c, v,
+         log10(n_c::DOUBLE / n_train::DOUBLE) AS log_prior
+  FROM pri JOIN totc ON pri.cls = totc.cls, vocab, ntr
+), terms AS (
+  SELECT t.doc_id, t.lang, c.cls, c.log_prior, t.pos,
+         log10((coalesce(cw.cnt, 0) + 1)::DOUBLE / (c.tot_c + c.v)::DOUBLE)
+           AS term
+  FROM tok t CROSS JOIN classes c
+  LEFT JOIN cw ON cw.cls = c.cls AND cw.w = t.w
+  WHERE t.is_test
+)
+SELECT doc_id, lang AS actual_lang, cls,
+       round(log_prior +
+             list_reduce(list_prepend(0.0::DOUBLE, list(term ORDER BY pos)),
+                         (a, b) -> a + b),
+             6) AS score
+FROM terms
+GROUP BY doc_id, lang, cls, log_prior
+"""
+
+R6B_QUERIES["docs_nb_classify"] = docs_nb_classify
+R6B_ORACLE_SQL["docs_nb_classify"] = _NB_SQL
+
+
+# --------------------------------------------------------------------------
+# classifier_pr_thresholds
+# --------------------------------------------------------------------------
+
+_PR_T_LO = 20  # thresholds k/50 for k in [20, 30] -> 0.40 .. 0.60
+_PR_T_HI = 30
+
+
+def classifier_pr_thresholds(spark, sf_dir):
+    """Precision/recall/F1 threshold sweep ([EXT]) for the hashed linear
+    quality classifier (same score + even/odd-source labels as
+    ``docs_classifier_auc``).  One scan, one broadcast of the 11-row
+    threshold grid, one hash-agg on t: the confusion counts stay BIGINT
+    and every metric is a SINGLE integer division (F1 via
+    ``2tp/(2tp+fp+fn)``), so the sweep is associativity-exact with no
+    ordered folds.  At 100 TB this is the model-calibration pass that
+    rides the corpus scan."""
+    from ..operators.classifier import score_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_documents(docs, "text", "doc_id", dim=4096).select(
+        "doc_id", "prob"
+    )
+    lab = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0)
+        .cast("long")
+        .alias("label"),
+    )
+    grid = spark.range(_PR_T_LO, _PR_T_HI + 1).select(
+        (F.col("id").cast("double") / F.lit(50.0)).alias("t")
+    )
+    j = scored.join(lab, "doc_id").crossJoin(F.broadcast(grid))
+    agg = j.groupBy("t").agg(
+        F.sum(((F.col("label") == 1) & (F.col("prob") >= F.col("t"))).cast("long"))
+        .alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("prob") >= F.col("t"))).cast("long"))
+        .alias("fp"),
+        F.sum(((F.col("label") == 1) & (F.col("prob") < F.col("t"))).cast("long"))
+        .alias("fn"),
+    )
+    return agg.select(
+        "t",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (F.lit(2) * F.col("tp")).cast("double")
+            / (F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+    )
+
+
+_PR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), feat AS (
+  SELECT doc_id,
+         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
+  FROM base WHERE len(w) >= 1
+), wts AS (
+  SELECT doc_id,
+         list_transform(f, t ->
+           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
+             / 1000.0 - 1.0) AS wv
+  FROM feat
+), scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-round(
+           list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv),
+           6))), 6) AS prob
+  FROM wts
+), lab AS (
+  SELECT doc_id, (substr(source, 4, 10)::INT % 2 = 0)::BIGINT AS label
+  FROM documents
+), grid AS (
+  SELECT i::DOUBLE / 50.0 AS t FROM range({_PR_T_LO}, {_PR_T_HI} + 1) r(i)
+), agg AS (
+  SELECT t,
+         sum((label = 1 AND prob >= t)::INT)::BIGINT AS tp,
+         sum((label = 0 AND prob >= t)::INT)::BIGINT AS fp,
+         sum((label = 1 AND prob < t)::INT)::BIGINT AS fn
+  FROM scored JOIN lab USING (doc_id) CROSS JOIN grid
+  GROUP BY t
+)
+SELECT t, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp)::DOUBLE END AS precision,
+       CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn)::DOUBLE END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN (2 * tp)::DOUBLE / (2 * tp + fp + fn)::DOUBLE END AS f1
+FROM agg
+"""
+
+R6B_QUERIES["classifier_pr_thresholds"] = classifier_pr_thresholds
+R6B_ORACLE_SQL["classifier_pr_thresholds"] = _PR_SQL
+
+
+# --------------------------------------------------------------------------
+# events_theilsen_trend
+# --------------------------------------------------------------------------
+
+
+def events_theilsen_trend(spark, sf_dir):
+    """Theil–Sen robust slope per event type ([EXT]): the lower median of
+    all pairwise slopes of the daily-count series, with the matching
+    intercept through the (lower-median day, lower-median count) point.
+    Day-grain first — the O(days²) pairwise step runs on the aggregated
+    series (≈30 points per type), never on raw events, so the shape
+    survives 100 TB unchanged.  Slopes are single divisions of BIGINT
+    differences and the median is an element SELECTION from the sorted
+    slope array (no interpolation), so every emitted double is exact."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+                "day_no"
+            ),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    g = (
+        daily.groupBy("event_type")
+        .agg(F.array_sort(F.collect_list(F.struct("day_no", "cnt"))).alias("arr"))
+        .filter(F.size("arr") >= 2)
+    )
+    slopes = F.expr(
+        """
+        array_sort(flatten(transform(sequence(1, size(arr) - 1), i ->
+          transform(sequence(i + 1, size(arr)), j ->
+            cast(element_at(arr, j).cnt - element_at(arr, i).cnt as double)
+            / cast(element_at(arr, j).day_no - element_at(arr, i).day_no
+                   as double)))))
+        """
+    )
+    out = (
+        g.withColumn("slopes", slopes)
+        .select(
+            "event_type",
+            F.size("arr").cast("long").alias("n_days"),
+            F.element_at(
+                F.col("slopes"),
+                F.ceil(F.size("slopes") / F.lit(2.0)).cast("int"),
+            ).alias("slope"),
+            F.element_at(
+                F.col("arr"), F.ceil(F.size("arr") / F.lit(2.0)).cast("int")
+            ).alias("__med"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "slope",
+            (
+                F.col("__med.cnt").cast("double")
+                - F.col("slope") * F.col("__med.day_no").cast("double")
+            ).alias("intercept"),
+        )
+    )
+    return out
+
+
+_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day_no,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type,
+         list(day_no ORDER BY day_no) AS d,
+         list(cnt ORDER BY day_no) AS c
+  FROM daily GROUP BY event_type HAVING count(*) >= 2
+), s AS (
+  SELECT event_type, len(d)::BIGINT AS n_days, d, c,
+         list_sort(flatten([
+           [(c[j] - c[i])::DOUBLE / (d[j] - d[i])::DOUBLE
+            FOR j IN range(i + 1, len(d) + 1)]
+           FOR i IN range(1, len(d))])) AS slopes
+  FROM g
+)
+SELECT event_type, n_days,
+       slopes[cast(ceil(len(slopes) / 2.0) AS INT)] AS slope,
+       c[cast(ceil(len(d) / 2.0) AS INT)]::DOUBLE
+         - slopes[cast(ceil(len(slopes) / 2.0) AS INT)]
+           * d[cast(ceil(len(d) / 2.0) AS INT)]::DOUBLE AS intercept
+FROM s
+"""
+
+R6B_QUERIES["events_theilsen_trend"] = events_theilsen_trend
+R6B_ORACLE_SQL["events_theilsen_trend"] = _THEILSEN_SQL
+
+
+# --------------------------------------------------------------------------
+# files_compaction_plan
+# --------------------------------------------------------------------------
+
+_COMPACT_DOCS_PER_FILE = 5
+_COMPACT_TARGET = 8000  # target output-bin size (chars)
+
+
+def files_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner ([EXT]): documents roll up into
+    synthetic input files (5 docs each), and files are assigned to
+    output bins first-fit-decreasing by cumulative size toward an
+    ``_COMPACT_TARGET``-char bin — the OPTIMIZE/rewrite planning pass
+    every 100 TB table runs.  The cumulative sum is a BIGINT window
+    partitioned BY SOURCE (compaction plans per table partition), so
+    there is no global sort and no float anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        "source",
+        F.floor(F.col("doc_id") / F.lit(_COMPACT_DOCS_PER_FILE)).alias("file_id"),
+    ).agg(
+        F.sum("n_chars").cast("long").alias("file_bytes"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("file_bytes"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "bin_id",
+        (
+            F.coalesce(F.sum("file_bytes").over(w), F.lit(0))
+            / F.lit(_COMPACT_TARGET)
+        ).cast("long"),
+    )
+    return planned.groupBy("source", "bin_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("file_bytes").cast("long").alias("bin_bytes"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+_COMPACT_SQL = f"""
+WITH files AS (
+  SELECT source, (doc_id // {_COMPACT_DOCS_PER_FILE})::BIGINT AS file_id,
+         sum(n_chars)::BIGINT AS file_bytes, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1, 2
+), planned AS (
+  SELECT source, file_bytes, n_docs,
+         (coalesce(sum(file_bytes) OVER (
+            PARTITION BY source ORDER BY file_bytes DESC, file_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          // {_COMPACT_TARGET})::BIGINT AS bin_id
+  FROM files
+)
+SELECT source, bin_id, count(*)::BIGINT AS n_files,
+       sum(file_bytes)::BIGINT AS bin_bytes, sum(n_docs)::BIGINT AS n_docs
+FROM planned GROUP BY 1, 2
+"""
+
+R6B_QUERIES["files_compaction_plan"] = files_compaction_plan
+R6B_ORACLE_SQL["files_compaction_plan"] = _COMPACT_SQL
+
+
+# --------------------------------------------------------------------------
+# layout_zonemap_skipping
+# --------------------------------------------------------------------------
+
+_ZM_NAIVE_FILE = 256  # orders per file in insertion-order layout
+_ZM_Z_SHIFT = 16  # zkey high bits -> file (aligned 256x256 Z-blocks)
+_ZM_CUST_MOD = 4096  # bounded customer bucket (custkey scales with SF)
+_ZM_CUST_LO, _ZM_CUST_HI = 1000, 2000
+_ZM_DAY_LO, _ZM_DAY_HI = 1500, 2000  # inside the 1995-2001 order range
+
+
+def layout_zonemap_skipping(spark, sf_dir):
+    """Zone-map data skipping audit ([EXT]): build per-file min/max zone
+    maps for TWO layouts of orders — insertion order (file = orderkey
+    block) and Morton/Z-order by (day, customer bucket) (file = zkey
+    high bits, the layout ``orders_zorder_key`` produces; an aligned
+    power-of-two shift makes every file an exact 256x256 rectangle) —
+    then classify every file as skip-vs-scan for a 2-D range predicate,
+    the exact decision a parquet reader makes from footer stats.  The
+    customer dimension is ``o_custkey % 4096`` so both Z dims stay
+    inside the 16-bit interleave mask at EVERY scale factor (raw
+    custkey grows with SF).  Shows WHY Z-order wins: insertion-order
+    files span the full key space (scan everything), Z-order files are
+    tight rectangles (skip ~90%).  Pure integer min/max/count
+    arithmetic — hash-exact by construction, and entirely map-side +
+    one hash-agg per layout at any scale."""
+    from ..operators.profile import zorder_key
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % _ZM_CUST_MOD).alias("cust_b"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day_no"),
+    )
+    keyed = orders.withColumn("zkey", zorder_key("day_no", "cust_b", bits=16))
+    naive = keyed.select(
+        F.lit("insertion").alias("layout"),
+        F.floor(F.col("o_orderkey") / F.lit(_ZM_NAIVE_FILE)).alias("file_id"),
+        "cust_b",
+        "day_no",
+    )
+    zord = keyed.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(F.col("zkey"), _ZM_Z_SHIFT).alias("file_id"),
+        "cust_b",
+        "day_no",
+    )
+    zones = (
+        naive.unionByName(zord)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("cust_b").alias("min_c"),
+            F.max("cust_b").alias("max_c"),
+            F.min("day_no").alias("min_d"),
+            F.max("day_no").alias("max_d"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+    verdict = F.when(
+        (F.col("max_c") < _ZM_CUST_LO)
+        | (F.col("min_c") >= _ZM_CUST_HI)
+        | (F.col("max_d") < _ZM_DAY_LO)
+        | (F.col("min_d") >= _ZM_DAY_HI),
+        F.lit("skip"),
+    ).otherwise(F.lit("scan"))
+    return (
+        zones.withColumn("verdict", verdict)
+        .groupBy("layout", "verdict")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def _zonemap_oracle() -> str:
+    from ..operators.profile import zorder_sql
+
+    zexpr = zorder_sql("day_no", "cust_b", bits=16)
+    return f"""
+WITH d AS (
+  SELECT o_orderkey, o_custkey % {_ZM_CUST_MOD} AS cust_b,
+         date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS day_no
+  FROM orders
+), keyed AS (
+  SELECT o_orderkey, cust_b, day_no, {zexpr} AS zkey FROM d
+), both_layouts AS (
+  SELECT 'insertion' AS layout, o_orderkey // {_ZM_NAIVE_FILE} AS file_id,
+         cust_b, day_no
+  FROM keyed
+  UNION ALL
+  SELECT 'zorder' AS layout, zkey >> {_ZM_Z_SHIFT} AS file_id,
+         cust_b, day_no
+  FROM keyed
+), zones AS (
+  SELECT layout, file_id,
+         min(cust_b) AS min_c, max(cust_b) AS max_c,
+         min(day_no) AS min_d, max(day_no) AS max_d,
+         count(*)::BIGINT AS n_rows
+  FROM both_layouts GROUP BY 1, 2
+)
+SELECT layout,
+       CASE WHEN max_c < {_ZM_CUST_LO} OR min_c >= {_ZM_CUST_HI}
+             OR max_d < {_ZM_DAY_LO} OR min_d >= {_ZM_DAY_HI}
+            THEN 'skip' ELSE 'scan' END AS verdict,
+       count(*)::BIGINT AS n_files, sum(n_rows)::BIGINT AS n_rows
+FROM zones GROUP BY 1, 2
+"""
+
+
+R6B_QUERIES["layout_zonemap_skipping"] = layout_zonemap_skipping
+R6B_ORACLE_SQL["layout_zonemap_skipping"] = _zonemap_oracle()
+
+
+# --------------------------------------------------------------------------
+# graph_resource_allocation
+# --------------------------------------------------------------------------
+
+_RA_DF_CAP = 40
+_RA_MIN_COMMON = 3
+
+
+def graph_resource_allocation(spark, sf_dir):
+    """Resource-allocation link-prediction index ([EXT], Zhou–Lü–Zhang):
+    RA(u,v) = Σ_{z ∈ CN(u,v)} 1/deg(z) over the df-capped co-purchase
+    posting lists of ``graph_common_neighbors`` — the stronger weighted
+    variant that down-weights promiscuous common neighbors.  Pair
+    fan-out is bounded by cap²/2 per part (never quadratic in
+    customers); the reciprocal-degree sum folds left over the
+    ASCENDING-sorted degree list on both engines, so the double is
+    bit-identical (the ordered-fold recipe)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pb = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    dfs = pb.groupBy("p").agg(F.count("*").cast("long").alias("df"))
+    kept = dfs.filter(F.col("df") <= _RA_DF_CAP)
+    pbk = pb.join(kept, "p")
+    a = pbk.select("p", F.col("c").alias("u"), "df")
+    b = pbk.select("p", F.col("c").alias("v"))
+    pairs = (
+        a.join(b, "p")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.array_sort(F.collect_list("df")).alias("dlist"),
+        )
+        .filter(F.col("n_common") >= _RA_MIN_COMMON)
+    )
+    return pairs.select(
+        "u",
+        "v",
+        "n_common",
+        F.aggregate(
+            F.col("dlist"),
+            F.lit(0.0),
+            lambda acc, x: acc + F.lit(1.0) / x.cast("double"),
+        ).alias("ra_index"),
+    )
+
+
+_RA_SQL = f"""
+WITH pb AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), dfs AS (
+  SELECT p, count(*)::BIGINT AS df FROM pb GROUP BY p
+), pbk AS (
+  SELECT c, pb.p, df FROM pb JOIN dfs ON pb.p = dfs.p WHERE df <= {_RA_DF_CAP}
+), pairs AS (
+  SELECT a.c AS u, b.c AS v, count(*)::BIGINT AS n_common,
+         list_sort(list(a.df)) AS dlist
+  FROM pbk a JOIN pbk b ON a.p = b.p AND a.c < b.c
+  GROUP BY 1, 2 HAVING count(*) >= {_RA_MIN_COMMON}
+)
+SELECT u, v, n_common,
+       list_reduce(
+         list_prepend(0.0::DOUBLE,
+                      list_transform(dlist, x -> 1.0 / x::DOUBLE)),
+         (a, b) -> a + b) AS ra_index
+FROM pairs
+"""
+
+R6B_QUERIES["graph_resource_allocation"] = graph_resource_allocation
+R6B_ORACLE_SQL["graph_resource_allocation"] = _RA_SQL

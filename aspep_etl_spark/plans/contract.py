@@ -2200,6 +2200,7 @@ ORACLE_SQL = {
 
 from .analytics_extra import ANALYTICS_ORACLE_SQL, ANALYTICS_QUERIES  # noqa: E402
 from .analytics_r6 import R6_ORACLE_SQL, R6_QUERIES  # noqa: E402
+from .analytics_r6b import R6B_ORACLE_SQL, R6B_QUERIES  # noqa: E402
 from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402
 from .ingest_funnel import INGEST_ORACLE_SQL, INGEST_QUERIES  # noqa: E402
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
@@ -2215,6 +2216,7 @@ SPARK_QUERIES.update(CURATION_QUERIES)
 SPARK_QUERIES.update(SCALE_QUERIES)
 SPARK_QUERIES.update(ANALYTICS_QUERIES)
 SPARK_QUERIES.update(R6_QUERIES)
+SPARK_QUERIES.update(R6B_QUERIES)
 SPARK_QUERIES.update(INGEST_QUERIES)
 SPARK_QUERIES.update(TOKENIZER_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
@@ -2224,5 +2226,6 @@ ORACLE_SQL.update(CURATION_ORACLE_SQL)
 ORACLE_SQL.update(SCALE_ORACLE_SQL)
 ORACLE_SQL.update(ANALYTICS_ORACLE_SQL)
 ORACLE_SQL.update(R6_ORACLE_SQL)
+ORACLE_SQL.update(R6B_ORACLE_SQL)
 ORACLE_SQL.update(INGEST_ORACLE_SQL)
 ORACLE_SQL.update(TOKENIZER_ORACLE_SQL)

@@ -765,3 +765,202 @@ FROM pairs
 
 R6B_QUERIES["graph_resource_allocation"] = graph_resource_allocation
 R6B_ORACLE_SQL["graph_resource_allocation"] = _RA_SQL
+
+
+# --------------------------------------------------------------------------
+# classifier_calibration_bins
+# --------------------------------------------------------------------------
+
+_CAL_BINS = 100  # 0.01-wide probability bins
+
+
+def classifier_calibration_bins(spark, sf_dir):
+    """Reliability diagram ([EXT]) for the hashed linear quality
+    classifier: per 0.01-wide probability bin, the mean predicted
+    probability vs the observed positive rate and their absolute gap —
+    the per-bin terms of expected calibration error.  The mean
+    prediction dodges the unordered-float-sum trap by summing the
+    6-dp-rounded probabilities as 1e6-scaled BIGINTs (the scaling
+    product is within an ulp of an integer on both engines, so the
+    round-to-integer agrees), then ONE exact division; every other
+    metric is a single integer division.  One scan + one hash-agg."""
+    from ..operators.classifier import score_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_documents(docs, "text", "doc_id", dim=4096).select(
+        "doc_id", "prob"
+    )
+    lab = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0)
+        .cast("long")
+        .alias("label"),
+    )
+    j = scored.join(lab, "doc_id").select(
+        F.floor(F.col("prob") * F.lit(_CAL_BINS)).cast("long").alias("bin"),
+        F.round(F.col("prob") * F.lit(1000000)).cast("long").alias("p6"),
+        "label",
+    )
+    agg = j.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum("p6").cast("long").alias("__s6"),
+    )
+    return agg.select(
+        "bin",
+        (F.col("bin").cast("double") / F.lit(float(_CAL_BINS))).alias("bin_lo"),
+        "n",
+        "n_pos",
+        (
+            F.col("__s6").cast("double")
+            / (F.col("n") * F.lit(1000000)).cast("double")
+        ).alias("avg_pred"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "obs_rate"
+        ),
+        F.abs(
+            F.col("__s6").cast("double")
+            / (F.col("n") * F.lit(1000000)).cast("double")
+            - F.col("n_pos").cast("double") / F.col("n").cast("double")
+        ).alias("abs_gap"),
+    )
+
+
+_CAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), feat AS (
+  SELECT doc_id,
+         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
+  FROM base WHERE len(w) >= 1
+), wts AS (
+  SELECT doc_id,
+         list_transform(f, t ->
+           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
+             / 1000.0 - 1.0) AS wv
+  FROM feat
+), scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-round(
+           list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv),
+           6))), 6) AS prob
+  FROM wts
+), lab AS (
+  SELECT doc_id, (substr(source, 4, 10)::INT % 2 = 0)::BIGINT AS label
+  FROM documents
+), binned AS (
+  SELECT floor(prob * {_CAL_BINS})::BIGINT AS bin,
+         round(prob * 1000000)::BIGINT AS p6, label
+  FROM scored JOIN lab USING (doc_id)
+), agg AS (
+  SELECT bin, count(*)::BIGINT AS n, sum(label)::BIGINT AS n_pos,
+         sum(p6)::BIGINT AS s6
+  FROM binned GROUP BY bin
+)
+SELECT bin, bin::DOUBLE / {_CAL_BINS}.0 AS bin_lo, n, n_pos,
+       s6::DOUBLE / (n * 1000000)::DOUBLE AS avg_pred,
+       n_pos::DOUBLE / n::DOUBLE AS obs_rate,
+       abs(s6::DOUBLE / (n * 1000000)::DOUBLE
+           - n_pos::DOUBLE / n::DOUBLE) AS abs_gap
+FROM agg
+"""
+
+R6B_QUERIES["classifier_calibration_bins"] = classifier_calibration_bins
+R6B_ORACLE_SQL["classifier_calibration_bins"] = _CAL_SQL
+
+
+# --------------------------------------------------------------------------
+# orders_snapshot_diff
+# --------------------------------------------------------------------------
+
+_SNAP_NEW_OFFSET = 100_000_000
+
+
+def orders_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / CDC audit ([EXT]): classify every key across two
+    table versions — the base orders snapshot vs the snapshot after a
+    latest-wins upsert batch (every 10th key price-bumped +100.0, every
+    100th key re-inserted under a fresh key) — into added / changed /
+    unchanged, with the total applied price delta.  The diff is ONE
+    full-outer hash join on the key; the delta sums 2-dp-rounded
+    per-row differences that are exactly 100.00 by construction, so the
+    aggregate is order-independent.  This is the audit a lakehouse
+    time-travel comparison (Delta DESCRIBE HISTORY diff) runs."""
+    from ..operators.setops import upsert_latest
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", F.lit(1).alias("version"))
+    changed = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit(2).alias("version"),
+    )
+    added = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") + F.lit(_SNAP_NEW_OFFSET)).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit(2).alias("version"),
+    )
+    merged = upsert_latest(
+        base, changed.unionByName(added), ["o_orderkey"], "version"
+    )
+    d = base.select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    ).join(
+        merged.select("o_orderkey", F.col("o_totalprice").alias("new_price")),
+        "o_orderkey",
+        "full_outer",
+    )
+    typed = d.select(
+        F.when(F.col("old_price").isNull(), F.lit("added"))
+        .when(F.col("new_price").isNull(), F.lit("removed"))
+        .when(F.col("new_price") == F.col("old_price"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        F.when(
+            F.col("old_price").isNotNull() & F.col("new_price").isNotNull(),
+            F.round(F.col("new_price") - F.col("old_price"), 2),
+        ).alias("delta"),
+    )
+    return typed.groupBy("change_type").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.round(F.coalesce(F.sum("delta"), F.lit(0.0)), 2).alias("total_delta"),
+    )
+
+
+_SNAP_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+), upd AS (
+  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice, 2 AS version
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + {_SNAP_NEW_OFFSET}, o_totalprice, 2
+  FROM orders WHERE o_orderkey % 100 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+), merged AS (
+  SELECT o_orderkey, o_totalprice FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+    FROM u) WHERE rn = 1
+), d AS (
+  SELECT coalesce(b.o_orderkey, m.o_orderkey) AS k,
+         b.o_totalprice AS old_price, m.o_totalprice AS new_price
+  FROM (SELECT o_orderkey, o_totalprice FROM base) b
+  FULL OUTER JOIN merged m ON b.o_orderkey = m.o_orderkey
+), typed AS (
+  SELECT CASE WHEN old_price IS NULL THEN 'added'
+              WHEN new_price IS NULL THEN 'removed'
+              WHEN new_price = old_price THEN 'unchanged'
+              ELSE 'changed' END AS change_type,
+         CASE WHEN old_price IS NOT NULL AND new_price IS NOT NULL
+              THEN round(new_price - old_price, 2) END AS delta
+  FROM d
+)
+SELECT change_type, count(*)::BIGINT AS n_keys,
+       round(coalesce(sum(delta), 0.0), 2) AS total_delta
+FROM typed GROUP BY change_type
+"""
+
+R6B_QUERIES["orders_snapshot_diff"] = orders_snapshot_diff
+R6B_ORACLE_SQL["orders_snapshot_diff"] = _SNAP_SQL

@@ -1576,6 +1576,82 @@ FROM r WHERE knn_rank <= {topk}"""
 _ANN_IVF_SQL = _ivf_sql(k_cent=8, iters=2, dp=6, n_probe=3, topk=5)
 
 
+def ann_ndcg_eval_q(spark, sf_dir):
+    """Retrieval-quality evaluation ([EXT]): nDCG@5 of the IVF ANN path
+    against exact brute-force ground truth — the ranking-aware metric
+    that recall@k misses (an approximate index can hit all 5 true
+    neighbors in the wrong order).  Graded relevance of an IVF result =
+    6 − its brute-force rank (0 if outside the true top-5); DCG folds
+    rel/log2(rank+1) in rank order (the ordered-fold recipe, 5 terms),
+    IDCG is the same fold over the ideal grades, and round(·, 6)
+    absorbs libm's sub-ulp log2 slack.  At scale both paths are the
+    already-bounded ANN shapes; the join is on (query, neighbor)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=5).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(6) - F.col("knn_rank")).cast("long").alias("rel"),
+    )
+    ivf = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, iters=2).select(
+        "query_id", "neighbor_id", F.col("knn_rank").cast("long").alias("knn_rank")
+    )
+    j = ivf.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "knn_rank",
+        F.coalesce(F.col("rel"), F.lit(0)).cast("long").alias("rel"),
+    )
+    folded = j.groupBy("query_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("knn_rank", "rel"))),
+                lambda s: s["rel"].cast("double")
+                / F.log2((s["knn_rank"] + F.lit(1)).cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("dcg")
+    )
+    idcg = F.expr(
+        "aggregate(transform(sequence(1, 5), i -> cast(6 - i as double)"
+        " / log2(cast(i + 1 as double))), 0.0D, (a, x) -> a + x)"
+    )
+    return folded.select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(F.col("dcg") / idcg, 6).alias("ndcg"),
+    )
+
+
+_ANN_NDCG_SQL = f"""
+WITH ivf AS (
+  SELECT query_id, neighbor_id, knn_rank FROM ({_ANN_IVF_SQL}) s
+), truth AS (
+  SELECT query_id, neighbor_id, (6 - knn_rank)::BIGINT AS rel
+  FROM ({_ANN_SQL}) s
+), j AS (
+  SELECT i.query_id, i.knn_rank, coalesce(t.rel, 0)::BIGINT AS rel
+  FROM ivf i LEFT JOIN truth t
+    ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+), folded AS (
+  SELECT query_id,
+         list_reduce(
+           list_prepend(0.0::DOUBLE,
+             list(rel::DOUBLE / log2((knn_rank + 1)::DOUBLE)
+                  ORDER BY knn_rank)),
+           (a, b) -> a + b) AS dcg
+  FROM j GROUP BY query_id
+), idcg AS (
+  SELECT list_reduce(
+           list_prepend(0.0::DOUBLE,
+             [(6 - i)::DOUBLE / log2((i + 1)::DOUBLE) FOR i IN range(1, 6)]),
+           (a, b) -> a + b) AS v
+)
+SELECT query_id, round(dcg, 6) AS dcg, round(dcg / v, 6) AS ndcg
+FROM folded, idcg
+"""
+
+
 def streaming_hourly_rollup_q(spark, sf_dir):
     """Structured Streaming tumbling rollup (availableNow; batch-equality tested)."""
     return run_streaming_rollup(spark, f"{sf_dir}/events.parquet")
@@ -2103,6 +2179,7 @@ SPARK_QUERIES = {
     "events_sessionize": events_sessionize_q,
     "multimodal_features": multimodal_features_q,
     "ann_ivf_topk": ann_ivf_topk_q,
+    "ann_ndcg_eval": ann_ndcg_eval_q,
     "ann_srp_lsh_topk": ann_srp_lsh_topk_q,
     # oracled via the XXH64-in-SQL prelude (plans/xxh64_sql.py)
     "dedup_minhash_lsh": dedup_minhash_lsh_q,
@@ -2188,6 +2265,7 @@ ORACLE_SQL = {
     "embedding_clusters": _EMB_CLUSTERS_SQL,
     "multimodal_features": _MULTIMODAL_SQL,
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_ndcg_eval": _ANN_NDCG_SQL,
     "ann_srp_lsh_topk": _ANN_SRP_SQL,
     # hash-seeded near-dup estimators: DuckDB has no xxhash64, so these
     # oracles carry a CREATE MACRO prelude implementing XXH64 in SQL

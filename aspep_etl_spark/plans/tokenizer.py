@@ -131,12 +131,86 @@ GROUP BY t.doc_id
 """
 )
 
+def docs_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per language ([EXT]): subwords-per-word
+    and chars-per-subword under the learned BPE merge table — the
+    standard multilingual-tokenizer health metric (a lang whose
+    fertility is far above the corpus mean is being over-segmented).
+    Same broadcast-encode shape as ``docs_bpe_subword_counts`` (corpus
+    scan + one hash agg on lang); every metric is ONE division of
+    BIGINT sums, so the twin is hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (m["left"], m["right"])
+        for m in bpe_learn_merges(docs, "text", N_MERGES).collect()
+    ]
+    vocab = initial_segmentation(word_frequencies(docs, "text")).withColumn(
+        "seg", apply_bpe_merges(F.col("seg"), rules)
+    )
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("word"),
+    )
+    enc = toks.join(
+        F.broadcast(
+            vocab.select(
+                "word",
+                F.size("seg").alias("n_sub"),
+                F.length("word").alias("n_chars"),
+            )
+        ),
+        "word",
+    )
+    agg = enc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        (
+            F.col("n_subwords").cast("double") / F.col("n_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("n_chars").cast("double") / F.col("n_subwords").cast("double")
+        ).alias("chars_per_subword"),
+    )
+
+
+_BPE_FERTILITY_SQL = (
+    _bpe_cte_chain(N_MERGES)
+    + f"""
+, toks AS (
+  SELECT lang,
+         unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS word
+  FROM documents
+), agg AS (
+  SELECT lang, count(*)::BIGINT AS n_words,
+         sum(len(s.seg))::BIGINT AS n_subwords,
+         sum(len(t.word))::BIGINT AS n_chars
+  FROM toks t JOIN seg{N_MERGES} s ON t.word = s.word
+  GROUP BY lang
+)
+SELECT lang, n_words, n_subwords,
+       n_subwords::DOUBLE / n_words::DOUBLE AS fertility,
+       n_chars::DOUBLE / n_subwords::DOUBLE AS chars_per_subword
+FROM agg
+"""
+)
+
+
 TOKENIZER_QUERIES = {
     "docs_bpe_merges": docs_bpe_merges,
     "docs_bpe_subword_counts": docs_bpe_subword_counts,
+    "docs_bpe_fertility": docs_bpe_fertility,
 }
 
 TOKENIZER_ORACLE_SQL = {
     "docs_bpe_merges": _BPE_MERGES_SQL,
     "docs_bpe_subword_counts": _BPE_SUBWORDS_SQL,
+    "docs_bpe_fertility": _BPE_FERTILITY_SQL,
 }

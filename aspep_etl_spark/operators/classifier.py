@@ -53,13 +53,17 @@ def score_documents(
     id_col: str = "doc_id",
     dim: int = 4096,
     round_dp: int = 6,
+    keep: tuple = (),
 ) -> DataFrame:
     """Linear-classifier quality score per document.
 
-    Returns (id, n_features, score, prob): score is the mean hashed
-    feature weight (ordered left-fold sum / count), prob its sigmoid.
-    Documents with zero word tokens are dropped (no features to score).
-    One map-only projection — the physical plan has no Exchange.
+    Returns (id, *keep, n_features, score, prob): score is the mean
+    hashed feature weight (ordered left-fold sum / count), prob its
+    sigmoid.  ``keep`` names extra input columns to carry through (e.g.
+    a label for downstream eval — keeping eval metrics on the SAME scan
+    instead of a self-join back to the corpus).  Documents with zero
+    word tokens are dropped (no features to score).  One map-only
+    projection — the physical plan has no Exchange.
     """
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
     bigrams = F.when(
@@ -85,5 +89,5 @@ def score_documents(
             "prob",
             F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), round_dp),
         )
-        .select(id_col, "n_features", "score", "prob")
+        .select(id_col, *keep, "n_features", "score", "prob")
     )

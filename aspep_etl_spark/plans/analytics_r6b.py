@@ -325,23 +325,21 @@ def classifier_pr_thresholds(spark, sf_dir):
     and every metric is a SINGLE integer division (F1 via
     ``2tp/(2tp+fp+fn)``), so the sweep is associativity-exact with no
     ordered folds.  At 100 TB this is the model-calibration pass that
-    rides the corpus scan."""
+    rides the corpus scan — the label travels WITH the score through one
+    scan (``score_documents(keep=...)``), no self-join back to docs."""
     from ..operators.classifier import score_documents
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = score_documents(docs, "text", "doc_id", dim=4096).select(
-        "doc_id", "prob"
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).cast("long"),
     )
-    lab = docs.select(
-        "doc_id",
-        (F.substring("source", 4, 10).cast("int") % 2 == 0)
-        .cast("long")
-        .alias("label"),
-    )
+    scored = score_documents(
+        docs, "text", "doc_id", dim=4096, keep=("label",)
+    ).select("doc_id", "prob", "label")
     grid = spark.range(_PR_T_LO, _PR_T_HI + 1).select(
         (F.col("id").cast("double") / F.lit(50.0)).alias("t")
     )
-    j = scored.join(lab, "doc_id").crossJoin(F.broadcast(grid))
+    j = scored.crossJoin(F.broadcast(grid))
     agg = j.groupBy("t").agg(
         F.sum(((F.col("label") == 1) & (F.col("prob") >= F.col("t"))).cast("long"))
         .alias("tp"),
@@ -783,20 +781,15 @@ def classifier_calibration_bins(spark, sf_dir):
     6-dp-rounded probabilities as 1e6-scaled BIGINTs (the scaling
     product is within an ulp of an integer on both engines, so the
     round-to-integer agrees), then ONE exact division; every other
-    metric is a single integer division.  One scan + one hash-agg."""
+    metric is a single integer division.  One scan + one hash-agg — the
+    label rides the scoring scan via ``score_documents(keep=...)``."""
     from ..operators.classifier import score_documents
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = score_documents(docs, "text", "doc_id", dim=4096).select(
-        "doc_id", "prob"
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).cast("long"),
     )
-    lab = docs.select(
-        "doc_id",
-        (F.substring("source", 4, 10).cast("int") % 2 == 0)
-        .cast("long")
-        .alias("label"),
-    )
-    j = scored.join(lab, "doc_id").select(
+    j = score_documents(docs, "text", "doc_id", dim=4096, keep=("label",)).select(
         F.floor(F.col("prob") * F.lit(_CAL_BINS)).cast("long").alias("bin"),
         F.round(F.col("prob") * F.lit(1000000)).cast("long").alias("p6"),
         "label",

@@ -321,3 +321,61 @@ def test_winsorized_cuts_are_broadcast(spark, sf):
 
     plan = plan_of(events_value_winsorized(spark, sf))
     assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_eval_rides_one_scan(spark, sf):
+    """PR sweep and calibration bins must keep the label ON the scoring
+    scan (score_documents keep=) — exactly one parquet scan, no
+    self-join back to documents."""
+    from aspep_etl_spark.plans.analytics_r6b import (
+        classifier_calibration_bins,
+        classifier_pr_thresholds,
+    )
+
+    cal = plan_of(classifier_calibration_bins(spark, sf), mode="simple")
+    assert cal.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in cal
+    pr = plan_of(classifier_pr_thresholds(spark, sf), mode="simple")
+    assert pr.count("Scan parquet") == 1  # + the in-memory Range grid
+    assert "SortMergeJoin" not in pr
+
+
+def test_zonemap_and_compaction_no_global_sort(spark, sf):
+    """Zone-map audit is map-side + hash-aggs; the compaction planner's
+    cumulative sum is partitioned BY SOURCE — neither may funnel through
+    a single partition."""
+    from aspep_etl_spark.plans.analytics_r6b import (
+        files_compaction_plan,
+        layout_zonemap_skipping,
+    )
+
+    zm = plan_of(layout_zonemap_skipping(spark, sf))
+    assert "Exchange SinglePartition" not in zm
+    assert "Window" not in zm
+    cp = plan_of(files_compaction_plan(spark, sf))
+    assert "Exchange SinglePartition" not in cp
+
+
+def test_pair_generators_no_cartesian(spark, sf):
+    """PMI pairs and the RA index generate candidates from posting
+    lists (equi-joins), never a cross join."""
+    from aspep_etl_spark.plans.analytics_r6b import (
+        docs_pmi_pairs,
+        graph_resource_allocation,
+    )
+
+    for q in (docs_pmi_pairs, graph_resource_allocation):
+        plan = plan_of(q(spark, sf))
+        assert "CartesianProduct" not in plan
+
+
+def test_theilsen_runs_at_day_grain(spark, sf):
+    """The pairwise-slope stage must sit above a day-grain aggregate
+    (partial+final HashAggregate), with no window and no
+    single-partition exchange."""
+    from aspep_etl_spark.plans.analytics_r6b import events_theilsen_trend
+
+    plan = plan_of(events_theilsen_trend(spark, sf))
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -957,3 +957,240 @@ FROM typed GROUP BY change_type
 
 R6B_QUERIES["orders_snapshot_diff"] = orders_snapshot_diff
 R6B_ORACLE_SQL["orders_snapshot_diff"] = _SNAP_SQL
+
+
+# --------------------------------------------------------------------------
+# events_quantile_sketch
+# --------------------------------------------------------------------------
+
+_QS_RATE = 8  # keep 1/8 of rows (deterministic hash sample)
+
+
+def events_quantile_sketch(spark, sf_dir):
+    """Mergeable sample-based quantile sketch ([EXT]): per event type,
+    estimate p50/p95/p99 from a deterministic md5 hash sample (1/8) —
+    the FULLY ORACLED approximate-quantile path next to the rows-only
+    ``a1_grouped_median_approx`` (percentile_approx's sketch is
+    engine-internal; a Bernoulli hash sample is public arithmetic, so
+    the twin replays it exactly).  The sketch is the per-group sorted
+    sample: partials merge by list union (algebraic), estimates are
+    element SELECTIONS — no interpolation, no float math at all.  At
+    100 TB the sample rate becomes adaptive per group (documented), the
+    shape is unchanged: one map-side filter + one keyed agg."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("qs|"), F.col("event_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    samp = ev.filter(F.col("value").isNotNull() & ((h % _QS_RATE) == 0))
+    g = samp.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("arr")
+    )
+
+    def _sel(q: float):
+        idx = F.greatest(
+            F.lit(1), F.ceil(F.size("arr") * F.lit(q)).cast("int")
+        )
+        return F.element_at(F.col("arr"), idx)
+
+    return g.select(
+        "event_type",
+        F.size("arr").cast("long").alias("n_sample"),
+        _sel(0.5).alias("p50_est"),
+        _sel(0.95).alias("p95_est"),
+        _sel(0.99).alias("p99_est"),
+    )
+
+
+_QS_SQL = f"""
+WITH samp AS (
+  SELECT event_type, value
+  FROM events
+  WHERE value IS NOT NULL
+    AND CAST('0x' || substr(md5('qs|' || event_id::VARCHAR), 1, 8) AS BIGINT)
+        % {_QS_RATE} = 0
+), g AS (
+  SELECT event_type, list_sort(list(value)) AS arr
+  FROM samp GROUP BY event_type
+)
+SELECT event_type, len(arr)::BIGINT AS n_sample,
+       arr[greatest(1, ceil(len(arr) * 0.5)::INT)] AS p50_est,
+       arr[greatest(1, ceil(len(arr) * 0.95)::INT)] AS p95_est,
+       arr[greatest(1, ceil(len(arr) * 0.99)::INT)] AS p99_est
+FROM g
+"""
+
+R6B_QUERIES["events_quantile_sketch"] = events_quantile_sketch
+R6B_ORACLE_SQL["events_quantile_sketch"] = _QS_SQL
+
+
+# --------------------------------------------------------------------------
+# docs_chunk_dedup  (composes docs_cdc_chunks)
+# --------------------------------------------------------------------------
+
+_CHUNK_MIN_LEN = 4  # ignore sub-window fragments
+
+
+def docs_chunk_dedup(spark, sf_dir):
+    """Chunk-grain dedup over content-defined chunks ([EXT]): the reason
+    CDC chunking exists — chunks whose hash repeats across ≥2 documents
+    are the shared/boilerplate spans an ingest pipeline strips or
+    stores once.  Composes ``docs_cdc_chunks`` (insertion-stable
+    boundaries) with one chunk-hash keyed agg; at 100 TB this is the
+    dedup store's reference-count build, one shuffle on the hash."""
+    from .analytics_r6 import docs_cdc_chunks
+
+    chunks = docs_cdc_chunks(spark, sf_dir)
+    return (
+        chunks.filter(F.col("chunk_len") >= _CHUNK_MIN_LEN)
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("chunk_len").cast("long").alias("chunk_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _chunk_dedup_oracle() -> str:
+    from .analytics_r6 import R6_ORACLE_SQL as _r6sql
+
+    return f"""
+WITH chunks AS (
+  SELECT * FROM ({_r6sql["docs_cdc_chunks"]}) s
+)
+SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_occurrences,
+       min(chunk_len)::BIGINT AS chunk_len
+FROM chunks WHERE chunk_len >= {_CHUNK_MIN_LEN}
+GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+R6B_QUERIES["docs_chunk_dedup"] = docs_chunk_dedup
+R6B_ORACLE_SQL["docs_chunk_dedup"] = _chunk_dedup_oracle()
+
+
+# --------------------------------------------------------------------------
+# docs_source_kl_drift
+# --------------------------------------------------------------------------
+
+
+def docs_source_kl_drift(spark, sf_dir):
+    """Corpus drift detection ([EXT]): smoothed unigram KL divergence
+    between the even- and odd-numbered sources — the distribution-shift
+    monitor an ingest pipeline runs when a new crawl lands.  Token
+    counts reduce to VOCAB grain before any float math; the KL sums
+    p·log10(p/q) with the ordered-fold recipe over the w-sorted vocab
+    (round-6 absorbs libm slack).  At web scale the vocab is capped to
+    the top-k tokens (documented); the aggregation shape — corpus scan,
+    one vocab-grain agg, one tiny fold — is unchanged."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "grp",
+        F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, "a").otherwise(
+            "b"
+        ),
+    )
+    tok = docs.select(
+        "grp",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), 0)
+        ).alias("w"),
+    )
+    cnts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tots = cnts.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count("*").alias("v"),
+    )
+    terms = cnts.crossJoin(F.broadcast(tots)).select(
+        "w",
+        (
+            (F.col("ca") + F.lit(1)).cast("double")
+            / (F.col("ta") + F.col("v")).cast("double")
+        ).alias("p"),
+        (
+            (F.col("cb") + F.lit(1)).cast("double")
+            / (F.col("tb") + F.col("v")).cast("double")
+        ).alias("q"),
+        "ta",
+        "tb",
+        "v",
+    )
+    folded = terms.groupBy("ta", "tb", "v").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "w",
+                            (F.col("p") * F.log10(F.col("p") / F.col("q"))).alias(
+                                "t_ab"
+                            ),
+                            (F.col("q") * F.log10(F.col("q") / F.col("p"))).alias(
+                                "t_ba"
+                            ),
+                        )
+                    )
+                ),
+                lambda s: F.array(s["t_ab"], s["t_ba"]),
+            ),
+            F.array(F.lit(0.0), F.lit(0.0)),
+            lambda acc, x: F.array(
+                acc[0] + x[0],
+                acc[1] + x[1],
+            ),
+        ).alias("kl"),
+    )
+    return folded.select(
+        F.col("ta").cast("long").alias("tokens_a"),
+        F.col("tb").cast("long").alias("tokens_b"),
+        F.col("v").cast("long").alias("n_vocab"),
+        F.round(F.col("kl")[0], 6).alias("kl_ab"),
+        F.round(F.col("kl")[1], 6).alias("kl_ba"),
+    )
+
+
+_KL_SQL = f"""
+WITH tok AS (
+  SELECT CASE WHEN substr(source, 4, 10)::INT % 2 = 0 THEN 'a' ELSE 'b' END
+           AS grp,
+         unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS w
+  FROM documents
+), cnts AS (
+  SELECT w,
+         sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM tok GROUP BY w
+), tots AS (
+  SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb,
+         count(*)::BIGINT AS v
+  FROM cnts
+), terms AS (
+  SELECT w,
+         (ca + 1)::DOUBLE / (ta + v)::DOUBLE AS p,
+         (cb + 1)::DOUBLE / (tb + v)::DOUBLE AS q,
+         ta, tb, v
+  FROM cnts, tots
+), folded AS (
+  SELECT ta, tb, v,
+         list_reduce(
+           list_prepend([0.0::DOUBLE, 0.0::DOUBLE],
+             list([p * log10(p / q), q * log10(q / p)] ORDER BY w)),
+           (acc, x) -> [acc[1] + x[1], acc[2] + x[2]]) AS kl
+  FROM terms GROUP BY ta, tb, v
+)
+SELECT ta AS tokens_a, tb AS tokens_b, v AS n_vocab,
+       round(kl[1], 6) AS kl_ab, round(kl[2], 6) AS kl_ba
+FROM folded
+"""
+
+R6B_QUERIES["docs_source_kl_drift"] = docs_source_kl_drift
+R6B_ORACLE_SQL["docs_source_kl_drift"] = _KL_SQL

@@ -1194,3 +1194,72 @@ FROM folded
 
 R6B_QUERIES["docs_source_kl_drift"] = docs_source_kl_drift
 R6B_ORACLE_SQL["docs_source_kl_drift"] = _KL_SQL
+
+
+# --------------------------------------------------------------------------
+# events_mv_incremental
+# --------------------------------------------------------------------------
+
+_MV_CUTOFF = "2024-01-22"
+
+
+def events_mv_incremental(spark, sf_dir):
+    """Incremental materialized-view maintenance ([EXT]): the daily
+    (day, event_type) rollup MV is maintained by aggregating ONLY the
+    delta batch (events ≥ cutoff) and merging it into the pre-cutoff
+    base MV with one full-outer coalesce-sum — never re-aggregating
+    history.  The ORACLE is the full recompute (one flat GROUP BY over
+    all rows), so the gate itself proves the maintenance algebra: the
+    value metric is integer cents (round(value·100) — within an ulp of
+    an integer on both engines), making partial merges
+    associativity-exact.  At 100 TB the delta agg touches one day of
+    partitions while the oracle-equivalent recompute scans years — this
+    is the shape that makes daily MV refresh O(delta)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * F.lit(100)).cast("long").alias("cents"),
+    )
+    cutoff = F.lit(_MV_CUTOFF).cast("date")
+
+    def _agg(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+
+    base = _agg(ev.filter(F.col("day") < cutoff))
+    delta = _agg(ev.filter(F.col("day") >= cutoff))
+    merged = base.withColumnRenamed("n_events", "bn").withColumnRenamed(
+        "cents_sum", "bs"
+    ).join(
+        delta.withColumnRenamed("n_events", "dn").withColumnRenamed(
+            "cents_sum", "ds"
+        ),
+        ["day", "event_type"],
+        "full_outer",
+    )
+    return merged.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        (F.coalesce(F.col("bs"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
+        .cast("long")
+        .alias("cents_sum"),
+    )
+
+
+# The oracle is deliberately the FULL RECOMPUTE — equality proves the
+# incremental merge algebra, the same base-vs-delta guarantee
+# `dedup_incremental` pins for posting lists.
+_MV_SQL = """
+SELECT ts::DATE::VARCHAR AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS cents_sum
+FROM events GROUP BY 1, 2
+"""
+
+R6B_QUERIES["events_mv_incremental"] = events_mv_incremental
+R6B_ORACLE_SQL["events_mv_incremental"] = _MV_SQL

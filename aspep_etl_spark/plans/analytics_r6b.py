@@ -580,7 +580,9 @@ R6B_ORACLE_SQL["files_compaction_plan"] = _COMPACT_SQL
 _ZM_NAIVE_FILE = 256  # orders per file in insertion-order layout
 _ZM_Z_SHIFT = 16  # zkey high bits -> file (aligned 256x256 Z-blocks)
 _ZM_CUST_MOD = 4096  # bounded customer bucket (custkey scales with SF)
-_ZM_CUST_LO, _ZM_CUST_HI = 1000, 2000
+# predicate rectangle chosen to be NON-EMPTY at every SF: sf0.001's
+# custkey range is only 0..149, so the customer band sits low
+_ZM_CUST_LO, _ZM_CUST_HI = 32, 96
 _ZM_DAY_LO, _ZM_DAY_HI = 1500, 2000  # inside the 1995-2001 order range
 
 

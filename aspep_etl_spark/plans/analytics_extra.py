@@ -1751,13 +1751,13 @@ def graph_triangles(spark, sf_dir):
 
 
 _TRIANGLES_SQL = """
-WITH ps AS (
+WITH ps AS MATERIALIZED (
   SELECT DISTINCT l_partkey AS g, l_suppkey AS n FROM lineitem
 ), ok AS (
   SELECT g FROM ps GROUP BY g HAVING count(*) <= 256
-), psf AS (
+), psf AS MATERIALIZED (
   SELECT ps.g, ps.n FROM ps JOIN ok USING (g)
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.n AS u, b.n AS v, count(*) AS w
   FROM psf a JOIN psf b ON a.g = b.g AND a.n < b.n
   GROUP BY 1, 2
@@ -1768,13 +1768,13 @@ WITH ps AS (
     SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
     FROM sym
   ) WHERE r <= 10
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM top
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT n, count(*) AS d
   FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
   GROUP BY n
-), o AS (
+), o AS MATERIALIZED (
   SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
               THEN e.u ELSE e.v END AS s,
          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
@@ -2045,7 +2045,7 @@ def graph_label_propagation(spark, sf_dir):
 
 
 _LPA_ROUND = """
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT node, lbl FROM (
     SELECT s.u AS node, r.lbl, count(*) AS c,
            row_number() OVER (PARTITION BY s.u
@@ -2057,13 +2057,13 @@ r{i} AS (
 
 _LPA_SQL = (
     """
-WITH ps AS (
+WITH ps AS MATERIALIZED (
   SELECT DISTINCT l_partkey AS g, l_suppkey AS n FROM lineitem
 ), ok AS (
   SELECT g FROM ps GROUP BY g HAVING count(*) <= 256
-), psf AS (
+), psf AS MATERIALIZED (
   SELECT ps.g, ps.n FROM ps JOIN ok USING (g)
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.n AS u, b.n AS v, count(*) AS w
   FROM psf a JOIN psf b ON a.g = b.g AND a.n < b.n
   GROUP BY 1, 2
@@ -2074,11 +2074,11 @@ WITH ps AS (
     SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
     FROM symw
   ) WHERE r <= 10
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM top
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT DISTINCT u AS node, u AS lbl FROM sym
 ),"""
     + ",".join(_LPA_ROUND.format(i=i, j=i - 1) for i in range(1, 5))

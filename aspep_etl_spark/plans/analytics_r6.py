@@ -683,14 +683,18 @@ def graph_local_clustering(spark, sf_dir):
     return local_clustering(edges)
 
 
+# Every multiply-referenced CTE is MATERIALIZED: DuckDB 1.0 inlines
+# plain CTEs at each reference, so this chain (o is read 4x, deg 2x,
+# tri 3x ...) otherwise re-evaluates the 8.7M-row pair join dozens of
+# times — 300+ s at sf0.1 vs 2.6 s materialized (measured).
 _LCC_SQL = """
-WITH ps AS (
+WITH ps AS MATERIALIZED (
   SELECT DISTINCT l_partkey AS g, l_suppkey AS n FROM lineitem
 ), ok AS (
   SELECT g FROM ps GROUP BY g HAVING count(*) <= 256
-), psf AS (
+), psf AS MATERIALIZED (
   SELECT ps.g, ps.n FROM ps JOIN ok USING (g)
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT a.n AS u, b.n AS v, count(*) AS w
   FROM psf a JOIN psf b ON a.g = b.g AND a.n < b.n
   GROUP BY 1, 2
@@ -701,13 +705,13 @@ WITH ps AS (
     SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
     FROM sym
   ) WHERE r <= 10
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM top
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT n, count(*)::BIGINT AS d
   FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
   GROUP BY n
-), o AS (
+), o AS MATERIALIZED (
   SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
               THEN e.u ELSE e.v END AS s,
          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
@@ -718,7 +722,7 @@ WITH ps AS (
   FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.t < e2.t
 ), closing AS (
   SELECT s AS b, t AS c FROM o UNION ALL SELECT t AS b, s AS c FROM o
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT a, b, c FROM wedges JOIN closing USING (b, c)
 ), corners AS (
   SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri

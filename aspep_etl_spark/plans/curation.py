@@ -139,30 +139,30 @@ def llm_curation_funnel(spark, sf_dir):
 
 
 _CURATION_FUNNEL_SQL = """
-WITH RECURSIVE corpus AS (
+WITH RECURSIVE corpus AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE doc_id >= 25
-), s1 AS (
+), s1 AS MATERIALIZED (
   SELECT c.doc_id, c.text FROM corpus c
   JOIN (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text) k USING (doc_id)
 ), words AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM s1
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
   WHERE len(w) >= 3
-), sizes AS (
+), sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM tri a JOIN tri b USING (sh)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
   SELECT id_b AS s, id_a AS d FROM pairs
@@ -170,15 +170,15 @@ WITH RECURSIVE corpus AS (
   SELECT s AS node, s AS r FROM edges
   UNION
   SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
-), cc AS (
+), cc AS MATERIALIZED (
   SELECT node, min(r) AS component FROM reach GROUP BY node
-), s2 AS (
+), s2 AS MATERIALIZED (
   SELECT doc_id, text FROM s1
   WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
 ), bwords AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
   FROM documents WHERE doc_id < 25
-), btri AS (
+), btri AS MATERIALIZED (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM bwords, UNNEST(range(1, len(w) - 1)) AS t(i)
   WHERE len(w) >= 3
@@ -188,7 +188,7 @@ WITH RECURSIVE corpus AS (
   JOIN btri b USING (sh)
   GROUP BY c.doc_id, b.doc_id
   HAVING count(*) >= 3
-), s3 AS (
+), s3 AS MATERIALIZED (
   SELECT doc_id, text FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ), qbase AS (
   SELECT doc_id,
@@ -196,7 +196,7 @@ WITH RECURSIVE corpus AS (
          len(regexp_extract_all(lower(text), '\\b(the|and|of|a|is)\\b')) AS stop,
          length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum
   FROM s3
-), s4 AS (
+), s4 AS MATERIALIZED (
   SELECT doc_id FROM qbase
   WHERE n_tokens >= 20
     AND round(stop / greatest(n_tokens, 1), 4) <= 0.35

@@ -82,24 +82,24 @@ def dedup_clusters(spark, sf_dir):
 _DEDUP_CLUSTERS_SQL = """
 WITH RECURSIVE words AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
-), tri AS (
+), tri AS MATERIALIZED (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
   FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
   WHERE len(w) >= 3
-), sizes AS (
+), sizes AS MATERIALIZED (
   SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
   FROM tri a JOIN tri b USING (sh)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT id_a, id_b
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
   WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.05
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS s, id_b AS d FROM pairs
   UNION
   SELECT id_b AS s, id_a AS d FROM pairs
@@ -107,7 +107,7 @@ WITH RECURSIVE words AS (
   SELECT s AS node, s AS r FROM edges
   UNION
   SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
-), cc AS (
+), cc AS MATERIALIZED (
   SELECT node, min(r) AS component FROM reach GROUP BY node
 ), fam AS (
   SELECT component, count(*)::BIGINT AS n_members FROM cc GROUP BY component

@@ -157,3 +157,30 @@ def apply_bpe_merges(seg_col: Column, merges: list[tuple[str, str]]) -> Column:
             F.aggregate(tail, head, one_rule(left, right))
         )
     return out
+
+
+def apply_bpe_merges_staged(df, seg_col: str, merges: list[tuple[str, str]]):
+    """Rule-per-stage application of a merge table with materialization
+    fences.  The pure-Column form above references the previous level's
+    expression ~4× per rule (tail twice + head + the size guard), so k
+    chained rules build a ~4^k expression tree — ~14 s of DRIVER-side
+    analysis/interpreted eval for 6 rules at ANY data size, the same
+    inlined-subtree disease PERF.md documents for the PQ norm fold.
+    Staging one rule per ``localCheckpoint`` keeps every plan linear;
+    the fenced frame is vocab-grain (distinct words), which is exactly
+    the table a production tokenizer materializes anyway.  Earlier
+    stages' blocks are freed as soon as the next stage is checkpointed
+    (same hygiene as the iterative graph operators)."""
+    from ..cache import persistent_rdd_ids, unpersist_rdds
+
+    spark = df.sparkSession
+    prev_ids: set = set()
+    for left, right in merges:
+        before = persistent_rdd_ids(spark)
+        df = df.withColumn(
+            seg_col, apply_bpe_merges(F.col(seg_col), [(left, right)])
+        ).localCheckpoint()
+        new_ids = persistent_rdd_ids(spark) - before
+        unpersist_rdds(spark, prev_ids)
+        prev_ids = new_ids
+    return df

@@ -696,6 +696,10 @@ R6B_ORACLE_SQL["layout_zonemap_skipping"] = _zonemap_oracle()
 
 _RA_DF_CAP = 40
 _RA_MIN_COMMON = 3
+# lcm(2..40): every shared part's degree divides it, so Σ 1/deg is the
+# BIGINT Σ (L div deg) divided ONCE by L — an associativity-exact
+# integer sum (any partial-agg order) instead of an ordered float fold.
+_RA_LCM = 5342931457063200
 
 
 def graph_resource_allocation(spark, sf_dir):
@@ -704,9 +708,13 @@ def graph_resource_allocation(spark, sf_dir):
     posting lists of ``graph_common_neighbors`` — the stronger weighted
     variant that down-weights promiscuous common neighbors.  Pair
     fan-out is bounded by cap²/2 per part (never quadratic in
-    customers); the reciprocal-degree sum folds left over the
-    ASCENDING-sorted degree list on both engines, so the double is
-    bit-identical (the ordered-fold recipe)."""
+    customers).  The reciprocal-degree sum is INTEGER-exact: deg ≤ 40
+    divides lcm(2..40), so Σ(lcm div deg) is a plain BIGINT SUM (one
+    map-side-combinable agg — no per-pair array collect/sort/fold,
+    which cost 5× at sf0.1) and the ra_index is ONE final division.
+    Overflow headroom: n_common may reach 1726 before the scaled sum
+    exceeds BIGINT — an order of magnitude above any co-purchase count
+    this schema produces (n_common ≤ parts-per-customer ≈ 40)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     pb = (
@@ -725,7 +733,7 @@ def graph_resource_allocation(spark, sf_dir):
         .groupBy("u", "v")
         .agg(
             F.count("*").cast("long").alias("n_common"),
-            F.array_sort(F.collect_list("df")).alias("dlist"),
+            F.sum(F.expr(f"{_RA_LCM} div df")).cast("long").alias("__s"),
         )
         .filter(F.col("n_common") >= _RA_MIN_COMMON)
     )
@@ -733,11 +741,7 @@ def graph_resource_allocation(spark, sf_dir):
         "u",
         "v",
         "n_common",
-        F.aggregate(
-            F.col("dlist"),
-            F.lit(0.0),
-            lambda acc, x: acc + F.lit(1.0) / x.cast("double"),
-        ).alias("ra_index"),
+        (F.col("__s").cast("double") / F.lit(float(_RA_LCM))).alias("ra_index"),
     )
 
 
@@ -747,19 +751,16 @@ WITH pb AS (
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), dfs AS (
   SELECT p, count(*)::BIGINT AS df FROM pb GROUP BY p
-), pbk AS (
+), pbk AS MATERIALIZED (
   SELECT c, pb.p, df FROM pb JOIN dfs ON pb.p = dfs.p WHERE df <= {_RA_DF_CAP}
 ), pairs AS (
   SELECT a.c AS u, b.c AS v, count(*)::BIGINT AS n_common,
-         list_sort(list(a.df)) AS dlist
+         sum({_RA_LCM} // a.df)::BIGINT AS s
   FROM pbk a JOIN pbk b ON a.p = b.p AND a.c < b.c
   GROUP BY 1, 2 HAVING count(*) >= {_RA_MIN_COMMON}
 )
 SELECT u, v, n_common,
-       list_reduce(
-         list_prepend(0.0::DOUBLE,
-                      list_transform(dlist, x -> 1.0 / x::DOUBLE)),
-         (a, b) -> a + b) AS ra_index
+       s::DOUBLE / {_RA_LCM}::DOUBLE AS ra_index
 FROM pairs
 """
 

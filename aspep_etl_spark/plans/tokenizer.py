@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.bpe import (
-    apply_bpe_merges,
+    apply_bpe_merges_staged,
     bpe_learn_merges,
     initial_segmentation,
     word_frequencies,
@@ -44,8 +44,8 @@ def docs_bpe_subword_counts(spark, sf_dir):
         (m["left"], m["right"])
         for m in bpe_learn_merges(docs, "text", N_MERGES).collect()
     ]
-    vocab = initial_segmentation(word_frequencies(docs, "text")).withColumn(
-        "seg", apply_bpe_merges(F.col("seg"), rules)
+    vocab = apply_bpe_merges_staged(
+        initial_segmentation(word_frequencies(docs, "text")), "seg", rules
     )
     toks = docs.select(
         "doc_id",
@@ -144,8 +144,8 @@ def docs_bpe_fertility(spark, sf_dir):
         (m["left"], m["right"])
         for m in bpe_learn_merges(docs, "text", N_MERGES).collect()
     ]
-    vocab = initial_segmentation(word_frequencies(docs, "text")).withColumn(
-        "seg", apply_bpe_merges(F.col("seg"), rules)
+    vocab = apply_bpe_merges_staged(
+        initial_segmentation(word_frequencies(docs, "text")), "seg", rules
     )
     toks = docs.select(
         "lang",

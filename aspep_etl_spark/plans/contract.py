@@ -2069,54 +2069,7 @@ def embedding_clusters_q(spark, sf_dir):
     return assigned.groupBy("cluster", "label").agg(F.count("*").alias("n"))
 
 
-def _lloyd_sql(k: int = 4, iters: int = 3, dp: int = 6) -> str:
-    """Unroll the deterministic Lloyd's iterations of `embedding_clusters_q`
-    as DuckDB CTEs — same init, same rounded sq-distance argmin (ties →
-    lowest cluster), same rounded per-component centroid means."""
-
-    def assign(prev: str) -> str:
-        return (
-            f"SELECT v.vec_id, v.label, v.e, {prev}.cl,\n"
-            f"       row_number() OVER (PARTITION BY v.vec_id ORDER BY\n"
-            f"         round(list_dot_product(v.e, v.e) + list_dot_product({prev}.c, {prev}.c)\n"
-            f"               - 2 * list_dot_product(v.e, {prev}.c), {dp}), {prev}.cl) AS rn\n"
-            f"    FROM v, {prev}"
-        )
-
-    parts = [
-        f"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-c0 AS (
-  SELECT label AS cl, e AS c FROM (
-    SELECT label, e, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-    FROM v WHERE label < {k}) WHERE rn = 1
-)"""
-    ]
-    prev = "c0"
-    for t in range(1, iters + 1):
-        parts.append(
-            f""",
-a{t} AS (
-  SELECT vec_id, label, e, cl FROM (
-    {assign(prev)}) WHERE rn = 1
-),
-c{t} AS (
-  SELECT cl, list(m ORDER BY pos) AS c FROM (
-    SELECT cl, pos, round(avg(val), {dp}) AS m FROM (
-      SELECT cl, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM a{t})
-    GROUP BY cl, pos)
-  GROUP BY cl
-)"""
-        )
-        prev = f"c{t}"
-    parts.append(
-        f"""
-SELECT cl AS cluster, label, count(*)::BIGINT AS n FROM (
-  SELECT vec_id, label, cl FROM (
-    {assign(prev)}) WHERE rn = 1)
-GROUP BY cl, label"""
-    )
-    return "".join(parts)
-
+from .lloyd_sql import lloyd_profile_sql as _lloyd_sql  # noqa: E402
 
 _EMB_CLUSTERS_SQL = _lloyd_sql(k=4, iters=3, dp=6)
 
@@ -2279,6 +2232,7 @@ ORACLE_SQL = {
 from .analytics_extra import ANALYTICS_ORACLE_SQL, ANALYTICS_QUERIES  # noqa: E402
 from .analytics_r6 import R6_ORACLE_SQL, R6_QUERIES  # noqa: E402
 from .analytics_r6b import R6B_ORACLE_SQL, R6B_QUERIES  # noqa: E402
+from .analytics_r7 import R7_ORACLE_SQL, R7_QUERIES  # noqa: E402
 from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402
 from .ingest_funnel import INGEST_ORACLE_SQL, INGEST_QUERIES  # noqa: E402
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
@@ -2295,6 +2249,7 @@ SPARK_QUERIES.update(SCALE_QUERIES)
 SPARK_QUERIES.update(ANALYTICS_QUERIES)
 SPARK_QUERIES.update(R6_QUERIES)
 SPARK_QUERIES.update(R6B_QUERIES)
+SPARK_QUERIES.update(R7_QUERIES)
 SPARK_QUERIES.update(INGEST_QUERIES)
 SPARK_QUERIES.update(TOKENIZER_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
@@ -2305,5 +2260,6 @@ ORACLE_SQL.update(SCALE_ORACLE_SQL)
 ORACLE_SQL.update(ANALYTICS_ORACLE_SQL)
 ORACLE_SQL.update(R6_ORACLE_SQL)
 ORACLE_SQL.update(R6B_ORACLE_SQL)
+ORACLE_SQL.update(R7_ORACLE_SQL)
 ORACLE_SQL.update(INGEST_ORACLE_SQL)
 ORACLE_SQL.update(TOKENIZER_ORACLE_SQL)

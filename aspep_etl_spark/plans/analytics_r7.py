@@ -582,3 +582,34 @@ FROM per p LEFT JOIN internal i USING (community), m
 
 R7_QUERIES["graph_modularity"] = graph_modularity
 R7_ORACLE_SQL["graph_modularity"] = _MOD_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_stream_join
+# --------------------------------------------------------------------------
+
+
+def streaming_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (streaming/joins.py): clicks
+    ⋈ purchases on user within [click_ts, click_ts + 30 min], run
+    through the streaming engine with availableNow.  Over one input
+    file this equals the batch inner join — the sessionize/debounce
+    oracle-promotion argument — so the DuckDB twin is the plain
+    time-range join."""
+    from ..streaming.joins import run_streaming_click_purchase_join
+
+    return run_streaming_click_purchase_join(spark, f"{sf_dir}/events.parquet")
+
+
+_STREAM_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (CAST(floor(epoch(p.ts)) AS BIGINT)
+        - CAST(floor(epoch(c.ts)) AS BIGINT)) AS delay_s
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+R7_QUERIES["streaming_stream_join"] = streaming_stream_join
+R7_ORACLE_SQL["streaming_stream_join"] = _STREAM_JOIN_SQL

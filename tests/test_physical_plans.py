@@ -379,3 +379,49 @@ def test_theilsen_runs_at_day_grain(spark, sf):
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_dsir_scoring_is_broadcast_only(spark, sf):
+    """DSIR scoring must join the 256-row model by BROADCAST — the token
+    scan may never shuffle for the join (the corpus-scale selection
+    property), and nothing may cartesian beyond the two 1-row totals."""
+    from aspep_etl_spark.plans.analytics_r7 import docs_dsir_weights
+
+    plan = plan_of(docs_dsir_weights(spark, sf), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the scoring join on bucket must not be a shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf):
+    """SemDeDup's pair generation is the in-cluster equi-join on the
+    cluster key — no cross join anywhere in the plan."""
+    from aspep_etl_spark.plans.analytics_r7 import dedup_semantic
+
+    plan = plan_of(dedup_semantic(spark, sf), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bootstrap_has_partial_agg_before_shuffle(spark, sf):
+    """The ×40 replicate expansion must reduce map-side: partial
+    HashAggregate below the exchange, so shuffle rows are
+    partitions × types × reps, not events × reps."""
+    from aspep_etl_spark.plans.analytics_r7 import events_bootstrap_ci
+
+    plan = plan_of(events_bootstrap_ci(spark, sf), mode="simple")
+    assert "CartesianProduct" not in plan
+    before_exchange = plan.split("Exchange hashpartitioning")[0]
+    assert "HashAggregate" in before_exchange or "partial" in plan.lower()
+
+
+def test_mannwhitney_single_scan_per_sample(spark, sf):
+    """Value-grain grid: the events scan feeds both sample aggregations;
+    the global cumsum window runs on the tiny grid only (documented
+    dim-grain budget) — and the raw scan count stays ≤ 2."""
+    from aspep_etl_spark.plans.analytics_r7 import events_mannwhitney
+
+    plan = plan_of(events_mannwhitney(spark, sf), mode="simple")
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan

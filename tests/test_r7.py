@@ -228,3 +228,31 @@ def test_modularity_brute_force(spark, sf_dir):
         assert r["degree_sum"] == dsum[c]
         total += r["q_contrib"]
     assert -1.0 < total <= 1.0
+
+
+# --------------------------------------------------------------------------
+# streaming_stream_join
+# --------------------------------------------------------------------------
+
+
+def test_stream_join_equals_batch_twin(spark, sf_dir):
+    """availableNow over one file = the batch inner join, row for row;
+    every emitted delay respects the [0, 30 min] range bound."""
+    from aspep_etl_spark.sources.registry import load_table
+    from aspep_etl_spark.streaming.joins import (
+        click_purchase_join_batch,
+        run_streaming_click_purchase_join,
+    )
+
+    streamed = run_streaming_click_purchase_join(
+        spark, f"{sf_dir}/events.parquet"
+    ).toPandas()
+    batch = click_purchase_join_batch(
+        load_table(spark, sf_dir, "events")
+    ).toPandas()
+    key = ["user_id", "click_id", "purchase_id", "delay_s"]
+    s = streamed[key].sort_values(key).reset_index(drop=True)
+    b = batch[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, b)
+    assert (s.delay_s >= 0).all() and (s.delay_s <= 1800).all()
+    assert len(s) > 0

@@ -613,3 +613,270 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 
 R7_QUERIES["streaming_stream_join"] = streaming_stream_join
 R7_ORACLE_SQL["streaming_stream_join"] = _STREAM_JOIN_SQL
+
+
+# --------------------------------------------------------------------------
+# classifier_brier_score
+# --------------------------------------------------------------------------
+
+
+def classifier_brier_score(spark, sf_dir):
+    """Brier score of the hashed linear quality classifier ([EXT] — the
+    proper scoring rule that complements AUC (ranking) and the
+    calibration bins (reliability curve)).  The classifier's ``prob`` is
+    already rounded to 6dp, so ``floor(prob·1e6)`` is a stable BIGINT on
+    both engines and the squared error sum Σ(p6 − y·1e6)² is exact
+    integer arithmetic — one division by n·1e12 at the end.  (The BIGINT
+    budget holds to ~9e6 eval rows; a larger eval set would move the
+    accumulator to DECIMAL — an eval-set-sized concern, not a corpus
+    one.)  Labels: the even/odd source-id ground truth of
+    ``docs_classifier_auc``.  Rides the one scoring scan."""
+    from ..operators.classifier import score_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).cast("long"),
+    )
+    scored = score_documents(docs, "text", "doc_id", dim=4096, keep=("label",))
+    p6 = F.floor(F.col("prob") * 1000000).cast("long")
+    e = p6 - F.col("label") * 1000000
+    agg = scored.select((e * e).alias("e2"), "label").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("label").alias("n_pos"),
+        F.sum("e2").alias("se2"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n_docs").cast("double")).alias(
+            "base_rate"
+        ),
+        (
+            F.col("se2").cast("double")
+            / (F.col("n_docs") * F.lit(1000000000000).cast("long")).cast("double")
+        ).alias("brier"),
+    )
+
+
+_BRIER_SQL = """
+WITH base AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
+  FROM base WHERE len(w) >= 1
+), wts AS (
+  SELECT doc_id, source,
+         list_transform(f, t ->
+           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
+             / 1000.0 - 1.0) AS wv
+  FROM feat
+), folded AS (
+  SELECT doc_id, source,
+         round(list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv), 6)
+           AS score
+  FROM wts
+), scored AS (
+  SELECT doc_id,
+         CAST(floor(round(1.0 / (1.0 + exp(-score)), 6) * 1000000) AS BIGINT)
+           AS p6,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1 ELSE 0 END
+           AS label
+  FROM folded
+), agg AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(label)::BIGINT AS n_pos,
+         sum((p6 - label * 1000000) * (p6 - label * 1000000))::BIGINT AS se2
+  FROM scored
+)
+SELECT n_docs, n_pos,
+       n_pos::DOUBLE / n_docs::DOUBLE AS base_rate,
+       se2::DOUBLE / (n_docs * 1000000000000)::DOUBLE AS brier
+FROM agg
+"""
+
+R7_QUERIES["classifier_brier_score"] = classifier_brier_score
+R7_ORACLE_SQL["classifier_brier_score"] = _BRIER_SQL
+
+
+# --------------------------------------------------------------------------
+# graph_louvain_step
+# --------------------------------------------------------------------------
+
+
+def graph_louvain_step(spark, sf_dir):
+    """One synchronous greedy Louvain round ([EXT], 9th graph operator —
+    modularity OPTIMIZATION on top of `graph_modularity`'s measurement):
+    every node moves to the neighbor community with the largest
+    modularity gain, computed as the 2m²-scaled INTEGER
+    G(C) = 2m·k_{i,C} − k_i·(Σtot(C) − k_i·[i∈C]) — so candidate
+    ranking, tie-breaks (smallest community id) and the emitted gain
+    are all exact BIGINT arithmetic.  Staying is always a candidate;
+    ``gain`` = G(best) − G(stay) ≥ 0.  Starts from the LPA fixpoint of
+    `graph_modularity` (same 3-NN graph); synchronous = every move
+    evaluated against the PRE-round partition, the deterministic
+    distributed form (classic sequential Louvain is order-dependent —
+    unreproducible across partitionings)."""
+    from ..operators.labelprop import label_propagation
+    from ..operators.triangles import cooccurrence_knn_edges
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_knn_edges(
+        li, "l_partkey", "l_suppkey", k=3, max_group_size=256
+    ).persist()
+    comm = label_propagation(edges, iters=4)
+    m = edges.agg(F.count("*").alias("m"))
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("deg"))
+    dsum = (
+        comm.join(deg, "node")
+        .groupBy(F.col("community").alias("c"))
+        .agg(F.sum("deg").alias("d"))
+    )
+    cv = comm.select(F.col("node").alias("v"), F.col("community").alias("c"))
+    kic = (
+        sym.join(cv, "v")
+        .groupBy(F.col("u").alias("node"), "c")
+        .agg(F.count("*").alias("k"))
+    )
+    own_zero = comm.select("node", F.col("community").alias("c"), F.lit(0).alias("k"))
+    cand = (
+        kic.unionByName(own_zero)
+        .groupBy("node", "c")
+        .agg(F.max("k").alias("k"))
+    )
+    scored = (
+        cand.join(deg, "node")
+        .join(comm, "node")
+        .join(dsum, "c")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "node",
+            "c",
+            "community",
+            (
+                2 * F.col("m") * F.col("k")
+                - F.col("deg")
+                * (
+                    F.col("d")
+                    - F.when(F.col("c") == F.col("community"), F.col("deg")).otherwise(
+                        F.lit(0)
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("g"), F.asc("c"))
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("node", F.col("c").alias("new_community"), F.col("g").alias("g_new"))
+    )
+    stay = scored.filter(F.col("c") == F.col("community")).select(
+        "node", F.col("community").alias("old_community"), F.col("g").alias("g_stay")
+    )
+    return best.join(stay, "node").select(
+        "node",
+        "old_community",
+        "new_community",
+        (F.col("new_community") != F.col("old_community")).alias("moved"),
+        (F.col("g_new") - F.col("g_stay")).alias("gain"),
+    )
+
+
+_LOUVAIN_SQL = (
+    _MOD_SQL.split(",\nm AS")[0]
+    + """,
+m AS (SELECT count(*)::BIGINT AS m FROM edges),
+deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY u),
+dsum AS (
+  SELECT r4.lbl AS c, sum(deg.deg)::BIGINT AS d
+  FROM r4 JOIN deg USING (node) GROUP BY 1
+),
+kic AS (
+  SELECT s.u AS node, r.lbl AS c, count(*)::BIGINT AS k
+  FROM sym s JOIN r4 r ON s.v = r.node GROUP BY 1, 2
+),
+cand AS (
+  SELECT node, c, max(k)::BIGINT AS k FROM (
+    SELECT node, c, k FROM kic
+    UNION ALL
+    SELECT node, lbl AS c, 0 AS k FROM r4
+  ) GROUP BY node, c
+),
+scored AS MATERIALIZED (
+  SELECT cand.node, cand.c, r4.lbl AS community,
+         2 * m.m * cand.k
+           - deg.deg * (dsum.d - CASE WHEN cand.c = r4.lbl
+                                      THEN deg.deg ELSE 0 END) AS g
+  FROM cand
+  JOIN deg USING (node)
+  JOIN r4 USING (node)
+  JOIN dsum ON dsum.c = cand.c, m
+),
+best AS (
+  SELECT node, c AS new_community, g AS g_new FROM (
+    SELECT node, c, g,
+           row_number() OVER (PARTITION BY node ORDER BY g DESC, c) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+stay AS (
+  SELECT node, community AS old_community, g AS g_stay
+  FROM scored WHERE c = community
+)
+SELECT b.node, s.old_community, b.new_community,
+       b.new_community <> s.old_community AS moved,
+       (b.g_new - s.g_stay)::BIGINT AS gain
+FROM best b JOIN stay s USING (node)
+"""
+)
+
+R7_QUERIES["graph_louvain_step"] = graph_louvain_step
+R7_ORACLE_SQL["graph_louvain_step"] = _LOUVAIN_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_rate_limit
+# --------------------------------------------------------------------------
+
+
+def streaming_rate_limit(spark, sf_dir):
+    """Stateful per-user quota enforcement (streaming/stateful.py): at
+    most 3 events per (user, UTC day), admission in event-time order —
+    the ingestion throttle a multi-tenant pipeline runs.  (Day slots,
+    not hours: the synthetic stream never exceeds 4 events per
+    user-hour, so an hourly quota would admit everything and the gate
+    would prove nothing — the daily quota genuinely drops 132 / 1358 /
+    13372 events at sf0.001/0.01/0.1.)  State is ONE (slot, count) pair
+    per user (slots arrive in order, old slots can never readmit), so
+    state size is O(users) regardless of rate.  availableNow over one
+    file = the batch row_number twin, the sessionize promotion
+    argument."""
+    from ..streaming.stateful import run_streaming_rate_limit
+
+    return run_streaming_rate_limit(
+        spark, f"{sf_dir}/events.parquet", limit=3, slot_seconds=86400
+    )
+
+
+_RATE_LIMIT_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS slot_s
+  FROM events
+), ranked AS (
+  SELECT user_id, slot_s, event_id,
+         row_number() OVER (PARTITION BY user_id, slot_s
+                            ORDER BY ts, event_id) AS slot_rank
+  FROM t
+)
+SELECT user_id, slot_s, event_id, slot_rank::BIGINT AS slot_rank
+FROM ranked WHERE slot_rank <= 3
+"""
+
+R7_QUERIES["streaming_rate_limit"] = streaming_rate_limit
+R7_ORACLE_SQL["streaming_rate_limit"] = _RATE_LIMIT_SQL

@@ -107,3 +107,109 @@ def run_streaming_sessionize(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(sessions, "events_sessionize_stream", "append")
+
+
+# ---------------------------------------------------------------------------
+# Per-key rate limiting (quota enforcement)
+# ---------------------------------------------------------------------------
+
+RATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("slot_s", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("slot_rank", T.LongType()),
+    ]
+)
+# state: admitted count for the most recent slot seen per user
+RATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("slot_s", T.LongType()),
+        T.StructField("admitted", T.LongType()),
+    ]
+)
+
+
+def _rate_limit_fn(limit: int, slot_seconds: int):
+    """Admit at most ``limit`` events per (user, time slot).  Within a
+    batch, admission order is EVENT-TIME order (ts, event_id) — the
+    deterministic batch-twin contract; across batches it is arrival
+    order with the per-slot admitted count carried in state (the only
+    feasible streaming semantics — a later batch cannot un-admit).
+    State is one (slot, count) pair per user: slots arrive in watermark
+    order, so older slots can never readmit — O(1) state per key, the
+    bounded-state story that makes the quota enforceable at any rate."""
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        cur_slot, admitted = state.get if state.exists else (None, 0)
+        events = pd.concat(list(pdf_iter), ignore_index=True)
+        events = events.sort_values(["ts", "event_id"])
+        ts_s = events["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+
+        out = []
+        for t, eid in zip(ts_s, events["event_id"]):
+            slot = (int(t) // slot_seconds) * slot_seconds
+            if slot != cur_slot:
+                cur_slot, admitted = slot, 0
+            if admitted < limit:
+                admitted += 1
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "slot_s": slot,
+                        "event_id": int(eid),
+                        "slot_rank": admitted,
+                    }
+                )
+        state.update(
+            (
+                int(cur_slot) if cur_slot is not None else None,
+                int(admitted),
+            )
+        )
+        yield pd.DataFrame(out, columns=[f.name for f in RATE_OUTPUT_SCHEMA.fields])
+
+    return fn
+
+
+def rate_limit_batch(
+    events, limit: int = 3, slot_seconds: int = 3600
+):
+    """Batch twin: the first ``limit`` events per (user, slot) in event-
+    time order — row_number ≤ limit over the slot window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "slot_s").orderBy("ts", "event_id")
+    return (
+        events.withColumn(
+            "slot_s",
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % slot_seconds),
+        )
+        .withColumn("slot_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("slot_rank") <= limit)
+        .select("user_id", "slot_s", "event_id", "slot_rank")
+    )
+
+
+def run_streaming_rate_limit(
+    spark: SparkSession,
+    events_path: str,
+    limit: int = 3,
+    slot_seconds: int = 3600,
+) -> DataFrame:
+    """Stateful per-user quota over a bounded stream (availableNow)."""
+    from .events import events_stream, run_to_memory
+
+    limited = (
+        events_stream(spark, events_path)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rate_limit_fn(limit, slot_seconds),
+            outputStructType=RATE_OUTPUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(limited, "events_rate_limit_stream", "append")

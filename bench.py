@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "aspep_extended_pipeline",
     "docs_classifier_score",
     "dedup_embedding_cosine",
+    "docs_dsir_weights",
 ]
 
 # Queries added to the headline set after round 3 — excluded from the
@@ -64,6 +65,7 @@ _POST_R3_QUERIES = {
     "a1_grouped_median_approx",
     "docs_classifier_score",
     "dedup_embedding_cosine",  # r5: BLAS filter-refine showcase
+    "docs_dsir_weights",  # r6: scan-bound data-selection showcase
 }
 
 

@@ -49,6 +49,13 @@ TIER_QUERIES = [
     "docs_ngram_novelty",
     "graph_weighted_sssp",
     "graph_hits",
+    # round-6 batch 3: data-selection scan, in-cluster quadratic screen,
+    # ×40 replicate expansion, pair fan-out, LPA + modularity aggs
+    "docs_dsir_weights",
+    "dedup_semantic",
+    "events_bootstrap_ci",
+    "docs_pmi_pairs",
+    "graph_modularity",
 ]
 
 

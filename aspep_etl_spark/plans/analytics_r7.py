@@ -206,9 +206,22 @@ def dedup_semantic(spark, sf_dir):
     ≈ 0.51, so t = 0.42 exercises a real drop set; at the usual ≥ 0.9
     regime the screen is far sparser.  Quadratic work is in-cluster
     only (no cross join in the plan); the DuckDB twin replays the
-    IDENTICAL Lloyd's assignment via ``plans/lloyd_sql.py``."""
+    IDENTICAL Lloyd's assignment via ``plans/lloyd_sql.py``.
+
+    The in-cluster screen is the gemm FILTER-REFINE kernel
+    (``similarity.gemm_screen_pairs``), not the interpreted JVM fold:
+    with fixed k the pair count grows n²/k, and the first sf1 dress
+    rehearsal measured the fold path at 179 s for 20k vectors (×37 over
+    sf0.1 — the same CodegenFallback disease the canopy dedup hit at
+    10⁸ pairs in r5).  Survivors are RE-SCORED with the exact ordered
+    fold the oracle replays, so emitted values are unchanged; the
+    screen margin covers the round-4 boundary.  At corpus scale k also
+    grows with n (√n like ``canopy_leader_count``), which bounds
+    cluster sizes — fixed k = 4 here keeps the oracle's unrolled Lloyd
+    chain small."""
     from ..operators.clustering import lloyd_kmeans_assign, seeded_label_init
-    from ..operators.similarity import cosine_expr, with_norm
+    from ..operators.dedup import _fan
+    from ..operators.similarity import cosine_expr, gemm_screen_pairs, with_norm
 
     emb = _t(spark, sf_dir, "embeddings")
     init = seeded_label_init(emb, "vec_id", "embedding", "label", k=_SEM_K)
@@ -216,22 +229,26 @@ def dedup_semantic(spark, sf_dir):
         emb, "vec_id", "embedding", init, iters=_SEM_ITERS, round_dp=6
     ).select("vec_id", "cluster")
     v = with_norm(emb, "vec_id", "embedding")
-    x = assigned.join(v, "vec_id")
-    a = x.select(
-        F.col("cluster"),
+    cand = gemm_screen_pairs(
+        assigned.select("vec_id", F.col("cluster").alias("bucket")),
+        v,
+        "vec_id",
+        threshold=_SEM_THRESHOLD,
+    )
+    a = v.select(
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("vec_a"),
         F.col("norm").alias("norm_a"),
     )
-    b = x.select(
-        F.col("cluster"),
+    b = v.select(
         F.col("vec_id").alias("id_b"),
         F.col("vec").alias("vec_b"),
         F.col("norm").alias("norm_b"),
     )
     dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _fan(cand, "id_a")
+        .join(a, "id_a")
+        .join(b, "id_b")
         .filter(
             F.round(cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 4)
             >= _SEM_THRESHOLD
@@ -880,3 +897,101 @@ FROM ranked WHERE slot_rank <= 3
 
 R7_QUERIES["streaming_rate_limit"] = streaming_rate_limit
 R7_ORACLE_SQL["streaming_rate_limit"] = _RATE_LIMIT_SQL
+
+
+# --------------------------------------------------------------------------
+# events_agms_join_size
+# --------------------------------------------------------------------------
+
+_AGMS_W = 64
+
+
+def events_agms_join_size(spark, sf_dir):
+    """AGMS / tug-of-war join-size estimation ([EXT] — the sketch a
+    distributed optimizer uses to size a join WITHOUT computing it;
+    Alon–Gibbons–Matias–Szegedy 1999): for w = 64 independent ±1 hash
+    projections, sketch_R[j] = Σ_rows s_j(key); E[sketch_A[j]·sketch_B[j]]
+    = |A ⋈ B|.  Everything is INTEGER — signs from md5 parity, sketch
+    sums BIGINT (one mergeable partial agg each side, the map-side-
+    combine shape of `events_bootstrap_ci`), the estimate the lower
+    median (element selection) of the 64 products — so the estimator is
+    bit-exact on both engines, and the EXACT join size rides along for
+    the error audit.  At 100 TB the exact Σ a_u·b_u needs the keyed
+    shuffle this sketch exists to avoid; here it is the verification
+    twin."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+
+    def sketch(df):
+        x = df.withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.lit(_AGMS_W - 1)))
+        )
+        sign = 1 - 2 * (
+            _md5i(
+                F.concat(
+                    F.lit("agms|"),
+                    F.col("j").cast("string"),
+                    F.lit("|"),
+                    F.col("user_id").cast("string"),
+                )
+            )
+            % 2
+        )
+        return x.groupBy("j").agg(F.sum(sign).alias("s"))
+
+    est = (
+        sketch(a)
+        .join(sketch(b).withColumnRenamed("s", "t"), "j")
+        .select((F.col("s") * F.col("t")).alias("e"))
+        .agg(F.array_sort(F.collect_list("e")).alias("arr"))
+        .select(F.element_at("arr", _AGMS_W // 2).alias("agms_estimate"))
+    )
+    ac = a.groupBy("user_id").agg(F.count("*").alias("na"))
+    bc = b.groupBy("user_id").agg(F.count("*").alias("nb"))
+    exact = (
+        ac.join(bc, "user_id")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_join_size"))
+        .na.fill({"exact_join_size": 0})
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_join_size",
+        "agms_estimate",
+        F.lit(_AGMS_W).cast("long").alias("n_sketches"),
+        (
+            (F.col("agms_estimate") - F.col("exact_join_size")).cast("double")
+            / F.col("exact_join_size").cast("double")
+        ).alias("rel_error"),
+    )
+
+
+_AGMS_SQL = f"""
+WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+js AS (SELECT unnest(range({_AGMS_W})) AS j),
+ska AS (
+  SELECT j, sum(1 - 2 * (CAST('0x' || substr(md5('agms|' || j::VARCHAR ||
+           '|' || user_id::VARCHAR), 1, 8) AS BIGINT) % 2))::BIGINT AS s
+  FROM a, js GROUP BY j
+), skb AS (
+  SELECT j, sum(1 - 2 * (CAST('0x' || substr(md5('agms|' || j::VARCHAR ||
+           '|' || user_id::VARCHAR), 1, 8) AS BIGINT) % 2))::BIGINT AS t
+  FROM b, js GROUP BY j
+), est AS (
+  SELECT (list_sort(list(s * t)))[{_AGMS_W // 2}]::BIGINT AS agms_estimate
+  FROM ska JOIN skb USING (j)
+), exact AS (
+  SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact_join_size FROM (
+    SELECT user_id, count(*) AS na FROM a GROUP BY user_id) x
+  JOIN (SELECT user_id, count(*) AS nb FROM b GROUP BY user_id) y
+  USING (user_id)
+)
+SELECT exact_join_size, agms_estimate,
+       {_AGMS_W}::BIGINT AS n_sketches,
+       (agms_estimate - exact_join_size)::DOUBLE
+         / exact_join_size::DOUBLE AS rel_error
+FROM exact, est
+"""
+
+R7_QUERIES["events_agms_join_size"] = events_agms_join_size
+R7_ORACLE_SQL["events_agms_join_size"] = _AGMS_SQL

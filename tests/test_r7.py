@@ -375,3 +375,28 @@ def test_rate_limit_equals_batch_twin_and_quota_holds(spark, sf_dir):
     assert len(s) < len(ev)
     assert s.groupby(["user_id", "slot_s"]).size().max() <= 3
     assert (s.slot_rank <= 3).all() and (s.slot_rank >= 1).all()
+
+
+# --------------------------------------------------------------------------
+# events_agms_join_size
+# --------------------------------------------------------------------------
+
+
+def test_agms_estimate_unbiasedness_shape(spark, sf_dir):
+    """The exact join size must match a pandas recompute; the AGMS
+    median-of-64 estimate must land within a loose multiplicative band
+    (tug-of-war variance is ~2·J² / w for join size J — the median over
+    64 is well inside ±60% on this data; the point is the ESTIMATOR
+    SHAPE is right, cross-engine exactness is the oracle's job)."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    a = ev[ev.event_type == "click"].groupby("user_id").size()
+    b = ev[ev.event_type == "purchase"].groupby("user_id").size()
+    exact = int((a * b).dropna().sum())
+
+    row = r7.events_agms_join_size(spark, sf_dir).collect()[0]
+    assert row["exact_join_size"] == exact
+    assert row["n_sketches"] == r7._AGMS_W
+    assert abs(row["rel_error"]) < 0.6
+    assert row["agms_estimate"] == pytest.approx(
+        exact * (1 + row["rel_error"]), abs=1.0
+    )

@@ -56,6 +56,7 @@ TIER_QUERIES = [
     "events_bootstrap_ci",
     "docs_pmi_pairs",
     "graph_modularity",
+    "events_agms_join_size",
 ]
 
 

@@ -121,6 +121,88 @@ def kmv_build(
     )
 
 
+def hll_build(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None, p: int = 5
+) -> DataFrame:
+    """HyperLogLog register relation per group: (group..., bucket, r)
+    with at most m = 2**p rows per group, r = max ρ seen in the bucket.
+
+    Flajolet et al. 2007's estimator as PUBLIC arithmetic (unlike
+    ``approx_count_distinct``, whose HLL register layout is
+    engine-private): the md5 8-hex prefix is a 32-bit integer; the top
+    ``p`` bits pick the register, and ρ = (number of leading zeros of
+    the remaining ``32-p`` bits) + 1.  ρ is computed via the BINARY
+    DIGIT COUNT of the remainder (``length(bin(w))``) — never
+    ``floor(log2(w))``, whose float rounding at exact powers of two is
+    engine-dependent — so the register relation is bit-for-bit
+    reproducible in DuckDB.
+
+    Like ``cms_build``/``kmv_build``, the groupBy IS the merge: partial
+    aggregation folds per-partition registers map-side with ``max``, so
+    the shuffle carries ≤ m rows per group regardless of input size —
+    the mergeability that makes HLL the industry-standard distinct
+    sketch at 100 TB (KMV's ``collect_set`` state grows with group
+    cardinality until sliced; HLL's never exceeds m registers)."""
+    gcols = group_cols or []
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    rem_bits = 32 - p
+    rows = df.select(
+        *gcols,
+        F.shiftright(h, rem_bits).cast("long").alias("bucket"),
+        (h % F.lit(1 << rem_bits)).alias("__w"),
+    ).select(
+        *gcols,
+        "bucket",
+        F.when(F.col("__w") == 0, F.lit(rem_bits + 1))
+        .otherwise(F.lit(rem_bits + 1) - F.length(F.conv(F.col("__w"), 10, 2)))
+        .cast("int")
+        .alias("rho"),
+    )
+    return rows.groupBy(*gcols, "bucket").agg(F.max("rho").alias("r"))
+
+
+def hll_alpha_mm(p: int) -> float:
+    """α_m · m² for the raw HLL estimate, folded to ONE binary64
+    constant in Python so both engines consume the identical literal
+    (DuckDB folds decimal-literal products in DECIMAL arithmetic,
+    Spark in binary64 — injecting the pre-folded repr sidesteps the
+    divergence; see CLAUDE.md literal-folding rule)."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    return alpha * m * m
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 5) -> DataFrame:
+    """Collapse a register relation to one ``hll_est`` row per group.
+
+    Z = Σ 2^−r over all m registers (absent register ⇒ 2⁰ = 1); every
+    2^−r is an exact binary64 power of two and the m-term sum spans
+    < 53 bits, so Z is EXACT on both engines.  Raw estimate
+    α_m·m²/Z, with Flajolet's small-range correction m·ln(m/V) when
+    E ≤ 2.5m and V (empty registers) > 0 — the only libm call, absorbed
+    by round(·, 4).  (The 32-bit large-range correction is omitted:
+    cardinalities here are ≪ 2³²; a production corpus would hash to 64
+    bits and never need it.)"""
+    m = 1 << p
+    amm = hll_alpha_mm(p)
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("__z_present"),
+        F.count("*").alias("__present"),
+    )
+    z = F.col("__z_present") + (F.lit(m) - F.col("__present")).cast("double")
+    v = F.lit(m) - F.col("__present")
+    e_raw = F.lit(amm) / z
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("hll_est"))
+
+
 def kmv_estimate(kmv_col: Column, k: int = 64) -> Column:
     """Distinct-count estimate from a KMV array: exact |sketch| when the
     group has fewer than k distinct hashes (the sketch IS the distinct

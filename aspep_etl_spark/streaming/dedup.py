@@ -60,3 +60,45 @@ def run_streaming_debounce(spark: SparkSession, events_path: str) -> DataFrame:
         )
     )
     return run_to_memory(out, "events_debounce_stream", "append")
+
+
+def run_streaming_dedup(spark: SparkSession, events_path: str) -> DataFrame:
+    """[EXT r6b4] Watermarked at-least-once INGEST dedup — the
+    exact-key cousin of the debounce above (which collapses distinct
+    events sharing a minute key; this one collapses REDELIVERIES of the
+    same event).
+
+    At-least-once transports (log replays, task retries upstream of a
+    non-idempotent sink) hand the engine the same event twice; the fix
+    is ``withWatermark`` + ``dropDuplicates`` on the event key, which
+    keeps ONE state entry per key and — because the key includes the
+    event-time column — expires it once the watermark passes.  State is
+    bounded by one watermark window of DISTINCT keys at any event rate,
+    which is what makes this the 100 TB ingest-dedup pattern (the batch
+    analog, ``dedup_exact``, re-keys the whole corpus per run).
+
+    Verification runs bounded (availableNow → memory sink); redelivery
+    is simulated by unioning two independent file-stream readers over
+    the same events file, so every event arrives exactly twice.  Both
+    copies are bit-identical, so whichever arrival wins the state race
+    the emitted row is the same — the output is deterministic and
+    equals the distinct event projection, which is the DuckDB twin
+    (single input file ⇒ single micro-batch, the same oracle-promotion
+    argument as ``streaming_sessionize`` / ``streaming_stream_join``)."""
+    from .events import events_stream, run_to_memory
+
+    s1 = events_stream(spark, events_path)
+    s2 = events_stream(spark, events_path)
+    deduped = (
+        s1.unionByName(s2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id", "ts"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "value",
+        )
+    )
+    return run_to_memory(deduped, "events_streaming_dedup", "append")

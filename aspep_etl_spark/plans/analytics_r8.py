@@ -128,6 +128,110 @@ R8_ORACLE_SQL["events_hll_distinct"] = _hll_sql()
 
 
 # --------------------------------------------------------------------------
+# events_hll_daily_rollup
+# --------------------------------------------------------------------------
+
+
+def events_hll_daily_rollup(spark, sf_dir):
+    """Sketch REAGGREGATION — the property that justifies storing
+    sketches instead of raw keys: daily HLL registers roll up to exact
+    weekly registers by bucket-wise max, so the weekly distinct-user
+    estimate needs NO second pass over the events.  At 100 TB this is
+    the materialized-rollup pattern: persist ≤ m register rows per
+    (day, dim) cell, answer any calendar-range distinct query by
+    merging cells.  The naive alternative — summing daily estimates —
+    overcounts returning users; both are emitted so the bias is
+    visible next to the exact count."""
+    from ..operators.sketch import hll_build, hll_estimate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    daily_reg = hll_build(ev, "user_id", ["day"], p=_HLL_P)
+    week = F.date_trunc("week", F.col("day")).cast("date").alias("week")
+    week_reg = daily_reg.select(week, "bucket", "r").groupBy("week", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    week_est = hll_estimate(week_reg, ["week"], p=_HLL_P).withColumnRenamed(
+        "hll_est", "hll_est_week"
+    )
+    naive = (
+        hll_estimate(daily_reg, ["day"], p=_HLL_P)
+        .select(week, "hll_est")
+        .groupBy("week")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.sum("hll_est"), 4).alias("sum_daily_est"),
+        )
+    )
+    exact = (
+        ev.select(F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        week_est.join(naive, "week")
+        .join(exact, "week")
+        .select("week", "n_days", "exact_distinct", "hll_est_week", "sum_daily_est")
+        .orderBy("week")
+    )
+
+
+def _hll_rollup_sql() -> str:
+    from ..operators.sketch import hll_alpha_mm
+
+    p = _HLL_P
+    m = 1 << p
+    rem = 32 - p
+    est = (
+        "CASE WHEN ({amm}::DOUBLE / (zp + ({m} - present))) <= {em}::DOUBLE"
+        " AND ({m} - present) > 0"
+        " THEN round({mf}::DOUBLE * ln({mf}::DOUBLE / ({m} - present)), 4)"
+        " ELSE round({amm}::DOUBLE / (zp + ({m} - present)), 4) END"
+    ).format(amm=repr(hll_alpha_mm(p)), m=m, em=repr(2.5 * m), mf=repr(float(m)))
+    return f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST('0x' || substr(md5('hll|' || user_id::VARCHAR), 1, 8) AS BIGINT) AS hv
+  FROM events
+), rhos AS (
+  SELECT day, hv >> {rem} AS bucket,
+         CASE WHEN hv % {1 << rem} = 0 THEN {rem + 1}
+              ELSE {rem + 1} - length(bin(hv % {1 << rem})) END AS rho
+  FROM h
+), daily_reg AS MATERIALIZED (
+  SELECT day, bucket, max(rho) AS r FROM rhos GROUP BY day, bucket
+), daily_est AS (
+  SELECT day, {est.replace('zp', 'dzp').replace('present', 'dpresent')} AS hll_est
+  FROM (SELECT day, sum(power(2.0::DOUBLE, -r)) AS dzp, count(*) AS dpresent
+        FROM daily_reg GROUP BY day)
+), week_reg AS (
+  SELECT date_trunc('week', day) AS week, bucket, max(r) AS r
+  FROM daily_reg GROUP BY week, bucket
+), week_est AS (
+  SELECT week, {est} AS hll_est_week
+  FROM (SELECT week, sum(power(2.0::DOUBLE, -r)) AS zp, count(*) AS present
+        FROM week_reg GROUP BY week)
+), naive AS (
+  SELECT date_trunc('week', day) AS week, count(*)::BIGINT AS n_days,
+         round(sum(hll_est), 4) AS sum_daily_est
+  FROM daily_est GROUP BY week
+), exact AS (
+  SELECT date_trunc('week', ts) AS week,
+         count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY week
+)
+SELECT w.week, n.n_days, x.exact_distinct, w.hll_est_week, n.sum_daily_est
+FROM week_est w JOIN naive n USING (week) JOIN exact x USING (week)
+ORDER BY w.week
+"""
+
+
+R8_QUERIES["events_hll_daily_rollup"] = events_hll_daily_rollup
+R8_ORACLE_SQL["events_hll_daily_rollup"] = _hll_rollup_sql()
+
+
+# --------------------------------------------------------------------------
 # customer_record_linkage
 # --------------------------------------------------------------------------
 

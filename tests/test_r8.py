@@ -94,6 +94,24 @@ def test_hll_estimate_accuracy_on_events(spark, sf_dir):
         assert abs(r["hll_est"] - r["exact_distinct"]) <= 0.55 * r["exact_distinct"]
 
 
+def test_hll_rollup_merge_equals_direct_build(spark, sf_dir):
+    """The weekly estimate from max-merged DAILY registers must equal
+    the estimate from registers built directly on the week's raw events
+    — the reaggregation identity that lets rollups skip the raw pass."""
+    from aspep_etl_spark.plans.analytics_r8 import _HLL_P, events_hll_daily_rollup
+    from aspep_etl_spark.sources.registry import load_table
+
+    out = {r["week"]: r["hll_est_week"] for r in events_hll_daily_rollup(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"), "user_id"
+    )
+    direct = hll_estimate(
+        hll_build(ev, "user_id", ["week"], p=_HLL_P), ["week"], p=_HLL_P
+    )
+    exp = {r["week"]: r["hll_est"] for r in direct.collect()}
+    assert out == exp
+
+
 def test_record_linkage_match_set_from_recipe(spark, sf_dir):
     """Derive the expected TRUE-match key set straight from the
     corruption recipe: a self-pair survives iff its corruption mode

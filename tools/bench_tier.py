@@ -57,6 +57,12 @@ TIER_QUERIES = [
     "docs_pmi_pairs",
     "graph_modularity",
     "events_agms_join_size",
+    # round-6 batch 4: bounded-state distinct sketch + rollup-by-merge,
+    # blocked record linkage (pair fan-out), bucketed-join layout
+    "events_hll_distinct",
+    "events_hll_daily_rollup",
+    "customer_record_linkage",
+    "layout_bucketed_join",
 ]
 
 

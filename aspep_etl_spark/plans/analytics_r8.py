@@ -55,6 +55,13 @@ from ..sources.registry import load_table as _t
 R8_QUERIES: dict = {}
 R8_ORACLE_SQL: dict = {}
 
+_LR_WORD_RE = "[a-z0-9]+"
+
+
+def _lr_md5i(col):
+    """The md5-prefix 32-bit integer both engines agree on."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
 
 # --------------------------------------------------------------------------
 # events_hll_distinct
@@ -418,6 +425,229 @@ GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
 
 R8_QUERIES["layout_bucketed_join"] = layout_bucketed_join
 R8_ORACLE_SQL["layout_bucketed_join"] = _BUCKETED_SQL
+
+
+# --------------------------------------------------------------------------
+# docs_logreg_train
+# --------------------------------------------------------------------------
+
+_LR_BUCKETS = 256
+_LR_ROUNDS = 3
+_LR_STEP_DIV = 32  # delta6 = floor(g / (STEP_DIV·n)) — tuned so the
+# gradient L1 mass DESCENDS round-over-round on the testdata (÷2
+# diverges 10×/round, ÷32 contracts to 0.73×; swept on the twin)
+
+
+def docs_logreg_train(spark, sf_dir):
+    """Distributed full-batch logistic-regression TRAINING over hashed
+    unigram count features — the train-side complement of the
+    inference-only ``docs_classifier_score`` gate (and of
+    ``docs_nb_classify``'s closed-form NB): three gradient-descent
+    rounds where the GRADIENT IS A RELATION of ≤ 256 (bucket, g) rows
+    and partial aggregation is the all-reduce.  At 100 TB each round is
+    one corpus-grain keyed agg (margins) + one bucket-grain agg
+    (gradient); the model stays a broadcast relation — the parameter-
+    server shape with the shuffle machinery doing the synchronization.
+
+    Cross-engine exactness by INTEGER QUANTIZATION, the
+    ``events_bootstrap_ci`` discipline: weights live as 1e6-scaled
+    BIGINTs, so per-doc margins Σ cnt·w6 are exact integer sums (no
+    float-order sensitivity); the sigmoid (one libm exp per round) is
+    immediately re-quantized to a BIGINT p6; residuals p6 − y·1e6 and
+    the gradient Σ r·cnt stay BIGINT; the update −g/(32n) re-enters
+    integer weights via an exact-double floor (|g| < 2^42 ≪ 2^53); the
+    per-doc log-loss is quantized to BIGINT micro-nats before the
+    (therefore order-insensitive) sum.  Labels: the even/odd source-id
+    ground truth shared with ``docs_classifier_auc`` /
+    ``classifier_brier_score``.  Emits one audit row per round:
+    gradient L1 mass, mean log-loss, training accuracy.
+
+    Round-1 margins are identically zero (w₀ = 0 ⇒ p6 = 500000
+    exactly — exp(0) is exact, loss = ln 2), so the first gradient is
+    engine-trivially equal and every later quantity inducts on exact
+    integers.  The parity label is near-noise for hashed unigrams, so
+    accuracy hovers at chance; the audit of a working optimizer here is
+    the MONOTONE gradient/loss descent, which the twin reproduces
+    bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).cast("long").alias("y"),
+        "text",
+    )
+    tok = docs.select(
+        "doc_id",
+        "y",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_LR_WORD_RE), 0)
+        ).alias("w"),
+    )
+    docbkt = (
+        tok.select(
+            "doc_id",
+            "y",
+            (_lr_md5i(F.concat(F.lit("lr|"), F.col("w"))) % _LR_BUCKETS).alias("b"),
+        )
+        .groupBy("doc_id", "y", "b")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    nrel = docbkt.select("doc_id").distinct().agg(F.count("*").alias("n"))
+    p = docbkt.select("doc_id", "y").distinct().withColumn(
+        "p6", F.lit(500000).cast("long")
+    )
+    w = None
+    rows = []
+    for t in range(1, _LR_ROUNDS + 1):
+        # gradient from the PREVIOUS round's probabilities
+        resid = p.select("doc_id", (F.col("p6") - F.col("y") * 1000000).alias("r"))
+        grad = (
+            docbkt.join(resid, "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("r") * F.col("cnt")).alias("g"))
+        )
+        delta = grad.crossJoin(F.broadcast(nrel)).select(
+            "b",
+            F.floor(F.col("g").cast("double") / (float(_LR_STEP_DIV) * F.col("n")))
+            .cast("long")
+            .alias("d"),
+        )
+        if w is None:
+            w = delta.select("b", (-F.col("d")).alias("w6"))
+        else:
+            # grad covers exactly the buckets present in the corpus, the
+            # same set every round — inner join is total
+            w = w.join(delta, "b").select("b", (F.col("w6") - F.col("d")).alias("w6"))
+        gl1 = grad.agg(F.sum(F.abs(F.col("g"))).alias("grad_l1"))
+        m = (
+            docbkt.join(F.broadcast(w), "b")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(F.col("cnt") * F.col("w6")).alias("m6"))
+        )
+        p = m.select(
+            "doc_id",
+            "y",
+            F.round(
+                F.lit(1000000.0)
+                / (F.lit(1.0) + F.exp(-(F.col("m6") / F.lit(1000000.0)))),
+                0,
+            )
+            .cast("long")
+            .alias("p6"),
+        )
+        # per-doc loss in integer micro-nats (clamped off the saturated
+        # endpoints) — the quantize-before-sum that keeps the mean
+        # order-insensitive-exact
+        p6c = F.greatest(F.lit(1), F.least(F.lit(999999), F.col("p6")))
+        l6 = F.round(
+            -F.log(
+                F.when(F.col("y") == 1, p6c).otherwise(1000000 - p6c) / F.lit(1000000.0)
+            )
+            * 1000000.0,
+            0,
+        ).cast("long")
+        ev = p.select(
+            l6.alias("l6"),
+            (((F.col("p6") >= 500000) == (F.col("y") == 1)).cast("long")).alias("c"),
+        ).agg(
+            F.count("*").alias("n_docs"),
+            F.sum("c").alias("n_correct"),
+            F.sum("l6").alias("loss_sum6"),
+        )
+        rows.append(
+            ev.crossJoin(F.broadcast(gl1)).select(
+                F.lit(t).cast("long").alias("round"),
+                "n_docs",
+                "n_correct",
+                F.round(F.col("n_correct").cast("double") / F.col("n_docs"), 4).alias(
+                    "accuracy"
+                ),
+                F.round(
+                    F.col("loss_sum6").cast("double")
+                    / (F.col("n_docs") * F.lit(1000000.0)),
+                    4,
+                ).alias("log_loss"),
+                "grad_l1",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")
+
+
+def _lr_sql() -> str:
+    """Unrolled-round DuckDB twin (the LPA/pagerank recipe: the round
+    template itself is MATERIALIZED so DuckDB's CTE inlining cannot
+    re-evaluate upstream rounds multiplicatively)."""
+    rounds = []
+    for t in range(1, _LR_ROUNDS + 1):
+        prev_p = (
+            "(SELECT doc_id, y, 500000::BIGINT AS p6 FROM docs0)"
+            if t == 1
+            else f"p{t - 1}"
+        )
+        prev_w = "" if t == 1 else f"w{t - 1}.w6 - "
+        w_from = (
+            f"FROM g{t}, nn"
+            if t == 1
+            else f"FROM w{t - 1} JOIN g{t} ON w{t - 1}.b = g{t}.b, nn"
+        )
+        b_ref = f"g{t}.b" if t == 1 else f"w{t - 1}.b"
+        rounds.append(f"""g{t} AS MATERIALIZED (
+  SELECT d.b, sum((p.p6 - d.y * 1000000) * d.cnt)::BIGINT AS g
+  FROM docbkt d JOIN {prev_p} p USING (doc_id) GROUP BY d.b
+), w{t} AS MATERIALIZED (
+  SELECT {b_ref} AS b,
+         ({prev_w}0 - CAST(floor(g{t}.g::DOUBLE / ({_LR_STEP_DIV} * n)) AS BIGINT)) AS w6
+  {w_from}
+), m{t} AS (
+  SELECT doc_id, any_value(y) AS y, sum(cnt * w6)::BIGINT AS m6
+  FROM docbkt JOIN w{t} USING (b) GROUP BY doc_id
+), p{t} AS MATERIALIZED (
+  SELECT doc_id, y,
+         CAST(round(1000000.0::DOUBLE / (1 + exp(-(m6 / 1000000.0::DOUBLE)))) AS BIGINT) AS p6
+  FROM m{t}
+), ev{t} AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(((p6 >= 500000) = (y = 1))::INT)::BIGINT AS n_correct,
+         sum(CAST(round(-ln((CASE WHEN y = 1 THEN greatest(1, least(999999, p6))
+                                  ELSE 1000000 - greatest(1, least(999999, p6)) END)
+                            / 1000000.0::DOUBLE) * 1000000.0) AS BIGINT))::BIGINT
+           AS loss_sum6
+  FROM p{t}
+)""")
+    selects = [
+        f"""SELECT {t}::BIGINT AS round, n_docs, n_correct,
+       round(n_correct::DOUBLE / n_docs, 4) AS accuracy,
+       round(loss_sum6::DOUBLE / (n_docs * 1000000.0), 4) AS log_loss,
+       (SELECT sum(abs(g))::BIGINT FROM g{t}) AS grad_l1
+FROM ev{t}"""
+        for t in range(1, _LR_ROUNDS + 1)
+    ]
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         (CAST(substr(source, 4, 10) AS INT) % 2 = 0)::INT::BIGINT AS y,
+         CAST('0x' || substr(md5('lr|' ||
+           unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))), 1, 8)
+           AS BIGINT) % {_LR_BUCKETS} AS b
+  FROM documents
+), docbkt AS MATERIALIZED (
+  SELECT doc_id, y, b, count(*)::BIGINT AS cnt FROM tok GROUP BY doc_id, y, b
+), docs0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id, y FROM docbkt
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM docs0
+), {", ".join(rounds)}
+{" UNION ALL ".join(selects)}
+ORDER BY round
+"""
+
+
+_LR_SQL = _lr_sql()
+
+R8_QUERIES["docs_logreg_train"] = docs_logreg_train
+R8_ORACLE_SQL["docs_logreg_train"] = _LR_SQL
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,1262 @@
+"""[EXT] Round-6 batch 5: item-item collaborative filtering, phrase
+blocklist matching, Welch's t-test, range-partition layout audit, and
+split-conformal prediction — each with a hash-exact DuckDB twin.
+
+- ``items_cooccurrence_topk`` — item-item collaborative filtering
+  (Sarwar et al. 2001 / Linden et al. 2003 item-to-item): cosine
+  similarity over order-basket co-occurrence, top-3 neighbors per part.
+  Pair fan-out is bounded PER BASKET (the association-rules discipline,
+  plus an explicit basket-size cap a pathological mega-order cannot
+  blow past), item supports are broadcast, and ranking orders by the
+  RAW cosine double — one division of one sqrt of an integer product,
+  bit-identical cross-engine — so row_number needs no rounding slack.
+- ``docs_blocklist_phrases`` — multi-phrase blocklist matching (the
+  safety/contamination filter every corpus gate runs): the blocklist
+  (here the 20 highest-document-frequency English bigrams, a
+  deterministic self-derived stand-in for a curated phrase list) is a
+  BROADCAST relation probed by one tokenize-once bigram scan — never a
+  per-phrase LIKE sweep (20 phrases ≡ 20 scans at 100 TB).  The bigram
+  array is persisted BEFORE explode (the explode-reevaluation fence,
+  see operators/dedup.py).
+- ``events_welch_ttest`` — Welch's unequal-variance t-test between
+  every event-type pair.  Moments are CENT-QUANTIZED BIGINTs
+  (floor(value·100) — floor, not round: double floor is
+  engine-identical, while round(double) sits on the Spark-BigDecimal /
+  DuckDB-double boundary documented in CLAUDE.md), so Σv and Σv² are
+  order-insensitive-exact; t and the Welch–Satterthwaite df are one
+  identical double expression tree over those integers, rounded 4.
+  One partial+final agg over the scan; the pair grid is a 5×5 self-join
+  of a 5-row relation.
+- ``layout_range_partition`` — sampled-boundary range partitioning
+  (the TeraSort / ``repartitionByRange`` scheme) as an auditable
+  relation: a deterministic md5 1/128 sample elects 7 ntile boundary
+  keys (single-partition window over the SAMPLE only — the documented
+  sample-grain budget; this is literally RangePartitioner's own
+  collect), the boundary array rides a broadcast onto one full scan,
+  and the output is the per-range row count + key span + balance ratio
+  vs ideal.  At 100 TB this is the write-path audit that proves a
+  layout decision before committing a multi-hour repartition job.
+- ``classifier_conformal`` — split-conformal prediction (Vovk et al.;
+  Angelopoulos & Bates 2021 tutorial shape) over the hashed-classifier
+  probability: a deterministic md5 1/5 calibration split, integer
+  nonconformity a6 = |y·10⁶ − p6|, the ⌈0.9(n+1)⌉-th smallest score
+  found on the DISTINCT-VALUE GRID (per-value counts + one cumulative
+  window over ≤n_cal distinct a6 values — the Mann-Whitney/KS
+  discipline, no corpus-grain single-partition sort), threshold
+  broadcast back onto the eval half for coverage and mean
+  prediction-set size.  Everything is BIGINT until two final ratios.
+
+Reference parity: all [EXT] — the reference (``process_aspep/``) is a
+batch workbook pipeline with none of this tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table as _t
+from .oracle_util import SPARK_ROUND4_MACRO
+
+R9_QUERIES: dict = {}
+R9_ORACLE_SQL: dict = {}
+
+
+# --------------------------------------------------------------------------
+# items_cooccurrence_topk
+# --------------------------------------------------------------------------
+
+_CF_CAP = 64  # max distinct items per basket admitted to pair generation
+_CF_MINSUP = 2
+_CF_TOPK = 3
+
+
+def items_cooccurrence_topk(spark, sf_dir):
+    """Top-3 item-item cosine neighbors from order-basket co-occurrence.
+
+    cos(a,b) = sup_ab / sqrt(sup_a · sup_b) over distinct
+    (order, part) baskets; pairs below ``_CF_MINSUP`` shared baskets are
+    pruned before any join-back.  Baskets larger than ``_CF_CAP``
+    distinct items are excluded outright (a no-op on this data — max
+    basket is 13 — but the guard is what bounds the per-basket pair
+    fan-out at cap² on a pathological corpus, the same skew policy as
+    ``shingle_df_cap``).  The ranking ORDER BY uses the raw cosine
+    double: sqrt and division of exact integers are correctly-rounded
+    IEEE ops, so the sort key is bit-identical cross-engine and ties
+    are broken by (sup_ab desc, neighbor asc)."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+    ).distinct()
+    ok = (
+        baskets.groupBy("o")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") <= _CF_CAP)
+        .select("o")
+    )
+    baskets = baskets.join(ok, "o")
+    isup = baskets.groupBy("item").agg(F.count("*").alias("sup"))
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), "o")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count("*").alias("sup_ab"))
+        .filter(F.col("sup_ab") >= _CF_MINSUP)
+    )
+    both = pairs.select(
+        F.col("x").alias("item"), F.col("y").alias("neighbor"), "sup_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("item"), F.col("x").alias("neighbor"), "sup_ab"
+        )
+    )
+    si = isup.select(F.col("item"), F.col("sup").alias("sup_i"))
+    sn = isup.select(F.col("item").alias("neighbor"), F.col("sup").alias("sup_n"))
+    cos = F.col("sup_ab").cast("double") / F.sqrt(
+        (F.col("sup_i") * F.col("sup_n")).cast("double")
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("__cos"), F.desc("sup_ab"), F.asc("neighbor")
+    )
+    return (
+        both.join(F.broadcast(si), "item")
+        .join(F.broadcast(sn), "neighbor")
+        .withColumn("__cos", cos)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CF_TOPK)
+        .select(
+            "item",
+            "neighbor",
+            "sup_ab",
+            F.round(F.col("__cos"), 4).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+_CF_SQL = SPARK_ROUND4_MACRO + f"""
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
+), ok AS (
+  SELECT o FROM baskets GROUP BY o HAVING count(*) <= {_CF_CAP}
+), bk AS MATERIALIZED (
+  SELECT b.o, b.item FROM baskets b JOIN ok USING (o)
+), isup AS MATERIALIZED (
+  SELECT item, count(*)::BIGINT AS sup FROM bk GROUP BY item
+), pairs AS MATERIALIZED (
+  SELECT a.item AS x, b.item AS y, count(*)::BIGINT AS sup_ab
+  FROM bk a JOIN bk b ON a.o = b.o AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= {_CF_MINSUP}
+), dirpairs AS (
+  SELECT x AS item, y AS neighbor, sup_ab FROM pairs
+  UNION ALL
+  SELECT y AS item, x AS neighbor, sup_ab FROM pairs
+), scored AS (
+  SELECT dirpairs.item, dirpairs.neighbor, sup_ab,
+         sup_ab::DOUBLE / sqrt((si.sup * sn.sup)::DOUBLE) AS cos
+  FROM dirpairs
+  JOIN isup si ON si.item = dirpairs.item
+  JOIN isup sn ON sn.item = dirpairs.neighbor
+), ranked AS (
+  SELECT item, neighbor, sup_ab, cos,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY cos DESC, sup_ab DESC, neighbor ASC) AS rnk
+  FROM scored
+)
+SELECT item, neighbor, sup_ab, spark_round4(cos) AS cosine, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {_CF_TOPK}
+"""
+
+R9_QUERIES["items_cooccurrence_topk"] = items_cooccurrence_topk
+R9_ORACLE_SQL["items_cooccurrence_topk"] = _CF_SQL
+
+
+# --------------------------------------------------------------------------
+# docs_blocklist_phrases
+# --------------------------------------------------------------------------
+
+_BL_TOP = 20
+_BL_WORD_RE = "[a-z0-9]+"
+
+
+def docs_blocklist_phrases(spark, sf_dir):
+    """Per-document blocklist-phrase hits: occurrences and distinct
+    phrases matched, against a 20-bigram broadcast blocklist (the
+    highest-document-frequency English bigrams — a deterministic
+    stand-in for a curated phrase list; df ties break on the bigram
+    string).  One tokenize → bigram pass over the corpus feeds BOTH the
+    blocklist derivation and the match probe; the bigram ARRAY frame is
+    persisted before its two consumers (and before explode — the
+    re-evaluation fence documented in operators/dedup.py).  The probe
+    is a broadcast hash join riding the exploded scan plus one keyed
+    agg — the shape that lets a 10⁵-phrase production blocklist gate
+    100 TB in a single pass, vs 10⁵ LIKE scans."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BL_WORD_RE), 0)
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(__toks) - 2), "
+            "i -> concat(__toks[i], ' ', __toks[i + 1]))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    arr = (
+        docs.withColumn("__toks", toks)
+        .withColumn("__bg", bigrams)
+        .select("doc_id", "lang", "__bg")
+        .persist()
+    )
+    bg = arr.select("doc_id", "lang", F.explode("__bg").alias("bg"))
+    blocklist = (
+        bg.filter(F.col("lang") == "en")
+        .select("doc_id", "bg")
+        .distinct()
+        .groupBy("bg")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("bg"))
+        .limit(_BL_TOP)
+        .select("bg")
+    )
+    return (
+        bg.join(F.broadcast(blocklist), "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("bg").alias("n_phrases"),
+        )
+    )
+
+
+_BL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{_BL_WORD_RE}') AS w
+  FROM documents
+), bg AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS bg
+  FROM base
+), bl AS MATERIALIZED (
+  SELECT bg FROM (
+    SELECT bg, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, bg FROM bg WHERE lang = 'en')
+    GROUP BY bg
+  ) ORDER BY df DESC, bg ASC LIMIT {_BL_TOP}
+)
+SELECT doc_id, any_value(lang) AS lang,
+       count(*)::BIGINT AS n_hits,
+       count(DISTINCT bg.bg)::BIGINT AS n_phrases
+FROM bg JOIN bl USING (bg)
+GROUP BY doc_id
+"""
+
+R9_QUERIES["docs_blocklist_phrases"] = docs_blocklist_phrases
+R9_ORACLE_SQL["docs_blocklist_phrases"] = _BL_SQL
+
+
+# --------------------------------------------------------------------------
+# events_welch_ttest
+# --------------------------------------------------------------------------
+
+
+def events_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between every ordered pair of
+    event types on cent-quantized value (floor(value·100) BIGINT — see
+    module docstring for why floor, not round).  The corpus-grain work
+    is ONE partial+final agg producing a 5-row moment relation
+    (n, Σv, Σv²); the t statistic and Welch–Satterthwaite df are a
+    fixed double expression over the 10-row pair grid.  Σv is cast to
+    double BEFORE squaring (Σv ~ 3·10¹⁰ at sf0.1 would overflow BIGINT
+    squared; double keeps it exact to 2⁵³ and both engines square the
+    same double)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    # the 5-row moment relation is persisted so BOTH sides of the pair
+    # grid read one cached scan — without it each alias re-plans the
+    # full events scan (2× IO at 100 TB for a 5-row intermediate)
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    ).persist()
+
+    def mean(side):
+        return F.col(f"{side}.s1").cast("double") / F.col(f"{side}.n").cast("double")
+
+    def var(side):
+        s1d = F.col(f"{side}.s1").cast("double")
+        return (
+            F.col(f"{side}.s2").cast("double")
+            - s1d * s1d / F.col(f"{side}.n").cast("double")
+        ) / (F.col(f"{side}.n") - F.lit(1)).cast("double")
+
+    va_na = var("a") / F.col("a.n").cast("double")
+    vb_nb = var("b") / F.col("b.n").cast("double")
+    se2 = va_na + vb_nb
+    t = (mean("a") - mean("b")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        va_na * va_na / (F.col("a.n") - F.lit(1)).cast("double")
+        + vb_nb * vb_nb / (F.col("b.n") - F.lit(1)).cast("double")
+    )
+    return (
+        m.alias("a")
+        .join(m.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(t, 4).alias("t_stat"),
+            F.round(df, 4).alias("welch_df"),
+        )
+    )
+
+
+_WELCH_SQL = """
+WITH m AS MATERIALIZED (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS s1,
+         sum(CAST(floor(value * 100) AS BIGINT)
+             * CAST(floor(value * 100) AS BIGINT))::BIGINT AS s2
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n AS n_a, b.n AS n_b,
+       round(
+         (a.s1::DOUBLE / a.n::DOUBLE - b.s1::DOUBLE / b.n::DOUBLE)
+         / sqrt(
+             ((a.s2::DOUBLE - a.s1::DOUBLE * a.s1::DOUBLE / a.n::DOUBLE)
+                / (a.n - 1)::DOUBLE) / a.n::DOUBLE
+           + ((b.s2::DOUBLE - b.s1::DOUBLE * b.s1::DOUBLE / b.n::DOUBLE)
+                / (b.n - 1)::DOUBLE) / b.n::DOUBLE
+         ), 4) AS t_stat,
+       round(
+         ((((a.s2::DOUBLE - a.s1::DOUBLE * a.s1::DOUBLE / a.n::DOUBLE)
+              / (a.n - 1)::DOUBLE) / a.n::DOUBLE
+          + ((b.s2::DOUBLE - b.s1::DOUBLE * b.s1::DOUBLE / b.n::DOUBLE)
+               / (b.n - 1)::DOUBLE) / b.n::DOUBLE)
+         * (((a.s2::DOUBLE - a.s1::DOUBLE * a.s1::DOUBLE / a.n::DOUBLE)
+               / (a.n - 1)::DOUBLE) / a.n::DOUBLE
+           + ((b.s2::DOUBLE - b.s1::DOUBLE * b.s1::DOUBLE / b.n::DOUBLE)
+                / (b.n - 1)::DOUBLE) / b.n::DOUBLE))
+         / (
+             (((a.s2::DOUBLE - a.s1::DOUBLE * a.s1::DOUBLE / a.n::DOUBLE)
+                 / (a.n - 1)::DOUBLE) / a.n::DOUBLE)
+             * (((a.s2::DOUBLE - a.s1::DOUBLE * a.s1::DOUBLE / a.n::DOUBLE)
+                 / (a.n - 1)::DOUBLE) / a.n::DOUBLE)
+             / (a.n - 1)::DOUBLE
+           + (((b.s2::DOUBLE - b.s1::DOUBLE * b.s1::DOUBLE / b.n::DOUBLE)
+                 / (b.n - 1)::DOUBLE) / b.n::DOUBLE)
+             * (((b.s2::DOUBLE - b.s1::DOUBLE * b.s1::DOUBLE / b.n::DOUBLE)
+                 / (b.n - 1)::DOUBLE) / b.n::DOUBLE)
+             / (b.n - 1)::DOUBLE
+         ), 4) AS welch_df
+FROM m a JOIN m b ON a.event_type < b.event_type
+"""
+
+R9_QUERIES["events_welch_ttest"] = events_welch_ttest
+R9_ORACLE_SQL["events_welch_ttest"] = _WELCH_SQL
+
+
+# --------------------------------------------------------------------------
+# layout_range_partition
+# --------------------------------------------------------------------------
+
+_RP_BUCKETS = 8
+_RP_SAMPLE_MOD = 128  # ~0.78% deterministic md5 sample
+
+
+def layout_range_partition(spark, sf_dir):
+    """Range-partition balance audit with sampled boundaries — the
+    ``repartitionByRange`` / TeraSort scheme as a checkable relation.
+
+    A deterministic md5 1/128 sample of order keys elects
+    ``_RP_BUCKETS − 1`` boundary keys via ntile maxima (the
+    single-partition window runs over the SAMPLE ONLY — the same
+    bounded collect RangePartitioner itself performs); the sorted
+    boundary array is broadcast onto one full scan where each row's
+    bucket is 1 + |{b : key > b}| (an 7-element array probe inside
+    codegen, no join).  Output: per-bucket row count, key span, and
+    the balance ratio vs the ideal n/8 — the audit one runs BEFORE
+    committing a 100 TB repartition write."""
+    orders = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    sample = orders.filter(h % _RP_SAMPLE_MOD == 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    wt = Window.orderBy("k")
+    bnd = (
+        sample.withColumn("tile", F.ntile(_RP_BUCKETS).over(wt))
+        .filter(F.col("tile") < _RP_BUCKETS)
+        .groupBy("tile")
+        .agg(F.max("k").alias("b"))
+        .agg(F.sort_array(F.collect_list("b")).alias("bnd"))
+    )
+    bucket = (
+        F.size(F.filter(F.col("bnd"), lambda b: F.col("o_orderkey") > b)) + 1
+    ).cast("long")
+    # total comes from a window over the 8 bucket rows, not a second
+    # full scan: the audit touches the fact table exactly twice (key-only
+    # sample scan + assignment scan), never three times
+    wt_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        orders.crossJoin(F.broadcast(bnd))
+        .select(bucket.alias("bucket"), "o_orderkey")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .withColumn("total", F.sum("n_rows").over(wt_all))
+        .select(
+            "bucket",
+            "n_rows",
+            "min_key",
+            "max_key",
+            F.round(
+                (F.col("n_rows") * F.lit(_RP_BUCKETS)).cast("double")
+                / F.col("total").cast("double"),
+                4,
+            ).alias("balance"),
+        )
+    )
+
+
+_RP_SQL = f"""
+WITH sample AS (
+  SELECT o_orderkey AS k FROM orders
+  WHERE CAST('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8) AS BIGINT)
+        % {_RP_SAMPLE_MOD} = 0
+), tiles AS (
+  SELECT k, ntile({_RP_BUCKETS}) OVER (ORDER BY k) AS tile FROM sample
+), bnd AS (
+  SELECT list_sort(list(mx)) AS bnd FROM (
+    SELECT max(k) AS mx FROM tiles WHERE tile < {_RP_BUCKETS} GROUP BY tile
+  )
+), assigned AS (
+  SELECT (len(list_filter(bnd, x -> o_orderkey > x)) + 1)::BIGINT AS bucket,
+         o_orderkey
+  FROM orders, bnd
+), per AS (
+  SELECT bucket, count(*)::BIGINT AS n_rows,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+  FROM assigned GROUP BY bucket
+)
+SELECT bucket, n_rows, min_key, max_key,
+       round((n_rows * {_RP_BUCKETS})::DOUBLE
+             / (sum(n_rows) OVER ())::DOUBLE, 4) AS balance
+FROM per
+"""
+
+R9_QUERIES["layout_range_partition"] = layout_range_partition
+R9_ORACLE_SQL["layout_range_partition"] = _RP_SQL
+
+
+# --------------------------------------------------------------------------
+# classifier_conformal
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA_NUM = 9  # 1 - alpha = 9/10 kept integer
+
+
+def classifier_conformal(spark, sf_dir):
+    """Split-conformal prediction over the hashed-classifier
+    probability (labels: the even/odd source-id ground truth shared
+    with ``docs_classifier_auc``).  A deterministic md5 1/5 split
+    carves the calibration half; nonconformity is the INTEGER
+    a6 = y·10⁶ − p6 (signed-absorbed per class), the ⌈0.9(n_cal+1)⌉-th
+    smallest a6 comes off the DISTINCT-VALUE GRID (per-value counts,
+    one cumulative window over ≤ n_cal distinct values — never a
+    corpus-grain single-partition sort), and the broadcast threshold
+    scores the eval half: empirical coverage (≥ 0.9 by the conformal
+    guarantee, up to discretization) and mean prediction-set size
+    (how often the classifier is decisive vs {0,1}-ambiguous — the
+    actionable knob for a model-gated corpus pipeline)."""
+    from ..operators.classifier import score_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = score_documents(docs, "text", "doc_id", dim=4096, keep=("source",))
+    base = scored.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0)
+        .cast("long")
+        .alias("y"),
+        F.round(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 0)
+        .cast("long")
+        .alias("p6"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("conf|"), F.col("doc_id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 5
+            == 0
+        ).alias("is_cal"),
+    ).persist()  # one scoring scan feeds calibration grid, n_cal, and eval
+    a6 = F.when(F.col("y") == 1, 1000000 - F.col("p6")).otherwise(F.col("p6"))
+    cal = base.filter("is_cal").select(a6.alias("a6"))
+    ncal = cal.agg(F.count("*").alias("n_cal"))
+    grid = cal.groupBy("a6").agg(F.count("*").alias("c"))
+    wg = Window.orderBy("a6").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.withColumn("cum", F.sum("c").over(wg))
+    k = F.floor(
+        (F.lit(_CONF_ALPHA_NUM) * (F.col("n_cal") + 1) + 9).cast("double") / 10.0
+    ).cast("long")
+    thr = (
+        cum.crossJoin(F.broadcast(ncal))
+        .filter(F.col("cum") >= k)
+        .agg(
+            F.min("a6").alias("thr6"),
+            F.first(k, ignorenulls=True).alias("k"),
+            F.first(F.col("n_cal")).alias("n_cal"),
+        )
+    )
+    ev = base.filter(~F.col("is_cal")).withColumn("a6", a6)
+    return (
+        ev.crossJoin(F.broadcast(thr))
+        .select(
+            "n_cal",
+            "k",
+            "thr6",
+            (F.col("a6") <= F.col("thr6")).cast("long").alias("cov"),
+            (
+                (F.col("p6") <= F.col("thr6")).cast("long")
+                + ((1000000 - F.col("p6")) <= F.col("thr6")).cast("long")
+            ).alias("setsz"),
+        )
+        .groupBy("n_cal", "k", "thr6")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.round(F.sum("cov").cast("double") / F.count("*"), 4).alias(
+                "coverage"
+            ),
+            F.round(F.sum("setsz").cast("double") / F.count("*"), 4).alias(
+                "avg_set_size"
+            ),
+        )
+    )
+
+
+_CONF_SQL = """
+WITH base0 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w, source
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
+  FROM base0 WHERE len(w) >= 1
+), folded AS (
+  SELECT doc_id, source,
+         round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(f, t ->
+             (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
+               / 1000.0 - 1.0)), (a, b) -> a + b) / len(f), 6) AS score
+  FROM feat
+), base AS MATERIALIZED (
+  SELECT doc_id,
+         (CAST(substr(source, 4) AS INT) % 2 = 0)::INT::BIGINT AS y,
+         CAST(round(1000000.0::DOUBLE / (1.0 + exp(-score))) AS BIGINT) AS p6,
+         CAST('0x' || substr(md5('conf|' || doc_id::VARCHAR), 1, 8) AS BIGINT)
+           % 5 = 0 AS is_cal
+  FROM folded
+), cal AS MATERIALIZED (
+  SELECT CASE WHEN y = 1 THEN 1000000 - p6 ELSE p6 END AS a6
+  FROM base WHERE is_cal
+), ncal AS (
+  SELECT count(*)::BIGINT AS n_cal FROM cal
+), cum AS (
+  SELECT a6, sum(c) OVER (ORDER BY a6) AS cum FROM (
+    SELECT a6, count(*) AS c FROM cal GROUP BY a6
+  )
+), kk AS (
+  SELECT CAST(floor((9 * (n_cal + 1) + 9)::DOUBLE / 10.0) AS BIGINT) AS k,
+         n_cal
+  FROM ncal
+), thr AS (
+  SELECT min(a6) AS thr6, any_value(k) AS k, any_value(n_cal) AS n_cal
+  FROM cum, kk WHERE cum >= k
+)
+SELECT n_cal, k, thr6,
+       count(*)::BIGINT AS n_eval,
+       round(sum((CASE WHEN y = 1 THEN 1000000 - p6 ELSE p6 END
+                  <= thr6)::INT)::DOUBLE / count(*), 4) AS coverage,
+       round(sum((p6 <= thr6)::INT + (1000000 - p6 <= thr6)::INT)::DOUBLE
+             / count(*), 4) AS avg_set_size
+FROM base, thr
+WHERE NOT is_cal
+GROUP BY n_cal, k, thr6
+"""
+
+R9_QUERIES["classifier_conformal"] = classifier_conformal
+R9_ORACLE_SQL["classifier_conformal"] = _CONF_SQL
+
+
+# --------------------------------------------------------------------------
+# events_cuped_adjustment
+# --------------------------------------------------------------------------
+
+_EPOCH_US = 1704067200000000  # 2024-01-01T00:00:00Z in micros
+_CUPED_CUT_US = _EPOCH_US + 14 * 86400000000  # day 14 splits pre/post
+
+
+def events_cuped_adjustment(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al. 2013): variant =
+    deterministic md5 user split, covariate X = pre-period spend, metric
+    Y = post-period spend (cent-quantized BIGINTs per user), and the
+    adjusted mean Ȳᵥ − θ(X̄ᵥ − X̄) with θ = cov(X,Y)/var(X) from POOLED
+    integer moments.  Two keyed aggs total: user grain (one shuffle on
+    user_id), then a 2-row variant grain + a 1-row broadcast of the
+    pooled moments — the experimentation-platform readout that runs on
+    every metric at 100 TB.  ρ² (the variance-reduction factor) rides
+    along.  All sums are exact integers; θ, means and ρ² are one fixed
+    double expression, rounded 4."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    cents = F.floor(F.col("value") * 100).cast("long")
+    ug = (
+        ev.select(
+            "user_id",
+            F.when(us < _CUPED_CUT_US, cents).otherwise(F.lit(0)).alias("xc"),
+            F.when(us >= _CUPED_CUT_US, cents).otherwise(F.lit(0)).alias("yc"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+        .withColumn(
+            "variant",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("ab|"), F.col("user_id"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).cast("long"),
+        )
+        .persist()  # one user-grain pass feeds pooled AND per-variant moments
+    )
+    pooled = ug.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    covxy = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    varx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double") / nd
+    vary = F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double") / nd
+    g = pooled.select(
+        (covxy / varx).alias("theta"),
+        (F.col("sx").cast("double") / nd).alias("xbar_all"),
+        (covxy * covxy / (varx * vary)).alias("rho2"),
+    )
+    pv = ug.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sxv"),
+        F.sum("y").alias("syv"),
+    )
+    xbar_v = F.col("sxv").cast("double") / F.col("n_users").cast("double")
+    ybar_v = F.col("syv").cast("double") / F.col("n_users").cast("double")
+    return pv.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "n_users",
+        F.round(xbar_v / 100.0, 4).alias("mean_pre"),
+        F.round(ybar_v / 100.0, 4).alias("mean_post"),
+        F.round(F.col("theta"), 4).alias("theta"),
+        F.round(
+            (ybar_v - F.col("theta") * (xbar_v - F.col("xbar_all"))) / 100.0, 4
+        ).alias("mean_adjusted"),
+        F.round(F.col("rho2"), 4).alias("rho2"),
+    )
+
+
+_CUPED_SQL = f"""
+WITH ug AS MATERIALIZED (
+  SELECT user_id,
+         sum(CASE WHEN epoch_us(ts) < {_CUPED_CUT_US}
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+           AS x,
+         sum(CASE WHEN epoch_us(ts) >= {_CUPED_CUT_US}
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+           AS y,
+         CAST('0x' || substr(md5('ab|' || user_id::VARCHAR), 1, 8) AS BIGINT)
+           % 2 AS variant
+  FROM events GROUP BY user_id
+), pooled AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy
+  FROM ug
+), g AS (
+  SELECT (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+           / (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE) AS theta,
+         sx::DOUBLE / n::DOUBLE AS xbar_all,
+         ((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+          * (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE))
+           / ((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+              * (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)) AS rho2
+  FROM pooled
+), pv AS (
+  SELECT variant, count(*)::BIGINT AS n_users,
+         sum(x)::BIGINT AS sxv, sum(y)::BIGINT AS syv
+  FROM ug GROUP BY variant
+)
+SELECT variant, n_users,
+       round((sxv::DOUBLE / n_users::DOUBLE) / 100.0, 4) AS mean_pre,
+       round((syv::DOUBLE / n_users::DOUBLE) / 100.0, 4) AS mean_post,
+       round(theta, 4) AS theta,
+       round((syv::DOUBLE / n_users::DOUBLE
+              - theta * (sxv::DOUBLE / n_users::DOUBLE - xbar_all)) / 100.0,
+             4) AS mean_adjusted,
+       round(rho2, 4) AS rho2
+FROM pv, g
+"""
+
+R9_QUERIES["events_cuped_adjustment"] = events_cuped_adjustment
+R9_ORACLE_SQL["events_cuped_adjustment"] = _CUPED_SQL
+
+
+# --------------------------------------------------------------------------
+# user_rate_shrinkage
+# --------------------------------------------------------------------------
+
+_EB_MIN_N = 10
+_EB_TOPK = 20
+
+
+def user_rate_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (the smoothing every ranking/CTR system applies before
+    sorting sparse rates): n = click+view exposures, k = purchases;
+    method-of-moments α, β from the POPULATION of per-user rates, then
+    shrunk_rate = (k + α)/(n + α + β).  Cross-engine exactness: each
+    user's raw rate is the INTEGER p6 = (k·10⁶) div n (integer floor
+    division — no float rounding), so Σp6 / Σp6² are exact BIGINTs and
+    the MoM α/β are one fixed double expression.  Users below
+    ``_EB_MIN_N`` exposures are excluded from BOTH the moment fit and
+    the output (documented support floor).  Output: the ``_EB_TOPK``
+    highest-exposure users (ties on user_id) with raw vs shrunk rate,
+    α/β carried as columns.  Shapes: one user-grain keyed agg, a 1-row
+    moment broadcast, and a TakeOrdered top-k — no corpus-grain sort."""
+    ev = _t(spark, sf_dir, "events")
+    ug = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.col("event_type").isin("click", "view").cast("long")
+            ).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("k"),
+        )
+        .filter(F.col("n") >= _EB_MIN_N)
+        .withColumn("p6", F.expr("(k * 1000000) div n"))
+        .persist()  # feeds the moment fit and the top-k output
+    )
+    mom = ug.agg(
+        F.count("*").alias("nu"),
+        F.sum("p6").alias("sp"),
+        F.sum(F.col("p6") * F.col("p6")).alias("spp"),
+    )
+    nud = F.col("nu").cast("double")
+    m1 = F.col("sp").cast("double") / nud / 1000000.0
+    # sample variance of the rates, de-scaled from 1e12
+    varr = (
+        (
+            F.col("spp").cast("double")
+            - F.col("sp").cast("double") * F.col("sp").cast("double") / nud
+        )
+        / (F.col("nu") - F.lit(1)).cast("double")
+        / 1.0e12
+    )
+    common = m1 * (F.lit(1.0) - m1) / varr - F.lit(1.0)
+    g = mom.select(
+        (m1 * common).alias("alpha"), ((F.lit(1.0) - m1) * common).alias("beta")
+    )
+    return (
+        ug.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(_EB_TOPK)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            "n",
+            "k",
+            F.round(F.col("p6").cast("double") / 1000000.0, 4).alias("raw_rate"),
+            F.round(F.col("alpha"), 4).alias("alpha"),
+            F.round(F.col("beta"), 4).alias("beta"),
+            F.round(
+                (F.col("k").cast("double") + F.col("alpha"))
+                / (F.col("n").cast("double") + F.col("alpha") + F.col("beta")),
+                4,
+            ).alias("shrunk_rate"),
+        )
+    )
+
+
+_EB_SQL = f"""
+WITH ug AS MATERIALIZED (
+  SELECT user_id,
+         sum((event_type IN ('click', 'view'))::INT)::BIGINT AS n,
+         sum((event_type = 'purchase')::INT)::BIGINT AS k
+  FROM events GROUP BY user_id
+  HAVING sum((event_type IN ('click', 'view'))::INT) >= {_EB_MIN_N}
+), ug6 AS MATERIALIZED (
+  SELECT user_id, n, k, (k * 1000000) // n AS p6 FROM ug
+), mom AS (
+  SELECT count(*)::BIGINT AS nu, sum(p6)::BIGINT AS sp,
+         sum(p6 * p6)::BIGINT AS spp
+  FROM ug6
+), g AS (
+  SELECT (sp::DOUBLE / nu::DOUBLE / 1000000.0)
+           * ((sp::DOUBLE / nu::DOUBLE / 1000000.0)
+              * (1.0 - sp::DOUBLE / nu::DOUBLE / 1000000.0)
+              / ((spp::DOUBLE - sp::DOUBLE * sp::DOUBLE / nu::DOUBLE)
+                 / (nu - 1)::DOUBLE / 1.0e12)
+              - 1.0) AS alpha,
+         (1.0 - sp::DOUBLE / nu::DOUBLE / 1000000.0)
+           * ((sp::DOUBLE / nu::DOUBLE / 1000000.0)
+              * (1.0 - sp::DOUBLE / nu::DOUBLE / 1000000.0)
+              / ((spp::DOUBLE - sp::DOUBLE * sp::DOUBLE / nu::DOUBLE)
+                 / (nu - 1)::DOUBLE / 1.0e12)
+              - 1.0) AS beta
+  FROM mom
+), top AS (
+  SELECT user_id, n, k, p6 FROM ug6
+  ORDER BY n DESC, user_id ASC LIMIT {_EB_TOPK}
+)
+SELECT user_id, n, k,
+       round(p6::DOUBLE / 1000000.0, 4) AS raw_rate,
+       round(alpha, 4) AS alpha, round(beta, 4) AS beta,
+       round((k::DOUBLE + alpha) / (n::DOUBLE + alpha + beta), 4)
+         AS shrunk_rate
+FROM top, g
+"""
+
+R9_QUERIES["user_rate_shrinkage"] = user_rate_shrinkage
+R9_ORACLE_SQL["user_rate_shrinkage"] = _EB_SQL
+
+
+# --------------------------------------------------------------------------
+# docs_nb_crossval
+# --------------------------------------------------------------------------
+
+_NBCV_K = 5
+_NBCV_WORD_RE = "[a-z0-9]+"
+
+
+def _cv_fold(col):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cv|"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _NBCV_K
+    )
+
+
+def docs_nb_crossval(spark, sf_dir):
+    """K-fold cross-validation of the multinomial NB language model by
+    LEAVE-ONE-FOLD-OUT SUBTRACTION: the per-fold training counts are
+    never recomputed — count once at (class, word) and (class, word,
+    fold) grain, and fold f's model is ``global − fold_f`` (priors,
+    totals, and the per-fold vocabulary likewise, the latter as
+    |{w : global_w > fold_w}| on the vocab×K grid).  ONE token scan
+    trains all K models; a naive CV re-runs training K times — the
+    difference between 1 and K corpus passes at 100 TB.  Scoring rides
+    the same token relation: tokens join the 25-row broadcast
+    (class, fold) constants, the vocab-grain count relations, and fold
+    per-doc log10 likelihoods in position order (the ordered-left-fold
+    recipe of ``docs_nb_classify``); argmax breaks ties on class asc
+    over the RAW fold sum — bit-identical cross-engine, no rounding
+    slack needed.  Output: per-fold document count, hits, accuracy
+    (round 4) — the honest generalization estimate for the lang-ID
+    gate, vs the single-split estimate ``docs_nb_classify`` gives."""
+    docs = _t(spark, sf_dir, "documents").withColumn("fold", _cv_fold(F.col("doc_id")))
+    tok = docs.select(
+        "doc_id",
+        F.col("lang"),
+        "fold",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(_NBCV_WORD_RE), 0)
+        ).alias("pos", "w"),
+    ).persist()  # one scan feeds global counts, fold counts, and scoring
+    cw_g = tok.groupBy(F.col("lang").alias("cls"), "w").agg(
+        F.count("*").alias("cg")
+    )
+    cw_f = tok.groupBy(F.col("lang").alias("cls"), "w", "fold").agg(
+        F.count("*").alias("cf")
+    )
+    totc_g = cw_g.groupBy("cls").agg(F.sum("cg").alias("tot_g"))
+    totc_f = cw_f.groupBy("cls", "fold").agg(F.sum("cf").alias("tot_f"))
+    # per-fold vocabulary on the vocab × K grid
+    wg = tok.groupBy("w").agg(F.count("*").alias("cw_all"))
+    wf = tok.groupBy("w", "fold").agg(F.count("*").alias("cw_fold"))
+    folds = spark.range(_NBCV_K).select(F.col("id").cast("long").alias("fold"))
+    vocab_f = (
+        wg.crossJoin(F.broadcast(folds))
+        .join(wf, ["w", "fold"], "left")
+        .filter(F.col("cw_all") > F.coalesce(F.col("cw_fold"), F.lit(0)))
+        .groupBy("fold")
+        .agg(F.count("*").alias("v"))
+    )
+    pri_g = docs.groupBy(F.col("lang").alias("cls")).agg(F.count("*").alias("n_c"))
+    pri_f = docs.groupBy(F.col("lang").alias("cls"), "fold").agg(
+        F.count("*").alias("n_cf")
+    )
+    nfold = docs.groupBy("fold").agg(F.count("*").alias("n_f"))
+    n_all = docs.agg(F.count("*").alias("n_all"))
+    classes = (
+        pri_g.crossJoin(F.broadcast(folds))
+        .join(pri_f, ["cls", "fold"], "left")
+        .join(totc_g, "cls")
+        .join(totc_f, ["cls", "fold"], "left")
+        .join(vocab_f, "fold")
+        .join(nfold, "fold")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "cls",
+            "fold",
+            (F.col("tot_g") - F.coalesce(F.col("tot_f"), F.lit(0))).alias("tot_ex"),
+            "v",
+            F.log10(
+                (F.col("n_c") - F.coalesce(F.col("n_cf"), F.lit(0))).cast("double")
+                / (F.col("n_all") - F.col("n_f")).cast("double")
+            ).alias("log_prior"),
+        )
+    )
+    terms = (
+        tok.join(F.broadcast(classes), "fold")
+        .join(cw_g, ["cls", "w"], "left")
+        .join(cw_f, ["cls", "w", "fold"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "fold",
+            "cls",
+            "log_prior",
+            "pos",
+            F.log10(
+                (
+                    F.coalesce(F.col("cg"), F.lit(0))
+                    - F.coalesce(F.col("cf"), F.lit(0))
+                    + F.lit(1)
+                ).cast("double")
+                / (F.col("tot_ex") + F.col("v")).cast("double")
+            ).alias("term"),
+        )
+    )
+    folded = terms.groupBy("doc_id", "lang", "fold", "cls", "log_prior").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("loglik")
+    )
+    wpred = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("log_prior") + F.col("loglik")), F.asc("cls")
+    )
+    pred = (
+        folded.withColumn("__r", F.row_number().over(wpred))
+        .filter(F.col("__r") == 1)
+        .select("doc_id", "lang", "fold", "cls")
+    )
+    return (
+        pred.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("cls") == F.col("lang")).cast("long")).alias("n_correct"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("accuracy"),
+        )
+    )
+
+
+_NBCV_SQL = f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, lang, text,
+         CAST('0x' || substr(md5('cv|' || doc_id::VARCHAR), 1, 8) AS BIGINT)
+           % {_NBCV_K} AS fold
+  FROM documents
+), tok AS MATERIALIZED (
+  SELECT doc_id, lang, fold,
+         unnest(regexp_extract_all(lower(text), '{_NBCV_WORD_RE}')) AS w,
+         generate_subscripts(regexp_extract_all(lower(text), '{_NBCV_WORD_RE}'), 1)
+           AS pos
+  FROM docs
+), cw_g AS MATERIALIZED (
+  SELECT lang AS cls, w, count(*)::BIGINT AS cg FROM tok GROUP BY 1, 2
+), cw_f AS MATERIALIZED (
+  SELECT lang AS cls, w, fold, count(*)::BIGINT AS cf FROM tok GROUP BY 1, 2, 3
+), totc_g AS (SELECT cls, sum(cg)::BIGINT AS tot_g FROM cw_g GROUP BY cls),
+totc_f AS (SELECT cls, fold, sum(cf)::BIGINT AS tot_f FROM cw_f GROUP BY 1, 2),
+wg AS MATERIALIZED (SELECT w, count(*)::BIGINT AS cw_all FROM tok GROUP BY w),
+wf AS MATERIALIZED (
+  SELECT w, fold, count(*)::BIGINT AS cw_fold FROM tok GROUP BY 1, 2
+), folds AS (SELECT unnest(generate_series(0, {_NBCV_K - 1}))::BIGINT AS fold),
+vocab_f AS (
+  SELECT fold, count(*)::BIGINT AS v
+  FROM wg CROSS JOIN folds
+  LEFT JOIN wf USING (w, fold)
+  WHERE cw_all > coalesce(cw_fold, 0)
+  GROUP BY fold
+), pri_g AS (SELECT lang AS cls, count(*)::BIGINT AS n_c FROM docs GROUP BY 1),
+pri_f AS (
+  SELECT lang AS cls, fold, count(*)::BIGINT AS n_cf FROM docs GROUP BY 1, 2
+), nfold AS (SELECT fold, count(*)::BIGINT AS n_f FROM docs GROUP BY fold),
+nall AS (SELECT count(*)::BIGINT AS n_all FROM docs),
+classes AS MATERIALIZED (
+  SELECT pri_g.cls, folds.fold,
+         tot_g - coalesce(tot_f, 0) AS tot_ex, v,
+         log10((n_c - coalesce(n_cf, 0))::DOUBLE / (n_all - n_f)::DOUBLE)
+           AS log_prior
+  FROM pri_g CROSS JOIN folds
+  LEFT JOIN pri_f ON pri_f.cls = pri_g.cls AND pri_f.fold = folds.fold
+  JOIN totc_g ON totc_g.cls = pri_g.cls
+  LEFT JOIN totc_f ON totc_f.cls = pri_g.cls AND totc_f.fold = folds.fold
+  JOIN vocab_f ON vocab_f.fold = folds.fold
+  JOIN nfold ON nfold.fold = folds.fold
+  CROSS JOIN nall
+), terms AS (
+  SELECT t.doc_id, t.lang, t.fold, c.cls, c.log_prior, t.pos,
+         log10((coalesce(cw_g.cg, 0) - coalesce(cw_f.cf, 0) + 1)::DOUBLE
+               / (c.tot_ex + c.v)::DOUBLE) AS term
+  FROM tok t
+  JOIN classes c ON c.fold = t.fold
+  LEFT JOIN cw_g ON cw_g.cls = c.cls AND cw_g.w = t.w
+  LEFT JOIN cw_f ON cw_f.cls = c.cls AND cw_f.w = t.w AND cw_f.fold = t.fold
+), folded AS MATERIALIZED (
+  SELECT doc_id, lang, fold, cls,
+         log_prior + list_reduce(
+           list_prepend(0.0::DOUBLE, list(term ORDER BY pos)),
+           (a, b) -> a + b) AS score
+  FROM terms
+  GROUP BY doc_id, lang, fold, cls, log_prior
+), pred AS (
+  SELECT doc_id, lang, fold, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS r
+  FROM folded
+)
+SELECT fold, count(*)::BIGINT AS n_docs,
+       sum((cls = lang)::INT)::BIGINT AS n_correct,
+       round(sum((cls = lang)::INT)::DOUBLE / count(*)::DOUBLE, 4) AS accuracy
+FROM pred WHERE r = 1
+GROUP BY fold
+"""
+
+R9_QUERIES["docs_nb_crossval"] = docs_nb_crossval
+R9_ORACLE_SQL["docs_nb_crossval"] = _NBCV_SQL
+
+
+# --------------------------------------------------------------------------
+# customer_k_anonymity
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def customer_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) over the customer quasi-identifier (nation, market
+    segment, account-balance band) with the account-balance SIGN as the
+    stand-in sensitive attribute — the release gate a training-data
+    pipeline runs before publishing user-derived rows.  One keyed agg
+    to QI-class grain, then a tiny class-size rollup: per class-size
+    bucket, the number of classes, rows, rows violating k=5, and the
+    minimum l-diversity — all integers (one final ratio).  At 100 TB
+    this is scan + two keyed aggs; no sort, no join."""
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        (F.col("c_acctbal") < 0).cast("long").alias("sensitive"),
+    )
+    classes = qi.groupBy("nation", "segment", "bal_band").agg(
+        F.count("*").alias("cls_size"),
+        F.countDistinct("sensitive").alias("l_div"),
+    )
+    return (
+        classes.groupBy("cls_size")
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("cls_size").alias("n_rows"),
+            F.min("l_div").alias("min_l_diversity"),
+        )
+        .select(
+            "cls_size",
+            "n_classes",
+            "n_rows",
+            F.when(F.col("cls_size") < _KANON_K, F.col("n_rows"))
+            .otherwise(F.lit(0))
+            .alias("rows_violating_k"),
+            "min_l_diversity",
+        )
+    )
+
+
+_KANON_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         (c_acctbal < 0)::INT::BIGINT AS sensitive
+  FROM customer
+), classes AS (
+  SELECT nation, segment, bal_band, count(*)::BIGINT AS cls_size,
+         count(DISTINCT sensitive)::BIGINT AS l_div
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT cls_size, count(*)::BIGINT AS n_classes,
+       sum(cls_size)::BIGINT AS n_rows,
+       CASE WHEN cls_size < {_KANON_K} THEN sum(cls_size)::BIGINT
+            ELSE 0 END AS rows_violating_k,
+       min(l_div)::BIGINT AS min_l_diversity
+FROM classes
+GROUP BY cls_size
+"""
+
+R9_QUERIES["customer_k_anonymity"] = customer_k_anonymity
+R9_ORACLE_SQL["customer_k_anonymity"] = _KANON_SQL
+
+
+# --------------------------------------------------------------------------
+# lineitem_reconciliation
+# --------------------------------------------------------------------------
+
+_RECON_BUCKETS = 64
+
+
+def lineitem_reconciliation(spark, sf_dir):
+    """Cross-system migration/replication reconciliation: compare a
+    table against its replica with per-bucket ORDER-INSENSITIVE row
+    checksums instead of a row-level join — the audit that certifies a
+    100 TB copy with two scans and a 64-row compare.  Each row hashes
+    to a 32-bit md5 integer over its canonicalized business columns;
+    bucket = hash % 64; the bucket signature is (row count, Σ hash) —
+    both associative-commutative BIGINT aggregates, so partial aggs
+    merge freely.  The 'replica' is derived deterministically with an
+    injected fault (rows whose hash % 9973 == 0 get a one-cent price
+    corruption), so mismatched buckets are real and the blast-radius
+    readout (how many buckets would need re-sync) is non-trivial.
+    Output: per-bucket rows/checksums for both sides + match flag."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def rowsig(df):
+        canon = F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("price_c").cast("string"),
+        )
+        h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+        return df.select((h % _RECON_BUCKETS).alias("bucket"), h.alias("h"))
+
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+    )
+    keyh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "~",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    replica = src.withColumn(
+        "price_c",
+        F.when(keyh % 9973 == 0, F.col("price_c") + 1).otherwise(F.col("price_c")),
+    )
+    a = rowsig(src).groupBy("bucket").agg(
+        F.count("*").alias("src_rows"), F.sum("h").alias("src_sum")
+    )
+    b = rowsig(replica).groupBy("bucket").agg(
+        F.count("*").alias("dst_rows"), F.sum("h").alias("dst_sum")
+    )
+    return a.join(b, "bucket", "full").select(
+        "bucket",
+        "src_rows",
+        "dst_rows",
+        "src_sum",
+        "dst_sum",
+        (
+            (F.col("src_rows") == F.col("dst_rows"))
+            & (F.col("src_sum") == F.col("dst_sum"))
+        )
+        .cast("long")
+        .alias("is_match"),
+    )
+
+
+_RECON_SQL = f"""
+WITH src AS MATERIALIZED (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+), replica AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         CASE WHEN CAST('0x' || substr(md5(l_orderkey::VARCHAR || '~'
+                    || l_linenumber::VARCHAR), 1, 8) AS BIGINT) % 9973 = 0
+              THEN price_c + 1 ELSE price_c END AS price_c
+  FROM src
+), ah AS (
+  SELECT CAST('0x' || substr(md5(l_orderkey::VARCHAR || '|'
+              || l_linenumber::VARCHAR || '|' || l_partkey::VARCHAR || '|'
+              || price_c::VARCHAR), 1, 8) AS BIGINT) AS h
+  FROM src
+), bh AS (
+  SELECT CAST('0x' || substr(md5(l_orderkey::VARCHAR || '|'
+              || l_linenumber::VARCHAR || '|' || l_partkey::VARCHAR || '|'
+              || price_c::VARCHAR), 1, 8) AS BIGINT) AS h
+  FROM replica
+), a AS (
+  SELECT h % {_RECON_BUCKETS} AS bucket, count(*)::BIGINT AS src_rows,
+         sum(h)::BIGINT AS src_sum
+  FROM ah GROUP BY 1
+), b AS (
+  SELECT h % {_RECON_BUCKETS} AS bucket, count(*)::BIGINT AS dst_rows,
+         sum(h)::BIGINT AS dst_sum
+  FROM bh GROUP BY 1
+)
+SELECT bucket, src_rows, dst_rows, src_sum, dst_sum,
+       (src_rows = dst_rows AND src_sum = dst_sum)::INT::BIGINT AS is_match
+FROM a FULL JOIN b USING (bucket)
+"""
+
+R9_QUERIES["lineitem_reconciliation"] = lineitem_reconciliation
+R9_ORACLE_SQL["lineitem_reconciliation"] = _RECON_SQL

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "docs_classifier_score",
     "dedup_embedding_cosine",
     "docs_dsir_weights",
+    "docs_nb_crossval",
 ]
 
 # Queries added to the headline set after round 3 — excluded from the
@@ -66,6 +67,7 @@ _POST_R3_QUERIES = {
     "docs_classifier_score",
     "dedup_embedding_cosine",  # r5: BLAS filter-refine showcase
     "docs_dsir_weights",  # r6: scan-bound data-selection showcase
+    "docs_nb_crossval",  # r6: 1-scan K-fold CV (train-by-subtraction) showcase
 }
 
 

@@ -425,3 +425,127 @@ def test_mannwhitney_single_scan_per_sample(spark, sf):
     plan = plan_of(events_mannwhitney(spark, sf), mode="simple")
     assert plan.count("Scan parquet") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_sup_joins_broadcast(spark, sf):
+    """Item-item CF: the basket self-join is keyed on the order key
+    (never cartesian), and both support lookups ride broadcast hash
+    joins onto the pair frame."""
+    from aspep_etl_spark.plans.analytics_r9 import items_cooccurrence_topk
+
+    plan = plan_of(items_cooccurrence_topk(spark, sf), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_blocklist_probe_is_broadcast(spark, sf):
+    """The 20-phrase blocklist probes the bigram scan by BROADCAST (a
+    production 10^5-phrase list gates the corpus in one pass), and the
+    persisted bigram-array frame fences the explode re-evaluation
+    (InMemoryTableScan feeds both consumers)."""
+    from aspep_etl_spark.plans.analytics_r9 import docs_blocklist_phrases
+
+    plan = plan_of(docs_blocklist_phrases(spark, sf), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_welch_single_cached_moment_scan(spark, sf):
+    """Both sides of the 5×5 pair grid read the CACHED 5-row moment
+    relation — the events scan happens once at runtime; the only
+    nested-loop join is the 5-row type grid."""
+    from aspep_etl_spark.plans.analytics_r9 import events_welch_ttest
+
+    plan = plan_of(events_welch_ttest(spark, sf), mode="simple")
+    assert plan.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_range_partition_two_scans_no_join(spark, sf):
+    """Sampled-boundary range audit: exactly two scans of the fact
+    table (key-only sample + assignment), boundary array broadcast, no
+    shuffle join anywhere; the ntile window runs on the sample only."""
+    from aspep_etl_spark.plans.analytics_r9 import layout_range_partition
+
+    plan = plan_of(layout_range_partition(spark, sf), mode="simple")
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # array probe, not a join
+
+
+def test_conformal_one_scoring_scan(spark, sf):
+    """Calibration grid, n_cal, and eval all read the one persisted
+    scoring scan; the cumulative window runs on the distinct-a6 grid
+    (never a corpus-grain single-partition sort of raw rows)."""
+    from aspep_etl_spark.plans.analytics_r9 import classifier_conformal
+
+    plan = plan_of(classifier_conformal(spark, sf), mode="simple")
+    assert plan.count("InMemoryTableScan") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_cuped_single_user_grain_pass(spark, sf):
+    """Pooled and per-variant moments both read the one cached
+    user-grain relation; no shuffle join anywhere."""
+    from aspep_etl_spark.plans.analytics_r9 import events_cuped_adjustment
+
+    plan = plan_of(events_cuped_adjustment(spark, sf), mode="simple")
+    assert plan.count("InMemoryTableScan") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_eb_shrinkage_topk_no_global_sort(spark, sf):
+    """The top-k output is a TakeOrdered, never a global sort; the
+    moment fit and the output both read the cached user-grain frame."""
+    from aspep_etl_spark.plans.analytics_r9 import user_rate_shrinkage
+
+    plan = plan_of(user_rate_shrinkage(spark, sf), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("InMemoryTableScan") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_nb_crossval_one_token_scan_broadcast_models(spark, sf):
+    """CV-by-subtraction: every count relation and the scoring pass
+    read the ONE persisted token scan (the 1-vs-K corpus passes
+    argument); the 25-row (class, fold) model joins by broadcast; no
+    cartesian product (the vocab×K grid is a broadcast of the 5-row
+    fold relation)."""
+    from aspep_etl_spark.plans.analytics_r9 import docs_nb_crossval
+
+    plan = plan_of(docs_nb_crossval(spark, sf), mode="simple")
+    assert plan.count("InMemoryTableScan") >= 5
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_k_anonymity_two_keyed_aggs_no_join(spark, sf):
+    """Privacy audit = scan + QI-grain agg + class-size rollup: no
+    join, no window, no single-partition exchange beyond the tiny
+    final rollup."""
+    from aspep_etl_spark.plans.analytics_r9 import customer_k_anonymity
+
+    plan = plan_of(customer_k_anonymity(spark, sf), mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two grains
+
+
+def test_reconciliation_bucket_grain_join_only(spark, sf):
+    """The reconciliation compares 64-row bucket signatures — the only
+    join in the plan is at bucket grain AFTER both aggregations (never
+    a row-level source⋈replica join)."""
+    from aspep_etl_spark.plans.analytics_r9 import lineitem_reconciliation
+
+    plan = plan_of(lineitem_reconciliation(spark, sf), mode="simple")
+    # top-down print: the full-outer bucket join is the plan ROOT side,
+    # printed before its two aggregate children — and each side is a
+    # partial+final aggregate over its own scan
+    assert plan.index("Join") < plan.index("HashAggregate")
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan

@@ -63,6 +63,13 @@ TIER_QUERIES = [
     "events_hll_daily_rollup",
     "customer_record_linkage",
     "layout_bucketed_join",
+    # round-6 batch 5/6: GD training rounds, basket pair fan-out,
+    # tokenize-once blocklist probe, one-scan K-fold CV, scoring scans
+    "docs_logreg_train",
+    "items_cooccurrence_topk",
+    "docs_blocklist_phrases",
+    "docs_nb_crossval",
+    "classifier_conformal",
 ]
 
 

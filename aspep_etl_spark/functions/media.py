@@ -324,3 +324,93 @@ def make_mp4(duration_ms: int, width: int = 0, height: int = 0) -> bytes:
     moov = box(b"moov", mvhd + box(b"trak", tkhd))
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     return ftyp + moov
+
+
+def decode_png_gray(b: bytes) -> list | None:
+    """Full stdlib decode of an 8-bit GRAYSCALE, non-interlaced PNG to a
+    list of scanline byte rows: IDAT concatenation, zlib inflate, and
+    per-scanline defiltering (all five standard filter types, bpp=1).
+    Returns None for anything that isn't this profile (color, 16-bit,
+    interlaced, palette) — the documented stub boundary: real corpora
+    carry RGB/interlaced files and would swap in PIL here; every shape
+    around the decode (Arrow batching, schema, hashing) is unchanged.
+    """
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    import struct as _s
+    import zlib as _z
+
+    w, h = _s.unpack(">II", b[16:24])
+    bitdepth, color, _comp, _filt, interlace = b[24:29]
+    if bitdepth != 8 or color != 0 or interlace != 0 or w == 0 or h == 0:
+        return None
+    pos, idat = 8, bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = _s.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IEND":
+            break
+    try:
+        raw = _z.decompress(bytes(idat))
+    except _z.error:
+        return None
+    if len(raw) != h * (w + 1):
+        return None
+    rows: list = []
+    prev = bytes(w)
+    for y in range(h):
+        line = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        ftype, data = line[0], bytearray(line[1:])
+        if ftype == 1:  # Sub
+            for x in range(1, w):
+                data[x] = (data[x] + data[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(w):
+                data[x] = (data[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(w):
+                left = data[x - 1] if x else 0
+                data[x] = (data[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(w):
+                a = data[x - 1] if x else 0
+                bb, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                data[x] = (data[x] + pr) & 0xFF
+        elif ftype != 0:
+            return None
+        rows.append(bytes(data))
+        prev = rows[-1]
+    return rows
+
+
+def ahash64(rows: list) -> tuple:
+    """64-bit average hash (aHash) of a grayscale pixel grid: 8×8 block
+    sums, each block's bit set iff its mean exceeds the global mean —
+    the comparison is the exact integer cross-product
+    ``sum_b · n_total > total · n_b`` (no float mean).  Bit (r, c) is
+    MSB-first at index r·8+c; returned as two non-negative 32-bit
+    halves (hi = bits 0..31) so downstream engines never touch the
+    sign bit of a 64-bit value."""
+    h, w = len(rows), len(rows[0])
+    total = sum(sum(r) for r in rows)
+    n_total = w * h
+    bits = []
+    for r in range(8):
+        y0, y1 = r * h // 8, (r + 1) * h // 8
+        for c in range(8):
+            x0, x1 = c * w // 8, (c + 1) * w // 8
+            n_b = (y1 - y0) * (x1 - x0)
+            if n_b <= 0:
+                bits.append(0)
+                continue
+            s_b = sum(sum(rows[y][x0:x1]) for y in range(y0, y1))
+            bits.append(1 if s_b * n_total > total * n_b else 0)
+    hi = sum(bit << (31 - i) for i, bit in enumerate(bits[:32]))
+    lo = sum(bit << (31 - i) for i, bit in enumerate(bits[32:]))
+    return hi, lo

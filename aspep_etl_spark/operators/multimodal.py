@@ -198,3 +198,42 @@ def files_as_media(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in _MEDIA_SCHEMA.fields])
 
     return binary_df.select("path", "content").mapInPandas(run, schema=_MEDIA_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("phash_hi", T.LongType()),
+        T.StructField("phash_lo", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(assets: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per image asset from a REAL pixel
+    decode: stdlib PNG inflate + per-scanline defilter
+    (``functions/media.py decode_png_gray`` — all five filter types,
+    grayscale profile; other profiles return null, the documented PIL
+    swap-in boundary), then 8×8 block means vs the global mean with an
+    exact integer comparison (``ahash64``).  One Arrow-batched pass;
+    output is two non-negative 32-bit halves so downstream hamming /
+    grouping arithmetic never touches a sign bit.  Non-image or
+    undecodable payloads yield null hashes (quarantine, never raise)."""
+    from ..functions.media import ahash64, decode_png_gray
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                hi = lo = None
+                rows = decode_png_gray(bytes(payload)) if payload is not None else None
+                if rows:
+                    hi, lo = ahash64(rows)
+                out.append(
+                    {"asset_id": int(asset_id), "phash_hi": hi, "phash_lo": lo}
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )

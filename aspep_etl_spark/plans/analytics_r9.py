@@ -1260,3 +1260,442 @@ FROM a FULL JOIN b USING (bucket)
 
 R9_QUERIES["lineitem_reconciliation"] = lineitem_reconciliation
 R9_ORACLE_SQL["lineitem_reconciliation"] = _RECON_SQL
+
+
+# --------------------------------------------------------------------------
+# embedding_jl_audit
+# --------------------------------------------------------------------------
+
+_JL_K = 16
+_JL_D = 64
+
+
+def _jl_matrix() -> list:
+    """Deterministic ±1 Rademacher projection matrix (k rows × d cols)
+    from md5 parity — a LITERAL both engines embed, so no engine hash
+    is evaluated per row (at 100 TB the matrix is a broadcast constant;
+    here it is 1,024 inline literals)."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for i in range(_JL_D)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+def embedding_jl_audit(spark, sf_dir):
+    """Johnson–Lindenstrauss random-projection audit: project d=64
+    embeddings to k=16 with a deterministic ±1 Rademacher matrix
+    (Achlioptas 2003) and report the distribution of pairwise
+    squared-distance distortion ||Ra−Rb||²/||a−b||² over the
+    consecutive-id pair sample — the check one runs BEFORE swapping a
+    corpus index to a cheaper projected space.  Distortion ratios are
+    bucketed at 0.1 grain (integer counts; min/max ride along rounded
+    4).  Exactness: the projection fold, the squared-diff folds, and
+    the final ratio run in INDEX ORDER on both engines (zip_with +
+    left fold ≡ DuckDB list comprehension + list_reduce), so the raw
+    doubles are bit-identical before any rounding.  Shapes: one keyed
+    self-join on vec_id+1 (no window over the corpus), map-side
+    projection, one tiny histogram agg."""
+    R = _jl_matrix()
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    rlit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in R]
+    )
+    proj = F.transform(
+        rlit,
+        lambda row: F.aggregate(
+            F.zip_with(F.col("x"), row, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        / F.lit(4.0),  # 1/sqrt(k), k=16
+    )
+    # persist the projected frame: both pair sides read ONE cached
+    # projection pass (the 1,024-term folds are the expensive map work)
+    p = emb.select("vec_id", "x", proj.alias("y")).persist()
+    a = p.select(
+        F.col("vec_id").alias("id"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = p.select(
+        (F.col("vec_id") - 1).alias("id"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+
+    def sqdist(u, v):
+        return F.aggregate(
+            F.zip_with(F.col(u), F.col(v), lambda s, t: (s - t) * (s - t)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = a.join(b, "id").select(
+        "id",
+        (sqdist("ya", "yb") / sqdist("xa", "xb")).alias("ratio"),
+    )
+    return (
+        pairs.groupBy(F.floor(F.col("ratio") * 10).cast("long").alias("ratio_band"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min("ratio"), 4).alias("min_ratio"),
+            F.round(F.max("ratio"), 4).alias("max_ratio"),
+        )
+    )
+
+
+def _jl_sql() -> str:
+    R = _jl_matrix()
+    rlit = "[" + ", ".join(
+        "[" + ", ".join(f"{float(v)}::DOUBLE" for v in row) + "]" for row in R
+    ) + "]"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+), proj AS MATERIALIZED (
+  SELECT vec_id, x,
+         list_transform({rlit}, row ->
+           list_reduce(
+             list_prepend(0.0::DOUBLE,
+               [x[i] * row[i] FOR i IN range(1, len(x) + 1)]),
+             (a, b) -> a + b) / 4.0) AS y
+  FROM emb
+), pairs AS (
+  SELECT a.vec_id AS id,
+         list_reduce(list_prepend(0.0::DOUBLE,
+           [(a.y[i] - b.y[i]) * (a.y[i] - b.y[i]) FOR i IN range(1, len(a.y) + 1)]),
+           (p, q) -> p + q)
+         / list_reduce(list_prepend(0.0::DOUBLE,
+           [(a.x[i] - b.x[i]) * (a.x[i] - b.x[i]) FOR i IN range(1, len(a.x) + 1)]),
+           (p, q) -> p + q) AS ratio
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+)
+SELECT CAST(floor(ratio * 10) AS BIGINT) AS ratio_band,
+       count(*)::BIGINT AS n_pairs,
+       round(min(ratio), 4) AS min_ratio,
+       round(max(ratio), 4) AS max_ratio
+FROM pairs
+GROUP BY 1
+"""
+
+
+R9_QUERIES["embedding_jl_audit"] = embedding_jl_audit
+R9_ORACLE_SQL["embedding_jl_audit"] = _jl_sql()
+
+
+# --------------------------------------------------------------------------
+# events_ucb1_replay
+# --------------------------------------------------------------------------
+
+
+def events_ucb1_replay(spark, sf_dir):
+    """Offline UCB1 bandit replay (Auer et al. 2002): arms = event
+    types, reward = cent value, one decision per day — which arm the
+    policy WOULD have pulled given cumulative evidence through the
+    previous day (mean + sqrt(2·ln N / n), unplayed arms first with
+    arm-asc priority).  The replay runs entirely on the day × arm GRID
+    (≤ 5·days rows — the dim-grain window budget): raw events reduce
+    once to per-cell (plays, Σcents), cumulative state is a per-arm
+    window with a -1 row bound, N comes from a same-grid day window.
+    Raw-double argmax (ln/sqrt of exact integers — bit-identical) with
+    arm-asc ties; scores surface rounded 4.  The policy-evaluation
+    shape every logged-decision system replays at scale."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.col("event_type").alias("arm"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day", "arm")
+        .agg(F.count("*").alias("n_dt"), F.sum("cents").alias("r_dt"))
+        .persist()  # the tiny cell grid feeds days, arms, and the replay
+    )
+    days = cells.select("day").distinct()
+    arms = cells.select("arm").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(arms))
+        .join(cells, ["day", "arm"], "left")
+        .select(
+            "day",
+            "arm",
+            F.coalesce(F.col("n_dt"), F.lit(0)).alias("n_dt"),
+            F.coalesce(F.col("r_dt"), F.lit(0)).alias("r_dt"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = grid.withColumn("cum_n", F.coalesce(F.sum("n_dt").over(wprev), F.lit(0)))
+    g = g.withColumn("cum_r", F.coalesce(F.sum("r_dt").over(wprev), F.lit(0)))
+    wday = Window.partitionBy("day")
+    g = g.withColumn("n_total", F.sum("cum_n").over(wday))
+    score = F.when(
+        F.col("cum_n") > 0,
+        F.col("cum_r").cast("double") / (F.lit(100.0) * F.col("cum_n").cast("double"))
+        + F.sqrt(
+            F.lit(2.0)
+            * F.log(F.col("n_total").cast("double"))
+            / F.col("cum_n").cast("double")
+        ),
+    )
+    wpick = Window.partitionBy("day").orderBy(
+        (F.col("cum_n") > 0).cast("int").asc(),
+        F.when(F.col("cum_n") > 0, -score).otherwise(F.lit(0.0)).asc(),
+        F.asc("arm"),
+    )
+    return (
+        g.withColumn("__score", score)
+        .withColumn("__r", F.row_number().over(wpick))
+        .filter(F.col("__r") == 1)
+        .select(
+            "day",
+            F.col("arm").alias("chosen_arm"),
+            F.round(F.col("__score"), 4).alias("ucb_score"),
+            F.when(
+                F.col("n_dt") > 0,
+                F.round(
+                    F.col("r_dt").cast("double")
+                    / (F.lit(100.0) * F.col("n_dt").cast("double")),
+                    4,
+                ),
+            ).alias("realized_mean"),
+        )
+    )
+
+
+_UCB_SQL = SPARK_ROUND4_MACRO + """
+WITH cells AS MATERIALIZED (
+  SELECT ts::DATE AS day, event_type AS arm,
+         count(*)::BIGINT AS n_dt,
+         sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS r_dt
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, a.arm,
+         coalesce(n_dt, 0)::BIGINT AS n_dt, coalesce(r_dt, 0)::BIGINT AS r_dt
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT DISTINCT arm FROM cells) a
+  LEFT JOIN cells USING (day, arm)
+), g AS (
+  SELECT *,
+         coalesce(sum(n_dt) OVER (PARTITION BY arm ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_n,
+         coalesce(sum(r_dt) OVER (PARTITION BY arm ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_r
+  FROM grid
+), g2 AS (
+  SELECT *, sum(cum_n) OVER (PARTITION BY day)::BIGINT AS n_total,
+         CASE WHEN cum_n > 0 THEN
+           cum_r::DOUBLE / (100.0 * cum_n::DOUBLE)
+           + sqrt(2.0 * ln(n_total_pre::DOUBLE) / cum_n::DOUBLE)
+         END AS score
+  FROM (SELECT *, sum(cum_n) OVER (PARTITION BY day)::BIGINT AS n_total_pre
+        FROM g)
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY day ORDER BY
+           (cum_n > 0)::INT ASC,
+           CASE WHEN cum_n > 0 THEN -score ELSE 0.0 END ASC,
+           arm ASC) AS r
+  FROM g2
+)
+SELECT day, arm AS chosen_arm,
+       CASE WHEN score IS NOT NULL THEN spark_round4(score) END AS ucb_score,
+       CASE WHEN n_dt > 0
+            THEN spark_round4(r_dt::DOUBLE / (100.0 * n_dt::DOUBLE)) END
+         AS realized_mean
+FROM picked WHERE r = 1
+"""
+
+R9_QUERIES["events_ucb1_replay"] = events_ucb1_replay
+R9_ORACLE_SQL["events_ucb1_replay"] = _UCB_SQL
+
+
+# --------------------------------------------------------------------------
+# events_ips_offpolicy
+# --------------------------------------------------------------------------
+
+_IPS_CLIP = 3
+_IPS_TARGET = "purchase"
+
+
+def events_ips_offpolicy(spark, sf_dir):
+    """Off-policy evaluation of a fixed target policy (always pull
+    'purchase') from logged traffic via inverse-propensity scoring
+    (Horvitz–Thompson; Swaminathan & Joachims SNIPS): behavior
+    propensities are the empirical per-day action frequencies, so the
+    per-day importance weight is the exact rational N_d/n_d (clipped at
+    3 by an INTEGER comparison, no float threshold).  Raw events
+    reduce to ≤ n_days cells (matched Σcents, matched count, day
+    total); the IPS / clipped-IPS / SNIPS sums fold over the DAY-SORTED
+    cell array (ordered left fold — the cross-engine IEEE discipline),
+    one row out.  The counterfactual-readout shape for any logged
+    decision system: one scan, one tiny grid, no row-level weights
+    materialized."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.col("event_type").alias("a"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("nd"),
+            F.sum((F.col("a") == _IPS_TARGET).cast("long")).alias("nm"),
+            F.sum(
+                F.when(F.col("a") == _IPS_TARGET, F.col("cents")).otherwise(0)
+            ).alias("sm"),
+        )
+        .filter(F.col("nm") > 0)
+    )
+    w = F.col("c.nd").cast("double") / F.col("c.nm").cast("double")
+    wc = F.when(
+        F.col("c.nd") <= _IPS_CLIP * F.col("c.nm"), w
+    ).otherwise(F.lit(float(_IPS_CLIP)))
+    terms = cells.alias("c").select(
+        "c.day",
+        "c.nd",
+        "c.nm",
+        (F.col("c.sm").cast("double") * w).alias("t_ips"),
+        (F.col("c.sm").cast("double") * wc).alias("t_num_c"),
+        (F.col("c.nm").cast("double") * wc).alias("t_den_c"),
+    )
+
+    def fold(field):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", field))),
+                lambda s: s[field],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return terms.agg(
+        F.count("*").alias("n_days"),
+        F.sum("nd").alias("n_total"),
+        F.sum("nm").alias("n_matched"),
+        F.round(fold("t_ips") / (F.lit(100.0) * F.sum("nd")), 4).alias("ips_value"),
+        F.round(fold("t_num_c") / (F.lit(100.0) * F.sum("nd")), 4).alias(
+            "ips_clipped"
+        ),
+        F.round(fold("t_num_c") / (F.lit(100.0) * fold("t_den_c")), 4).alias(
+            "snips_clipped"
+        ),
+    )
+
+
+_IPS_SQL = f"""
+WITH cells AS MATERIALIZED (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS nd,
+         sum((event_type = '{_IPS_TARGET}')::INT)::BIGINT AS nm,
+         sum(CASE WHEN event_type = '{_IPS_TARGET}'
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+           AS sm
+  FROM events GROUP BY 1
+  HAVING sum((event_type = '{_IPS_TARGET}')::INT) > 0
+), terms AS (
+  SELECT day, nd, nm,
+         sm::DOUBLE * (nd::DOUBLE / nm::DOUBLE) AS t_ips,
+         sm::DOUBLE * (CASE WHEN nd <= {_IPS_CLIP} * nm
+                            THEN nd::DOUBLE / nm::DOUBLE
+                            ELSE {_IPS_CLIP}.0 END) AS t_num_c,
+         nm::DOUBLE * (CASE WHEN nd <= {_IPS_CLIP} * nm
+                            THEN nd::DOUBLE / nm::DOUBLE
+                            ELSE {_IPS_CLIP}.0 END) AS t_den_c
+  FROM cells
+)
+SELECT count(*)::BIGINT AS n_days,
+       sum(nd)::BIGINT AS n_total,
+       sum(nm)::BIGINT AS n_matched,
+       round(list_reduce(list_prepend(0.0::DOUBLE, list(t_ips ORDER BY day)),
+                         (a, b) -> a + b) / (100.0 * sum(nd)), 4) AS ips_value,
+       round(list_reduce(list_prepend(0.0::DOUBLE, list(t_num_c ORDER BY day)),
+                         (a, b) -> a + b) / (100.0 * sum(nd)), 4) AS ips_clipped,
+       round(list_reduce(list_prepend(0.0::DOUBLE, list(t_num_c ORDER BY day)),
+                         (a, b) -> a + b)
+             / (100.0 *
+                list_reduce(list_prepend(0.0::DOUBLE, list(t_den_c ORDER BY day)),
+                            (a, b) -> a + b)), 4) AS snips_clipped
+FROM terms
+"""
+
+R9_QUERIES["events_ips_offpolicy"] = events_ips_offpolicy
+R9_ORACLE_SQL["events_ips_offpolicy"] = _IPS_SQL
+
+
+# --------------------------------------------------------------------------
+# media_phash_dedup
+# --------------------------------------------------------------------------
+
+
+def media_phash_dedup(spark, sf_dir):
+    """Perceptual image dedup: REAL PNG pixel decode (stdlib inflate +
+    full five-type scanline defilter, ``functions/media.py``) → 64-bit
+    average hash with exact integer mean comparisons → exact-hash
+    family grouping (count + id span per family).  Grouping at hash
+    grain is the scale-safe dedup shape (one keyed agg, NO pair
+    generation — the SimHash exact-band argument; a hamming-band
+    near-dup pass would bucket on hash prefixes with the LSH cap
+    discipline).  The ORACLE recomputes each hash in CLOSED FORM from
+    the deterministic synthesis recipe (gradient pixel (fill+y)%256,
+    dims from doc_id/text length) without touching a byte — so the
+    correctness gate proves the real decoder + hash end-to-end against
+    an independent derivation.  Audio/video/undecodable assets yield
+    null hashes and are quarantined out."""
+    from ..operators.multimodal import documents_as_media, perceptual_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    ph = perceptual_hash(documents_as_media(docs))
+    return (
+        ph.filter(F.col("phash_hi").isNotNull())
+        .groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.min("asset_id").alias("min_id"),
+            F.max("asset_id").alias("max_id"),
+        )
+    )
+
+
+def _phash_sql() -> str:
+    bit = []
+    for r in range(8):
+        bit.append(
+            f"(list_sum([(fill + y) % 256 FOR y IN "
+            f"range(({r} * h) // 8, ({r + 1} * h) // 8)]) * h"
+            f" > s * ((({r + 1} * h) // 8 - ({r} * h) // 8)))::INT AS b{r}"
+        )
+    hi = " + ".join(f"b{r} * ({255 << (24 - 8 * r)})" for r in range(4))
+    lo = " + ".join(f"b{r} * ({255 << (24 - 8 * (r - 4))})" for r in range(4, 8))
+    return f"""
+WITH img AS (
+  SELECT doc_id AS asset_id, doc_id % 256 AS fill,
+         16 + length(text) % 48 AS h
+  FROM documents WHERE doc_id % 3 = 0
+), withs AS (
+  SELECT *, list_sum([(fill + y) % 256 FOR y IN range(0, h)]) AS s FROM img
+), bits AS (
+  SELECT asset_id, {", ".join(bit)}
+  FROM withs
+), hashed AS (
+  SELECT asset_id, ({hi})::BIGINT AS phash_hi, ({lo})::BIGINT AS phash_lo
+  FROM bits
+)
+SELECT phash_hi, phash_lo, count(*)::BIGINT AS n_assets,
+       min(asset_id) AS min_id, max(asset_id) AS max_id
+FROM hashed
+GROUP BY 1, 2
+"""
+
+
+R9_QUERIES["media_phash_dedup"] = media_phash_dedup
+R9_ORACLE_SQL["media_phash_dedup"] = _phash_sql()

@@ -549,3 +549,37 @@ def test_reconciliation_bucket_grain_join_only(spark, sf):
     assert plan.count("HashAggregate") >= 4
     assert plan.count("Scan parquet") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_jl_audit_single_projection_pass(spark, sf):
+    """Both pair sides read the one cached projection (the 1,024-term
+    folds run once per vector); the pair join is keyed, no window over
+    the corpus."""
+    from aspep_etl_spark.plans.analytics_r9 import embedding_jl_audit
+
+    plan = plan_of(embedding_jl_audit(spark, sf), mode="simple")
+    assert plan.count("InMemoryTableScan") == 2
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ucb1_windows_on_grid_only(spark, sf):
+    """Raw events reduce once to the cached day×arm cell grid; every
+    window and join in the replay runs on grid-grain relations."""
+    from aspep_etl_spark.plans.analytics_r9 import events_ucb1_replay
+
+    plan = plan_of(events_ucb1_replay(spark, sf), mode="simple")
+    assert plan.count("InMemoryTableScan") == 3  # days, arms, grid probe
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ips_single_scan_no_join(spark, sf):
+    """Off-policy readout: one events scan, partial+final agg to the
+    day grid, ordered folds in the final 1-row agg — no join at all."""
+    from aspep_etl_spark.plans.analytics_r9 import events_ips_offpolicy
+
+    plan = plan_of(events_ips_offpolicy(spark, sf), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4

@@ -421,3 +421,246 @@ def test_reconciliation_matches_python(spark, sf_dir, lineitem_pd):
     # cancel across ≤ a handful of faults are measure-zero
     if faults:
         assert n_mismatch >= 1
+
+
+def test_jl_audit_matches_numpy(spark, sf_dir):
+    """Projection, squared-distance ratios, and the band histogram
+    recomputed with numpy float64 in the same fold order."""
+    import numpy as np
+
+    from aspep_etl_spark.plans.analytics_r9 import (
+        _jl_matrix,
+        embedding_jl_audit,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    R = np.array(_jl_matrix(), dtype=np.float64)
+    # same index-ordered left fold: numpy dot over 64 floats agrees with
+    # the sequential fold only up to ulps — recompute sequentially
+    def proj(x):
+        return np.array(
+            [sum(x[i] * R[j, i] for i in range(64)) / 4.0 for j in range(16)]
+        )
+
+    ids = emb["vec_id"].to_numpy()
+    P = {i: proj(X[n]) for n, i in enumerate(ids)}
+    Xd = {i: X[n] for n, i in enumerate(ids)}
+    bands: dict = {}
+    for i in ids:
+        if i + 1 not in P:
+            continue
+        num = sum((P[i][j] - P[i + 1][j]) ** 2 for j in range(16))
+        den = sum((Xd[i][j] - Xd[i + 1][j]) ** 2 for j in range(64))
+        ratio = num / den
+        b = math.floor(ratio * 10)
+        lo, hi, c = bands.get(b, (ratio, ratio, 0))
+        bands[b] = (min(lo, ratio), max(hi, ratio), c + 1)
+    got = {
+        r["ratio_band"]: (r["n_pairs"], r["min_ratio"], r["max_ratio"])
+        for r in embedding_jl_audit(spark, sf_dir).collect()
+    }
+    assert set(got) == set(bands)
+    for b, (lo, hi, c) in bands.items():
+        assert got[b][0] == c
+        assert got[b][1] == pytest.approx(round(lo, 4), abs=1e-4)
+        assert got[b][2] == pytest.approx(round(hi, 4), abs=1e-4)
+    # JL with k=16 should keep most pairs within ~2x distortion
+    total = sum(c for _, _, c in bands.values())
+    near = sum(c for b, (_, _, c) in bands.items() if 2 <= b <= 19)
+    assert near / total > 0.9
+
+
+def test_ucb1_replay_matches_python(spark, sf_dir):
+    """Day-by-day UCB1 replay recomputed in pure Python."""
+    from collections import defaultdict
+
+    from aspep_etl_spark.plans.analytics_r9 import events_ucb1_replay
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    ev["cents"] = (ev["value"] * 100).apply(math.floor).astype("int64")
+    cells = (
+        ev.groupby(["day", "event_type"])
+        .agg(n=("cents", "size"), r=("cents", "sum"))
+        .reset_index()
+    )
+    days = sorted(cells["day"].unique())
+    arms = sorted(cells["event_type"].unique())
+    byc = {
+        (r.day, r.event_type): (int(r.n), int(r.r)) for r in cells.itertuples()
+    }
+    cum = defaultdict(lambda: [0, 0])
+    exp = {}
+    for d in days:
+        ntot = sum(cum[a][0] for a in arms)
+        best = None
+        for a in arms:
+            n, r = cum[a]
+            if n == 0:
+                key = (0, 0.0, a)
+                score = None
+            else:
+                score = r / (100.0 * n) + math.sqrt(2.0 * math.log(ntot) / n)
+                key = (1, -score, a)
+            if best is None or key < best[0]:
+                best = (key, a, score)
+        nd, rd = byc.get((d, best[1]), (0, 0))
+        exp[d] = (
+            best[1],
+            None if best[2] is None else round(best[2], 4),
+            None if nd == 0 else round(rd / (100.0 * nd), 4),
+        )
+        for a in arms:
+            n, r = byc.get((d, a), (0, 0))
+            cum[a][0] += n
+            cum[a][1] += r
+    got = {
+        r["day"]: (r["chosen_arm"], r["ucb_score"], r["realized_mean"])
+        for r in events_ucb1_replay(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        for i in (1, 2):
+            if exp[d][i] is None:
+                assert got[d][i] is None
+            else:
+                assert got[d][i] == pytest.approx(exp[d][i], abs=2e-4)
+
+
+def test_ips_offpolicy_matches_python(spark, sf_dir):
+    """IPS / clipped / SNIPS recomputed from per-day cells."""
+    from aspep_etl_spark.plans.analytics_r9 import events_ips_offpolicy
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    ev["cents"] = (ev["value"] * 100).apply(math.floor).astype("int64")
+    rows = []
+    for d, grp in ev.groupby("day"):
+        nd = len(grp)
+        m = grp[grp["event_type"] == "purchase"]
+        nm, sm = len(m), int(m["cents"].sum())
+        if nm:
+            rows.append((d, nd, nm, sm))
+    rows.sort()
+    n_total = sum(r[1] for r in rows)
+    ips = sum(sm * (nd / nm) for _, nd, nm, sm in rows) / (100.0 * n_total)
+    num_c = sum(
+        sm * min(nd / nm, 3.0) for _, nd, nm, sm in rows
+    )
+    den_c = sum(nm * min(nd / nm, 3.0) for _, nd, nm, sm in rows)
+    r = events_ips_offpolicy(spark, sf_dir).collect()[0]
+    assert r["n_days"] == len(rows)
+    assert r["n_total"] == n_total
+    assert r["n_matched"] == sum(x[2] for x in rows)
+    assert r["ips_value"] == pytest.approx(ips, abs=2e-4)
+    assert r["ips_clipped"] == pytest.approx(num_c / (100.0 * n_total), abs=2e-4)
+    assert r["snips_clipped"] == pytest.approx(num_c / (100.0 * den_c), abs=2e-4)
+
+
+def _encode_png_filtered(rows, ftype):
+    """Re-encode a pixel grid with one of the five PNG filter types —
+    independent encoder used to exercise every defilter branch."""
+    import struct
+    import zlib
+
+    from aspep_etl_spark.functions.media import _png_chunk
+
+    w, h = len(rows[0]), len(rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    out = bytearray()
+    prev = bytes(w)
+    for r in rows:
+        out.append(ftype)
+        if ftype == 0:
+            out += r
+        elif ftype == 1:
+            out += bytes((r[x] - (r[x - 1] if x else 0)) & 0xFF for x in range(w))
+        elif ftype == 2:
+            out += bytes((r[x] - prev[x]) & 0xFF for x in range(w))
+        elif ftype == 3:
+            out += bytes(
+                (r[x] - (((r[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(w)
+            )
+        elif ftype == 4:
+            buf = []
+            for x in range(w):
+                a = r[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                buf.append((r[x] - pr) & 0xFF)
+            out += bytes(buf)
+        prev = r
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decode_all_filter_types(ftype):
+    """decode_png_gray inverts every standard scanline filter."""
+    from aspep_etl_spark.functions.media import decode_png_gray
+
+    rows = [
+        bytes([(7 * x * x + 13 * y + (x * y) % 31) % 256 for x in range(19)])
+        for y in range(13)
+    ]
+    assert decode_png_gray(_encode_png_filtered(rows, ftype)) == rows
+
+
+def test_png_decode_rejects_non_grayscale_profile():
+    from aspep_etl_spark.functions.media import decode_png_gray, make_jpeg
+
+    assert decode_png_gray(make_jpeg(8, 8)) is None
+    assert decode_png_gray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20) is None
+
+
+def test_ahash_known_value():
+    """Hand-checkable aHash: top half dark, bottom half bright — bits
+    are exactly the bottom 4 row-bands."""
+    from aspep_etl_spark.functions.media import ahash64
+
+    rows = [bytes([10] * 16) for _ in range(8)] + [
+        bytes([200] * 16) for _ in range(8)
+    ]
+    hi, lo = ahash64(rows)
+    assert hi == 0
+    assert lo == 0xFFFFFFFF
+
+
+def test_phash_dedup_matches_formula(spark, sf_dir, docs_pd):
+    """The Spark path (real zlib decode + defilter + ahash) must equal
+    the closed-form derivation from the synthesis recipe."""
+    from aspep_etl_spark.plans.analytics_r9 import media_phash_dedup
+
+    fam: dict = {}
+    for r in docs_pd.itertuples():
+        if r.doc_id % 3 != 0:
+            continue
+        fill, h = r.doc_id % 256, 16 + len(r.text) % 48
+        s = sum((fill + y) % 256 for y in range(h))
+        bits = []
+        for rr in range(8):
+            y0, y1 = rr * h // 8, (rr + 1) * h // 8
+            rs = sum((fill + y) % 256 for y in range(y0, y1))
+            bits.append(1 if rs * h > s * (y1 - y0) else 0)
+        hi = sum(bits[rr] * (255 << (24 - 8 * rr)) for rr in range(4))
+        lo = sum(bits[rr] * (255 << (24 - 8 * (rr - 4))) for rr in range(4, 8))
+        lst = fam.setdefault((hi, lo), [])
+        lst.append(r.doc_id)
+    exp = {
+        k: (len(v), min(v), max(v)) for k, v in fam.items()
+    }
+    got = {
+        (r["phash_hi"], r["phash_lo"]): (r["n_assets"], r["min_id"], r["max_id"])
+        for r in media_phash_dedup(spark, sf_dir).collect()
+    }
+    assert got == exp

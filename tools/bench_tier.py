@@ -70,6 +70,8 @@ TIER_QUERIES = [
     "docs_blocklist_phrases",
     "docs_nb_crossval",
     "classifier_conformal",
+    "embedding_jl_audit",
+    "lineitem_reconciliation",
 ]
 
 

@@ -1699,3 +1699,365 @@ GROUP BY 1, 2
 
 R9_QUERIES["media_phash_dedup"] = media_phash_dedup
 R9_ORACLE_SQL["media_phash_dedup"] = _phash_sql()
+
+
+# --------------------------------------------------------------------------
+# events_forecast_backtest
+# --------------------------------------------------------------------------
+
+_FB_SPLIT = "2024-01-24"  # last 7 days are the holdout
+_FB_SEASON = 7
+
+
+def events_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest with MASE (Hyndman & Koehler
+    2006): per event type, forecast daily revenue with ŷ_d = y_{d−7},
+    score the 7-day holdout by MAE, and scale it by the IN-SAMPLE
+    seasonal-naive MAE (the MASE denominator) so accuracy is comparable
+    across series of different magnitude — the backtest gate a
+    forecasting pipeline runs before promoting a model.  Everything
+    reduces to the day×type grid first (≤ 5·days rows), the lag is one
+    per-type grid window, and all |error| sums are BIGINT cents — two
+    exact integer sums per type, one final division, round 4."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.col("event_type").alias("series"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day", "series")
+        .agg(F.sum("cents").alias("y"))
+    )
+    w = Window.partitionBy("series").orderBy("day")
+    lagd = daily.withColumn("y_lag", F.lag("y", _FB_SEASON).over(w)).withColumn(
+        "is_test", F.col("day") >= F.lit(_FB_SPLIT).cast("date")
+    )
+    err = F.abs(F.col("y") - F.col("y_lag"))
+    agg = (
+        lagd.filter(F.col("y_lag").isNotNull())
+        .groupBy("series")
+        .agg(
+            F.sum((~F.col("is_test")).cast("long")).alias("n_train"),
+            F.sum(F.col("is_test").cast("long")).alias("n_test"),
+            F.sum(F.when(~F.col("is_test"), err).otherwise(0)).alias("sae_train"),
+            F.sum(F.when(F.col("is_test"), err).otherwise(0)).alias("sae_test"),
+        )
+    )
+    mae_test = F.col("sae_test").cast("double") / F.col("n_test").cast("double")
+    mae_train = F.col("sae_train").cast("double") / F.col("n_train").cast("double")
+    return agg.select(
+        "series",
+        "n_train",
+        "n_test",
+        F.round(mae_test / 100.0, 4).alias("mae_test"),
+        F.round(mae_train / 100.0, 4).alias("mae_insample"),
+        F.round(mae_test / mae_train, 4).alias("mase"),
+    )
+
+
+_FB_SQL = SPARK_ROUND4_MACRO + f"""
+WITH daily AS (
+  SELECT ts::DATE AS day, event_type AS series,
+         sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), lagd AS (
+  SELECT *, lag(y, {_FB_SEASON}) OVER (PARTITION BY series ORDER BY day)
+           AS y_lag,
+         day >= DATE '{_FB_SPLIT}' AS is_test
+  FROM daily
+), agg AS (
+  SELECT series,
+         sum((NOT is_test)::INT)::BIGINT AS n_train,
+         sum(is_test::INT)::BIGINT AS n_test,
+         sum(CASE WHEN NOT is_test THEN abs(y - y_lag) ELSE 0 END)::BIGINT
+           AS sae_train,
+         sum(CASE WHEN is_test THEN abs(y - y_lag) ELSE 0 END)::BIGINT
+           AS sae_test
+  FROM lagd WHERE y_lag IS NOT NULL
+  GROUP BY series
+)
+SELECT series, n_train, n_test,
+       spark_round4(sae_test::DOUBLE / n_test::DOUBLE / 100.0) AS mae_test,
+       spark_round4(sae_train::DOUBLE / n_train::DOUBLE / 100.0) AS mae_insample,
+       spark_round4((sae_test::DOUBLE / n_test::DOUBLE)
+             / (sae_train::DOUBLE / n_train::DOUBLE)) AS mase
+FROM agg
+"""
+
+R9_QUERIES["events_forecast_backtest"] = events_forecast_backtest
+R9_ORACLE_SQL["events_forecast_backtest"] = _FB_SQL
+
+
+# --------------------------------------------------------------------------
+# linkage_entity_clusters
+# --------------------------------------------------------------------------
+
+
+def linkage_entity_clusters(spark, sf_dir):
+    """The full entity-resolution pipeline: blocked Fellegi–Sunter
+    match pairs (``customer_record_linkage``) → connected components
+    over the bipartite record graph (A-records at 2k, B-records at
+    2k+1 — disjoint id spaces) → one row per MERGED ENTITY with record
+    counts per feed and the custkey span.  Transitive closure is what
+    turns pairwise matches into entities (A₁—B₃—A₇ collapses to one);
+    the CC runs on match edges only (bounded by linkage output, itself
+    block-bounded), pointer-jump iterations as in
+    ``operators/components.py``."""
+    from ..operators.components import connected_components
+
+    from .analytics_r8 import customer_record_linkage
+
+    matches = customer_record_linkage(spark, sf_dir).select(
+        (F.col("a_key") * 2).alias("id_a"),
+        (F.col("b_key") * 2 + 1).alias("id_b"),
+    )
+    cc = connected_components(matches, "id_a", "id_b")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum((F.col("node") % 2 == 0).cast("long")).alias("n_feed_a"),
+            F.sum((F.col("node") % 2 == 1).cast("long")).alias("n_feed_b"),
+            F.min(F.floor(F.col("node") / 2)).cast("long").alias("min_custkey"),
+            F.max(F.floor(F.col("node") / 2)).cast("long").alias("max_custkey"),
+        )
+        .select(
+            F.col("component").alias("entity"),
+            "n_records",
+            "n_feed_a",
+            "n_feed_b",
+            "min_custkey",
+            "max_custkey",
+        )
+    )
+
+
+def _linkage_cc_sql() -> str:
+    from .analytics_r8 import _RL_SQL
+
+    prefix = _RL_SQL[: _RL_SQL.rindex("SELECT a_key, b_key, name_dist")]
+    prefix = prefix.replace("WITH h AS (", "WITH RECURSIVE h AS (", 1)
+    return prefix.rstrip() + """, matches AS MATERIALIZED (
+  SELECT a_key * 2 AS id_a, b_key * 2 + 1 AS id_b
+  FROM scored WHERE score >= 6.0
+), edges AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS d FROM matches
+  UNION
+  SELECT id_b AS s, id_a AS d FROM matches
+), reach AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+), cc AS MATERIALIZED (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT component AS entity, count(*)::BIGINT AS n_records,
+       sum((node % 2 = 0)::INT)::BIGINT AS n_feed_a,
+       sum((node % 2 = 1)::INT)::BIGINT AS n_feed_b,
+       CAST(min(node // 2) AS BIGINT) AS min_custkey,
+       CAST(max(node // 2) AS BIGINT) AS max_custkey
+FROM cc GROUP BY component
+"""
+
+
+R9_QUERIES["linkage_entity_clusters"] = linkage_entity_clusters
+R9_ORACLE_SQL["linkage_entity_clusters"] = _linkage_cc_sql()
+
+
+# --------------------------------------------------------------------------
+# layout_hash_partition
+# --------------------------------------------------------------------------
+
+_HP_BUCKETS = 64
+
+
+def layout_hash_partition(spark, sf_dir):
+    """Hash-partition balance audit — the companion to
+    ``layout_range_partition``: assign each order key to one of 64
+    hash buckets (portable md5 hash, the engine-neutral stand-in for
+    murmur3 `pmod(hash(k), n)`), and report the balance summary plus a
+    chi-square uniformity statistic ((o−e)²/e with e = n/64 in exact
+    arithmetic until one division) — the pre-flight check that a
+    chosen partition count and key won't skew a 100 TB shuffle.  One
+    scan, one 64-group agg, one 1-row rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hp|"), F.col("o_orderkey"))), 1, 8), 16, 10
+    ).cast("long")
+    per = (
+        orders.select((h % _HP_BUCKETS).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("o"))
+    )
+    agg = per.agg(
+        F.count("*").alias("n_buckets_used"),
+        F.sum("o").alias("n_rows"),
+        F.min("o").alias("min_rows"),
+        F.max("o").alias("max_rows"),
+        F.sum(F.col("o") * F.col("o")).alias("sum_sq"),
+    )
+    # chi2 = B/n * sum(o^2) - n  (algebraic expansion of sum((o-e)^2/e))
+    chi2 = (
+        F.lit(float(_HP_BUCKETS)) * F.col("sum_sq").cast("double")
+        / F.col("n_rows").cast("double")
+        - F.col("n_rows").cast("double")
+    )
+    return agg.select(
+        "n_buckets_used",
+        "n_rows",
+        "min_rows",
+        "max_rows",
+        F.round(
+            F.col("max_rows").cast("double")
+            * F.lit(float(_HP_BUCKETS))
+            / F.col("n_rows").cast("double"),
+            4,
+        ).alias("max_balance"),
+        F.round(chi2, 4).alias("chi2"),
+    )
+
+
+_HP_SQL = f"""
+WITH per AS (
+  SELECT CAST('0x' || substr(md5('hp|' || o_orderkey::VARCHAR), 1, 8) AS BIGINT)
+           % {_HP_BUCKETS} AS bucket,
+         count(*)::BIGINT AS o
+  FROM orders GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_buckets_used,
+       sum(o)::BIGINT AS n_rows,
+       min(o)::BIGINT AS min_rows,
+       max(o)::BIGINT AS max_rows,
+       round(max(o)::DOUBLE * {_HP_BUCKETS}.0 / sum(o)::DOUBLE, 4)
+         AS max_balance,
+       round({_HP_BUCKETS}.0 * sum(o * o)::DOUBLE / sum(o)::DOUBLE
+             - sum(o)::DOUBLE, 4) AS chi2
+FROM per
+"""
+
+R9_QUERIES["layout_hash_partition"] = layout_hash_partition
+R9_ORACLE_SQL["layout_hash_partition"] = _HP_SQL
+
+
+# --------------------------------------------------------------------------
+# components_incremental
+# --------------------------------------------------------------------------
+
+
+def components_incremental(spark, sf_dir):
+    """Incremental connected-components maintenance — the graph twin of
+    ``events_mv_incremental``: a nightly dup-family graph keeps its old
+    component labels, and a delta batch (docs with md5(doc_id)%10 == 0)
+    contributes only its NEW edges.  The merge runs CC on the
+    CONTRACTED graph — touched edges with old endpoints mapped through
+    their existing labels — so the iterative work is O(components
+    touched + delta nodes), never a full-graph recompute.  Min-label
+    CC COMPOSES: an old component's label is already the min id of its
+    old part, so the contracted fixpoint reproduces exactly the labels
+    a full recompute would assign — and the ORACLE IS THE FULL
+    RECOMPUTE (recursive-CTE closure over all edges), so the
+    correctness gate itself proves the maintenance algebra.  Output:
+    one row per component with member counts split old/new."""
+    from ..operators.components import connected_components
+    from ..operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ccd|"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    docs = docs.withColumn("__new", is_new)
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+    flags = docs.select("doc_id", "__new")
+    fa = flags.select(F.col("doc_id").alias("id_a"), F.col("__new").alias("na"))
+    fb = flags.select(F.col("doc_id").alias("id_b"), F.col("__new").alias("nb"))
+    tagged = pairs.join(F.broadcast(fa), "id_a").join(F.broadcast(fb), "id_b").persist()
+    old_edges = tagged.filter(~F.col("na") & ~F.col("nb")).select("id_a", "id_b")
+    touched = tagged.filter(F.col("na") | F.col("nb")).select("id_a", "id_b")
+    base = connected_components(old_edges, "id_a", "id_b")  # (node, component)
+    la = base.select(F.col("node").alias("id_a"), F.col("component").alias("ca"))
+    lb = base.select(F.col("node").alias("id_b"), F.col("component").alias("cb"))
+    contracted = (
+        touched.join(la, "id_a", "left")
+        .join(lb, "id_b", "left")
+        .select(
+            F.coalesce(F.col("ca"), F.col("id_a")).alias("id_a"),
+            F.coalesce(F.col("cb"), F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    cc2 = connected_components(contracted, "id_a", "id_b")  # label -> new label
+    relab = cc2.select(F.col("node").alias("component"), F.col("component").alias("c2"))
+    # final label per matched node: old nodes re-labelled through cc2 when
+    # their component was touched; new nodes take their cc2 label directly
+    old_final = base.join(relab, "component", "left").select(
+        "node", F.coalesce(F.col("c2"), F.col("component")).alias("final")
+    )
+    new_nodes = (
+        touched.select(F.col("id_a").alias("node"))
+        .union(touched.select(F.col("id_b").alias("node")))
+        .distinct()
+        .join(base.select("node"), "node", "left_anti")
+    )
+    new_final = new_nodes.join(
+        cc2.select(F.col("node"), F.col("component").alias("final")), "node"
+    ).select("node", "final")
+    allf = old_final.unionByName(new_final)
+    return (
+        allf.join(F.broadcast(flags.select(F.col("doc_id").alias("node"), "__new")), "node")
+        .groupBy(F.col("final").alias("component"))
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum((~F.col("__new")).cast("long")).alias("n_old"),
+            F.sum(F.col("__new").cast("long")).alias("n_new"),
+        )
+    )
+
+
+_CCD_SQL = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
+), tri AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+), sizes AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM tri a JOIN tri b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS MATERIALIZED (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.05
+), edges AS MATERIALIZED (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), reach AS (
+  SELECT s AS node, s AS r FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+), cc AS MATERIALIZED (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT component, count(*)::BIGINT AS n_members,
+       sum((CAST('0x' || substr(md5('ccd|' || node::VARCHAR), 1, 8) AS BIGINT)
+            % 10 <> 0)::INT)::BIGINT AS n_old,
+       sum((CAST('0x' || substr(md5('ccd|' || node::VARCHAR), 1, 8) AS BIGINT)
+            % 10 = 0)::INT)::BIGINT AS n_new
+FROM cc GROUP BY component
+"""
+
+R9_QUERIES["components_incremental"] = components_incremental
+R9_ORACLE_SQL["components_incremental"] = _CCD_SQL

@@ -583,3 +583,22 @@ def test_ips_single_scan_no_join(spark, sf):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_forecast_backtest_grid_window_only(spark, sf):
+    """The lag-7 window runs on the day×type grid after one partial+
+    final reduction of raw events — one scan, no join."""
+    from aspep_etl_spark.plans.analytics_r9 import events_forecast_backtest
+
+    plan = plan_of(events_forecast_backtest(spark, sf), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_hash_partition_audit_single_scan(spark, sf):
+    from aspep_etl_spark.plans.analytics_r9 import layout_hash_partition
+
+    plan = plan_of(layout_hash_partition(spark, sf), mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

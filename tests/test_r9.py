@@ -664,3 +664,164 @@ def test_phash_dedup_matches_formula(spark, sf_dir, docs_pd):
         for r in media_phash_dedup(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_forecast_backtest_matches_python(spark, sf_dir):
+    """Seasonal-naive MAE/MASE recomputed from the daily cent grid."""
+    from collections import defaultdict
+
+    from aspep_etl_spark.plans.analytics_r9 import events_forecast_backtest
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    ev["cents"] = (ev["value"] * 100).apply(math.floor).astype("int64")
+    daily = (
+        ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    )
+    exp = {}
+    for t, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        y = grp["cents"].tolist()
+        days = grp["day"].tolist()
+        tr = te = str_ = ste = 0
+        for i in range(7, len(y)):
+            e = abs(y[i] - y[i - 7])
+            if str(days[i]) >= "2024-01-24":
+                te += 1
+                ste += e
+            else:
+                tr += 1
+                str_ += e
+        exp[t] = (
+            tr,
+            te,
+            round(ste / te / 100.0, 4),
+            round(str_ / tr / 100.0, 4),
+            round((ste / te) / (str_ / tr), 4),
+        )
+    got = {
+        r["series"]: (
+            r["n_train"],
+            r["n_test"],
+            r["mae_test"],
+            r["mae_insample"],
+            r["mase"],
+        )
+        for r in events_forecast_backtest(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for t in exp:
+        assert got[t][:2] == exp[t][:2]
+        for i in (2, 3, 4):
+            assert got[t][i] == pytest.approx(exp[t][i], abs=2e-4)
+
+
+def test_linkage_clusters_are_transitive_closures(spark, sf_dir):
+    """Every entity's record count decomposes into its two feeds; a
+    cluster never contains two records it has no match path between —
+    verified by recomputing components with a union-find over the match
+    pairs."""
+    from aspep_etl_spark.plans.analytics_r8 import customer_record_linkage
+    from aspep_etl_spark.plans.analytics_r9 import linkage_entity_clusters
+
+    pairs = [
+        (2 * r["a_key"], 2 * r["b_key"] + 1)
+        for r in customer_record_linkage(spark, sf_dir).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for node in parent:
+        clusters[find(node)].append(node)
+    exp = {
+        min(v): (
+            len(v),
+            sum(1 for n in v if n % 2 == 0),
+            sum(1 for n in v if n % 2 == 1),
+            min(n // 2 for n in v),
+            max(n // 2 for n in v),
+        )
+        for v in clusters.values()
+    }
+    got = {
+        r["entity"]: (
+            r["n_records"],
+            r["n_feed_a"],
+            r["n_feed_b"],
+            r["min_custkey"],
+            r["max_custkey"],
+        )
+        for r in linkage_entity_clusters(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_hash_partition_audit_matches_python(spark, sf_dir):
+    from collections import Counter
+
+    from aspep_etl_spark.plans.analytics_r9 import layout_hash_partition
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c: Counter = Counter(
+        _md5i(f"hp|{k}") % 64 for k in orders["o_orderkey"]
+    )
+    n = sum(c.values())
+    sum_sq = sum(v * v for v in c.values())
+    chi2 = 64.0 * sum_sq / n - n
+    r = layout_hash_partition(spark, sf_dir).collect()[0]
+    assert r["n_buckets_used"] == len(c)
+    assert r["n_rows"] == n
+    assert (r["min_rows"], r["max_rows"]) == (min(c.values()), max(c.values()))
+    assert r["max_balance"] == pytest.approx(max(c.values()) * 64 / n, abs=1e-4)
+    assert r["chi2"] == pytest.approx(chi2, abs=2e-4)
+
+
+def test_components_incremental_equals_full_recompute(spark, sf_dir):
+    """The contracted-graph merge must reproduce exactly the labels a
+    full union-find over ALL edges assigns (min-label composition)."""
+    from aspep_etl_spark.operators.dedup import jaccard_pairs
+    from aspep_etl_spark.plans.analytics_r9 import components_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import defaultdict
+
+    comp = defaultdict(list)
+    for node in parent:
+        comp[find(node)].append(node)
+    exp = {}
+    for members in comp.values():
+        old = sum(1 for n in members if _md5i(f"ccd|{n}") % 10 != 0)
+        exp[min(members)] = (len(members), old, len(members) - old)
+    got = {
+        r["component"]: (r["n_members"], r["n_old"], r["n_new"])
+        for r in components_incremental(spark, sf_dir).collect()
+    }
+    assert got == exp

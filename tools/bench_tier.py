@@ -72,6 +72,7 @@ TIER_QUERIES = [
     "classifier_conformal",
     "embedding_jl_audit",
     "lineitem_reconciliation",
+    "components_incremental",
 ]
 
 

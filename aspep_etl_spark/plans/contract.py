@@ -192,15 +192,7 @@ def flagship_ratio_rank(spark, sf_dir):
 # macro exists to avoid.  24 covers every |x| ≥ 1e-7 exactly, and below
 # that no .00005 boundary is reachable; integer part is capped at 1e14 —
 # fine for ratio-scale values, assert on the caller if reusing elsewhere.
-_SPARK_ROUND4_MACRO = (
-    "CREATE OR REPLACE MACRO spark_round4(x) AS list_transform([x::DOUBLE], rx ->\n"
-    "  round(CAST((CASE "
-    + " ".join(
-        f"WHEN CAST(printf('%.{n}g', rx) AS DOUBLE) = rx THEN printf('%.{n}g', rx)"
-        for n in range(1, 17)
-    )
-    + " ELSE printf('%.17g', rx) END) AS DECIMAL(38,24)), 4)::DOUBLE)[1];\n"
-)
+from .oracle_util import SPARK_ROUND4_MACRO as _SPARK_ROUND4_MACRO  # noqa: E402
 
 _FLAGSHIP_SQL = _SPARK_ROUND4_MACRO + """
 WITH agg AS (

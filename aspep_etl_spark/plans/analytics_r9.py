@@ -2061,3 +2061,32 @@ FROM cc GROUP BY component
 
 R9_QUERIES["components_incremental"] = components_incremental
 R9_ORACLE_SQL["components_incremental"] = _CCD_SQL
+
+
+# --------------------------------------------------------------------------
+# streaming_mv_maintenance
+# --------------------------------------------------------------------------
+
+
+def streaming_mv_maintenance(spark, sf_dir):
+    """Streaming materialized-view maintenance end to end
+    (streaming/mv.py): the daily rollup MV maintained through THREE
+    real micro-batches (input re-sharded, maxFilesPerTrigger=1) of
+    foreachBatch delta-agg + full-outer coalesce-sum merges, with
+    replay-idempotence batch markers.  The ORACLE is the one flat
+    GROUP BY full recompute — equality through repeated
+    order-insensitive merges proves the maintenance algebra under the
+    streaming engine, completing the batch
+    ``events_mv_incremental`` story (same metric, same merge)."""
+    from ..streaming.mv import run_streaming_mv_maintenance
+
+    return run_streaming_mv_maintenance(spark, f"{sf_dir}/events.parquet")
+
+
+R9_QUERIES["streaming_mv_maintenance"] = streaming_mv_maintenance
+R9_ORACLE_SQL["streaming_mv_maintenance"] = """
+SELECT ts::DATE::VARCHAR AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS cents_sum
+FROM events GROUP BY 1, 2
+"""

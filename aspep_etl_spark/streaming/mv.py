@@ -1,0 +1,150 @@
+"""[EXT] Streaming materialized-view maintenance — the end-to-end
+streaming twin of ``plans/analytics_r6b.events_mv_incremental``: a
+``foreachBatch`` loop that maintains the daily (day, event_type) rollup
+MV by aggregating ONLY each micro-batch's delta and merging it into the
+keyed store with a full-outer coalesce-sum — the refresh is O(delta)
+per batch, never a history re-aggregation.
+
+Two properties the batch variant cannot demonstrate:
+
+- **Multi-batch accumulation**: the input is split into several files
+  and streamed with ``maxFilesPerTrigger=1``, so the store provably
+  reaches the full-recompute fixpoint through REPEATED merges (the
+  merge algebra is associative-commutative integer sums, so batch
+  arrival order is irrelevant — which is also why the oracle can be the
+  one flat GROUP BY).
+- **Replay idempotence**: sum-merges are NOT naturally idempotent under
+  checkpoint-recovery redelivery (unlike latest-wins CDC), so each
+  applied batch leaves a ``_applied_<id>`` marker next to the store and
+  redelivered batch ids are skipped — the same dedup-ledger pattern a
+  transactional sink (Delta ``txnAppId``/``txnVersion``) provides
+  natively at lake scale.
+
+Store writes go through the staging-then-swap rename used by
+``enrich.run_stream_upsert`` (overwriting a path a lazy plan still
+reads is a data race).  No reference counterpart (batch-only pipeline).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MV_KEYS = ["day", "event_type"]
+
+
+def mv_delta_agg(events: DataFrame) -> DataFrame:
+    """The per-batch delta rollup — identical metric definition to the
+    batch MV (integer cents keep every merge associativity-exact)."""
+    return (
+        events.select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.round(F.col("value") * F.lit(100)).cast("long").alias("cents"),
+        )
+        .groupBy(*MV_KEYS)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+    )
+
+
+def mv_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Full-outer coalesce-sum merge of two MV states (one keyed join,
+    no history re-aggregation)."""
+    b = base.withColumnRenamed("n_events", "bn").withColumnRenamed(
+        "cents_sum", "bs"
+    )
+    d = delta.withColumnRenamed("n_events", "dn").withColumnRenamed(
+        "cents_sum", "ds"
+    )
+    m = b.join(d, MV_KEYS, "full_outer")
+    return m.select(
+        *MV_KEYS,
+        (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        (F.coalesce(F.col("bs"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
+        .cast("long")
+        .alias("cents_sum"),
+    )
+
+
+def run_streaming_mv_maintenance(
+    spark: SparkSession, events_path: str, n_splits: int = 3
+) -> DataFrame:
+    """Maintain the daily rollup MV through Structured Streaming and
+    return the final store.
+
+    The one input file is re-sharded into ``n_splits`` files so
+    ``maxFilesPerTrigger=1`` yields that many real micro-batches; each
+    ``foreachBatch`` call aggregates its delta, merges into the parquet
+    store (staging + atomic swap), and records the batch id for replay
+    idempotence.  Work dirs are fresh ``mkdtemp``s per call (the final
+    returned frame still reads the store, so they must outlive the
+    call — test-scale debris, a real deployment points at durable
+    paths)."""
+    work = tempfile.mkdtemp(prefix="mv_stream_")
+    shards = os.path.join(work, "shards")
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    # same session pins as streaming/events.events_stream: UTC keeps
+    # to_date host-zone-independent; nanosAsLong handles the driver
+    # parquet's TIMESTAMP(NANOS) ts
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # deterministic re-shard: event_id % n_splits, one file each
+    raw = spark.read.parquet(events_path)
+    for i in range(n_splits):
+        raw.filter(F.col("event_id") % n_splits == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(shards)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(shards).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        marker = os.path.join(work, f"_applied_{batch_id}")
+        if os.path.exists(marker):  # checkpoint-recovery redelivery
+            return
+        delta = mv_delta_agg(batch)
+        if os.path.isdir(store) and any(
+            f.endswith(".parquet") for f in os.listdir(store)
+        ):
+            base = s.read.parquet(store)
+            merged = mv_merge(base, delta)
+        else:
+            merged = delta
+        tmp = store + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.replace(tmp, store)
+        open(marker, "w").close()
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store).select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n_events",
+        "cents_sum",
+    )

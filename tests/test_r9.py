@@ -825,3 +825,68 @@ def test_components_incremental_equals_full_recompute(spark, sf_dir):
         for r in components_incremental(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_streaming_mv_equals_batch_recompute(spark, sf_dir):
+    """The store reached through three real micro-batch merges must
+    equal the one-shot batch rollup."""
+    from aspep_etl_spark.plans.analytics_r9 import streaming_mv_maintenance
+    from aspep_etl_spark.streaming.mv import mv_delta_agg
+
+    got = {
+        (r["day"], r["event_type"]): (r["n_events"], r["cents_sum"])
+        for r in streaming_mv_maintenance(spark, sf_dir).collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    exp = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], r["cents_sum"])
+        for r in mv_delta_agg(raw).collect()
+    }
+    assert got == exp
+
+
+def test_mv_merge_is_split_invariant(spark):
+    """Associative-commutative merge: any 2-way split of the delta
+    reaches the same store (the property that makes batch arrival order
+    irrelevant and the flat GROUP BY a valid oracle)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from aspep_etl_spark.streaming.mv import mv_delta_agg, mv_merge
+
+    rows = [
+        Row(ts=None, event_type=t, value=v, event_id=i)
+        for i, (t, v) in enumerate(
+            [("a", 1.0), ("a", 2.5), ("b", 3.0), ("a", 0.5), ("b", 1.25)]
+        )
+    ]
+    import datetime
+
+    rows = [
+        Row(
+            ts=datetime.datetime(2024, 1, 1 + (r.event_id % 2)),
+            event_type=r.event_type,
+            value=r.value,
+            event_id=r.event_id,
+        )
+        for r in rows
+    ]
+    df = spark.createDataFrame(rows)
+    full = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], r["cents_sum"])
+        for r in mv_delta_agg(df).collect()
+    }
+    for pivot in (1, 2, 3):
+        a = mv_delta_agg(df.filter(F.col("event_id") < pivot))
+        b = mv_delta_agg(df.filter(F.col("event_id") >= pivot))
+        merged = {
+            (str(r["day"]), r["event_type"]): (r["n_events"], r["cents_sum"])
+            for r in mv_merge(a, b).collect()
+        }
+        assert merged == full

@@ -2090,3 +2090,228 @@ SELECT ts::DATE::VARCHAR AS day, event_type,
        sum(round(value * 100)::BIGINT)::BIGINT AS cents_sum
 FROM events GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# referential_integrity_audit
+# --------------------------------------------------------------------------
+
+
+def referential_integrity_audit(spark, sf_dir):
+    """Foreign-key orphan audit across the star schema — the
+    data-quality gate that runs before every publish: for each FK edge
+    (lineitem→orders, lineitem→part, lineitem→supplier,
+    orders→customer), the child row count, orphan count (child keys
+    with no parent), and orphan rate.  Each check is ONE anti-join —
+    broadcast when the parent key set fits (at 100 TB the parent key
+    column is still only n_parent×8 bytes; beyond broadcast it becomes
+    a shuffled anti-join on the same plan), and all four checks union
+    into one relation.  Counts are exact integers; one rate division."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+
+    def check(name, child, fk, parent, pk):
+        pkeys = F.broadcast(
+            parent.select(F.col(pk).alias("k")).distinct().withColumn(
+                "__present", F.lit(1)
+            )
+        )
+        return (
+            child.select(F.col(fk).alias("k"))
+            .join(pkeys, "k", "left")
+            .agg(
+                F.lit(name).alias("fk_edge"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("__present").isNull().cast("long")).alias("n_orphans"),
+            )
+        )
+
+    checks = [
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        check("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        check("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        check("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "fk_edge",
+        "n_rows",
+        "n_orphans",
+        F.round(F.col("n_orphans").cast("double") / F.col("n_rows").cast("double"), 6)
+        .alias("orphan_rate"),
+    )
+
+
+_RI_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       (SELECT count(*) FROM lineitem)::BIGINT AS n_rows,
+       (SELECT count(*) FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+         AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part))::BIGINT
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT count(*) FROM lineitem)::BIGINT,
+       (SELECT count(*) FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))::BIGINT
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders)::BIGINT,
+       (SELECT count(*) FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+"""
+
+R9_QUERIES["referential_integrity_audit"] = referential_integrity_audit
+R9_ORACLE_SQL["referential_integrity_audit"] = (
+    "SELECT fk_edge, n_rows, n_orphans, "
+    "round(n_orphans::DOUBLE / n_rows::DOUBLE, 6) AS orphan_rate FROM ("
+    + _RI_SQL
+    + ")"
+)
+
+
+# --------------------------------------------------------------------------
+# events_value_psi
+# --------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_SPLIT_US = 1704067200000000 + 14 * 86400000000  # day 14
+
+
+def events_value_psi(spark, sf_dir):
+    """Population Stability Index (the scorecard-monitoring drift
+    metric) of the purchase-value distribution, weeks 1-2 (baseline) vs
+    weeks 3+ (current): decile bin edges come from the BASELINE's exact
+    cent-value grid (per-value counts + one cumulative window over
+    distinct cents — the Mann-Whitney discipline, never a
+    corpus-grain sort), both periods are histogrammed against those
+    edges by an 9-element broadcast array probe, and
+    PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) folds over the bin index in order
+    (ordered left fold, cross-engine IEEE-identical; bins are
+    Laplace-smoothed by +1 count so empty bins cannot produce ±inf).
+    PSI < 0.1 is the conventional 'stable' gate.  One scan, one grid
+    window, one histogram agg."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    base = ev.filter(us < _PSI_SPLIT_US).select(
+        F.floor(F.col("value") * 100).cast("long").alias("c")
+    ).persist()
+    ncal = base.agg(F.count("*").alias("n"))
+    grid = base.groupBy("c").agg(F.count("*").alias("cnt"))
+    wg = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.withColumn("cum", F.sum("cnt").over(wg))
+    # edge i (i=1..9) = smallest cent value with cum ≥ ceil(i·n/10)
+    edges = (
+        cum.crossJoin(F.broadcast(ncal))
+        .select(
+            "c",
+            "cum",
+            F.explode(
+                F.expr(f"transform(sequence(1, {_PSI_BINS - 1}), i -> i)")
+            ).alias("i"),
+            "n",
+        )
+        .filter(F.col("cum") * _PSI_BINS >= F.col("i") * F.col("n"))
+        .groupBy("i")
+        .agg(F.min("c").alias("edge"))
+        .agg(F.sort_array(F.collect_list("edge")).alias("edges"))
+    )
+    both = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            (F.unix_micros(F.col("ts")) < _PSI_SPLIT_US).alias("is_base"),
+        )
+        .crossJoin(F.broadcast(edges))
+        .select(
+            (F.size(F.filter(F.col("edges"), lambda e: F.col("c") > e)) + 1).alias(
+                "bin"
+            ),
+            "is_base",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("is_base").cast("long")).alias("nb"),
+            F.sum((~F.col("is_base")).cast("long")).alias("nc"),
+        )
+        .persist()  # the 10-row histogram feeds totals AND terms
+    )
+    tot = both.agg(
+        F.sum(F.col("nb") + 1).alias("tb"), F.sum(F.col("nc") + 1).alias("tc")
+    )
+    term = (
+        (F.col("nb") + 1).cast("double") / F.col("tb").cast("double")
+        - (F.col("nc") + 1).cast("double") / F.col("tc").cast("double")
+    ) * (
+        F.log(
+            ((F.col("nb") + 1).cast("double") / F.col("tb").cast("double"))
+            / ((F.col("nc") + 1).cast("double") / F.col("tc").cast("double"))
+        )
+    )
+    terms = both.crossJoin(F.broadcast(tot)).select("bin", term.alias("t"))
+    return terms.agg(
+        F.count("*").alias("n_bins"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bin", "t"))),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("psi"),
+    )
+
+
+_PSI_SQL = f"""
+WITH p AS MATERIALIZED (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS c,
+         epoch_us(ts) < {_PSI_SPLIT_US} AS is_base
+  FROM events WHERE event_type = 'purchase'
+), ncal AS (SELECT count(*)::BIGINT AS n FROM p WHERE is_base),
+cum AS (
+  SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM (
+    SELECT c, count(*) AS cnt FROM p WHERE is_base GROUP BY c
+  )
+), edges AS (
+  SELECT list_sort(list(edge)) AS edges FROM (
+    SELECT i, min(c) AS edge
+    FROM cum, ncal, (SELECT unnest(generate_series(1, {_PSI_BINS - 1})) AS i)
+    WHERE cum * {_PSI_BINS} >= i * n
+    GROUP BY i
+  )
+), hist AS (
+  SELECT (len(list_filter(edges, e -> c > e)) + 1)::BIGINT AS bin,
+         sum(is_base::INT)::BIGINT AS nb,
+         sum((NOT is_base)::INT)::BIGINT AS nc
+  FROM p, edges
+  GROUP BY 1
+), tot AS (
+  SELECT sum(nb + 1)::BIGINT AS tb, sum(nc + 1)::BIGINT AS tc FROM hist
+), terms AS (
+  SELECT bin,
+         ((nb + 1)::DOUBLE / tb::DOUBLE - (nc + 1)::DOUBLE / tc::DOUBLE)
+         * ln(((nb + 1)::DOUBLE / tb::DOUBLE)
+              / ((nc + 1)::DOUBLE / tc::DOUBLE)) AS t
+  FROM hist, tot
+)
+SELECT count(*)::BIGINT AS n_bins,
+       round(list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY bin)),
+                         (a, b) -> a + b), 6) AS psi
+FROM terms
+"""
+
+R9_QUERIES["events_value_psi"] = events_value_psi
+R9_ORACLE_SQL["events_value_psi"] = _PSI_SQL

@@ -602,3 +602,28 @@ def test_hash_partition_audit_single_scan(spark, sf):
     plan = plan_of(layout_hash_partition(spark, sf), mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_ri_audit_broadcast_joins_only(spark, sf):
+    """Every FK check joins its broadcast parent key set — no shuffle
+    join, no cartesian; partial+final aggs above each."""
+    from aspep_etl_spark.plans.analytics_r9 import referential_integrity_audit
+
+    plan = plan_of(referential_integrity_audit(spark, sf), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_grid_window_and_broadcast_edges(spark, sf):
+    """Decile edges come from the distinct-cent grid cumulative window;
+    the histogram probes a broadcast 9-element array — no shuffle join
+    of the fact rows."""
+    from aspep_etl_spark.plans.analytics_r9 import events_value_psi
+
+    plan = plan_of(events_value_psi(spark, sf), mode="simple")
+    assert "SortMergeJoin" not in plan
+    # the cached histogram feeds totals and terms; the only windows are
+    # the baseline grid cumsum (reprinted once per cached-lineage print)
+    assert plan.count("InMemoryTableScan") >= 2
+    assert plan.count("Window") <= 2

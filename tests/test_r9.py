@@ -890,3 +890,73 @@ def test_mv_merge_is_split_invariant(spark):
             for r in mv_merge(a, b).collect()
         }
         assert merged == full
+
+
+def test_referential_integrity_matches_python(spark, sf_dir, lineitem_pd):
+    from aspep_etl_spark.plans.analytics_r9 import referential_integrity_audit
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    supp = pd.read_parquet(f"{sf_dir}/supplier.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    exp = {
+        "lineitem.l_orderkey->orders": (
+            len(lineitem_pd),
+            int((~lineitem_pd["l_orderkey"].isin(orders["o_orderkey"])).sum()),
+        ),
+        "lineitem.l_partkey->part": (
+            len(lineitem_pd),
+            int((~lineitem_pd["l_partkey"].isin(part["p_partkey"])).sum()),
+        ),
+        "lineitem.l_suppkey->supplier": (
+            len(lineitem_pd),
+            int((~lineitem_pd["l_suppkey"].isin(supp["s_suppkey"])).sum()),
+        ),
+        "orders.o_custkey->customer": (
+            len(orders),
+            int((~orders["o_custkey"].isin(cust["c_custkey"])).sum()),
+        ),
+    }
+    got = {
+        r["fk_edge"]: (r["n_rows"], r["n_orphans"])
+        for r in referential_integrity_audit(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+
+def test_psi_matches_python(spark, sf_dir):
+    from aspep_etl_spark.plans.analytics_r9 import events_value_psi
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    base_mask = ev["ts"] < pd.Timestamp("2024-01-15")
+    cents = (ev["value"] * 100).apply(math.floor).astype("int64")
+    base = sorted(cents[base_mask])
+    n = len(base)
+    from collections import Counter
+
+    cc = Counter(base)
+    edges, cum = [], 0
+    vals = sorted(cc)
+    for i in range(1, 10):
+        cum2, edge = 0, None
+        for v in vals:
+            cum2 += cc[v]
+            if cum2 * 10 >= i * n:
+                edge = v
+                break
+        edges.append(edge)
+    def bin_of(c):
+        return sum(1 for e in edges if c > e) + 1
+    nb: Counter = Counter(bin_of(c) for c in cents[base_mask])
+    nc: Counter = Counter(bin_of(c) for c in cents[~base_mask])
+    bins = sorted(set(nb) | set(nc))
+    tb = sum(nb.get(b, 0) + 1 for b in bins)
+    tc = sum(nc.get(b, 0) + 1 for b in bins)
+    psi = 0.0
+    for b in bins:
+        p, q = (nb.get(b, 0) + 1) / tb, (nc.get(b, 0) + 1) / tc
+        psi += (p - q) * math.log(p / q)
+    r = events_value_psi(spark, sf_dir).collect()[0]
+    assert r["n_bins"] == len(bins)
+    assert r["psi"] == pytest.approx(psi, abs=1e-5)

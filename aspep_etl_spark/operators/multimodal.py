@@ -180,16 +180,21 @@ def files_as_media(binary_df: DataFrame) -> DataFrame:
         modality_of = {f: "image" for f in IMAGE_FORMATS}
         modality_of.update({f: "audio" for f in AUDIO_FORMATS})
         modality_of.update({f: "video" for f in VIDEO_FORMATS})
-        import zlib as _zlib
+        import hashlib as _hashlib
 
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
                 fmt = sniff_format(raw)
+                # 63-bit id from the md5 prefix of the path: birthday
+                # collisions at ~3.6e9 assets (vs ~80k for a 31-bit
+                # crc32) — safe for a real media lake; the full path
+                # stays alongside in media_meta as the exact key.
+                path_h = _hashlib.md5(path.encode()).hexdigest()
                 rows.append(
                     {
-                        "asset_id": _zlib.crc32(path.encode()) & 0x7FFFFFFF,
+                        "asset_id": int(path_h[:15], 16) & 0x7FFFFFFFFFFFFFFF,
                         "modality": modality_of.get(fmt, "unknown"),
                         "payload": raw,
                         "media_meta": {"path": path, "format": fmt or "unknown"},

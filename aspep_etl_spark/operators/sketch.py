@@ -170,7 +170,7 @@ def hll_alpha_mm(p: int) -> float:
     constant in Python so both engines consume the identical literal
     (DuckDB folds decimal-literal products in DECIMAL arithmetic,
     Spark in binary64 — injecting the pre-folded repr sidesteps the
-    divergence; see CLAUDE.md literal-folding rule)."""
+    divergence; see PERF.md literal-folding rule)."""
     m = 1 << p
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
     return alpha * m * m

@@ -2185,7 +2185,7 @@ def basket_association_rules(spark, sf_dir):
     per order, not corpus²); item supports are a 25-row broadcast; the
     only corpus-sized shuffles are the basket distinct and the pair
     count — both keyed.  Integer-only thresholding (// 50) avoids the
-    cross-engine 0.02·n DECIMAL trap documented in CLAUDE.md."""
+    cross-engine 0.02·n DECIMAL trap documented in PERF.md."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     baskets = (

@@ -373,6 +373,42 @@ R8_ORACLE_SQL["customer_record_linkage"] = _RL_SQL
 # layout_bucketed_join
 # --------------------------------------------------------------------------
 
+_BUCKETED_CLEANUP_PATHS: set = set()
+
+
+def _register_bucketed_cleanup(base: str) -> None:
+    """atexit-remove the pid-keyed bucketed-table dir.  The dirs are
+    pid-keyed so concurrent processes never collide, which also means a
+    dead process's copies are pure debris — without this hook every
+    bench/test run leaks two parquet copies of orders+customer under
+    /tmp/aspep_bucketed (this host has hit disk-full at sf0.1 before)."""
+    if base in _BUCKETED_CLEANUP_PATHS:
+        return
+    if not _BUCKETED_CLEANUP_PATHS:
+        import atexit
+        import os
+        import shutil
+
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _BUCKETED_CLEANUP_PATHS
+            ]
+        )
+        # sweep debris from crashed/killed prior runs: any sibling dir
+        # whose trailing _<pid> no longer names a live process
+        root = os.path.dirname(base)
+        try:
+            for d in os.listdir(root):
+                pid_part = d.rsplit("_", 1)[-1]
+                if not pid_part.isdigit():
+                    continue
+                if not os.path.exists(f"/proc/{pid_part}"):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        except OSError:
+            pass
+    _BUCKETED_CLEANUP_PATHS.add(base)
+
 
 def layout_bucketed_join(spark, sf_dir):
     """orders ⋈ customer revenue per market segment, read from
@@ -387,6 +423,7 @@ def layout_bucketed_join(spark, sf_dir):
     tag = re.sub(r"\W+", "_", os.path.basename(os.path.normpath(sf_dir)))
     pid = os.getpid()
     base = f"/tmp/aspep_bucketed/{tag}_{pid}"
+    _register_bucketed_cleanup(base)
     ot = f"aspep_bkt_orders_{tag}_{pid}"
     ct = f"aspep_bkt_customer_{tag}_{pid}"
     if not spark.catalog.tableExists(ot):

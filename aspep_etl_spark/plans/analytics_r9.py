@@ -22,7 +22,7 @@ split-conformal prediction — each with a hash-exact DuckDB twin.
   every event-type pair.  Moments are CENT-QUANTIZED BIGINTs
   (floor(value·100) — floor, not round: double floor is
   engine-identical, while round(double) sits on the Spark-BigDecimal /
-  DuckDB-double boundary documented in CLAUDE.md), so Σv and Σv² are
+  DuckDB-double boundary documented in PERF.md), so Σv and Σv² are
   order-insensitive-exact; t and the Welch–Satterthwaite df are one
   identical double expression tree over those integers, rounded 4.
   One partial+final agg over the scan; the pair grid is a 5×5 self-join

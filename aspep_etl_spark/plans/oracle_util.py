@@ -4,7 +4,7 @@
 ``round(double, 4)`` rounds the SHORTEST decimal representation that
 round-trips (BigDecimal(Double.toString) semantics), while DuckDB
 rounds in scaled double math; they diverge when the value sits at a
-.5·10⁻⁴ boundary of its shortest repr (~1 in 3k values, see CLAUDE.md).
+.5·10⁻⁴ boundary of its shortest repr (~1 in 3k values, see PERF.md).
 The macro reproduces Spark's semantics in DuckDB: find the first %.Ng
 printf that round-trips, parse it as DECIMAL(38,24), round HALF_UP.
 Prepend to any oracle whose round-4 output column has enough rows for

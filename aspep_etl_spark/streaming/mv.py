@@ -116,10 +116,21 @@ def run_streaming_mv_maintenance(
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # Replay-idempotence marker lives INSIDE the store dir and is
+        # written into the staging dir BEFORE the swap, so marker and
+        # store commit in one atomic os.replace — the Delta-Lake
+        # txnAppId/txnVersion pattern on plain parquet.  (Spark's
+        # parquet reader ignores underscore-prefixed files, so the
+        # marker rides along invisibly.)  foreachBatch redelivers only
+        # the last uncommitted batch on checkpoint recovery, so only
+        # the newest marker needs to survive the swap.
         s = batch.sparkSession
-        marker = os.path.join(work, f"_applied_{batch_id}")
-        if os.path.exists(marker):  # checkpoint-recovery redelivery
-            return
+        old = store + "__old"
+        if not os.path.isdir(store) and os.path.isdir(old):
+            # crash landed between the two renames below: roll forward
+            os.replace(old, store)
+        if os.path.exists(os.path.join(store, f"_applied_{batch_id}")):
+            return  # checkpoint-recovery redelivery
         delta = mv_delta_agg(batch)
         if os.path.isdir(store) and any(
             f.endswith(".parquet") for f in os.listdir(store)
@@ -130,10 +141,12 @@ def run_streaming_mv_maintenance(
             merged = delta
         tmp = store + "__staging"
         merged.write.mode("overwrite").parquet(tmp)
+        open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(store):
-            shutil.rmtree(store)
+            os.replace(store, old)  # atomic; never rmtree the live store
         os.replace(tmp, store)
-        open(marker, "w").close()
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -148,7 +148,7 @@ def test_bucketed_join_plan_is_shuffle_free(spark, sf_dir):
     plan as a SortMergeJoin with exactly ONE Exchange in the whole
     query — the final groupBy's — i.e. the join itself reads both
     sides pre-partitioned from the bucket layout.  (Count nodes in
-    mode='simple': formatted prints every node twice — CLAUDE.md.)"""
+    mode='simple': formatted prints every node twice — PERF.md.)"""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

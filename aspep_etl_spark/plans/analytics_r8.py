@@ -243,20 +243,10 @@ R8_ORACLE_SQL["events_hll_daily_rollup"] = _hll_rollup_sql()
 # --------------------------------------------------------------------------
 
 
-def customer_record_linkage(spark, sf_dir):
-    """Blocked Fellegi–Sunter linkage of customer vs a deterministically
-    dirtied copy of itself; emits pairs scoring ≥ 6.0 with per-field
-    evidence and the ground-truth flag.  One equi-join on the
-    (nationkey, name-prefix, $1-balance-band) block key, the A side
-    probing bands −1/0/+1 — the band refinement is LOSSLESS w.r.t. the
-    ≥ 6.0 contract (the maximum score without the cents-agreement term
-    is 4.0 − 1.5 + 1.0 = 3.5, so every emitted match has cents_diff ≤
-    10 ≪ the 100-cent band width), and it is what bounds candidate
-    pairs under duplicate-NAME skew: the sf1 rehearsal's tiled corpus
-    (10 copies of every name) blew name-prefix-only blocking up ×100 in
-    candidates (61M scored pairs, 251 s); banding restores
-    output-proportional work.  At corpus scale the prefix length also
-    grows with log10(n)."""
+def _linkage_sides(spark, sf_dir):
+    """The clean (a) and deterministically-dirtied (b) sides of the
+    linkage corpus; shared by the production query and the candidate
+    audit in tests/test_r8.py."""
     cust = _t(spark, sf_dir, "customer")
     hv = F.conv(
         F.substring(F.md5(F.concat(F.lit("rl|"), F.col("c_custkey").cast("string"))), 1, 8),
@@ -290,19 +280,96 @@ def customer_record_linkage(spark, sf_dir):
         F.col("c_nationkey").alias("a_nat"),
         F.col("cents").alias("a_cents"),
         F.col("c_mktsegment").alias("a_segment"),
-        F.substring("c_name", 1, 15).alias("blk"),
+    )
+    return a, b
+
+
+def _linkage_candidates(spark, sf_dir):
+    """Candidate pairs as the union of two equi-join streams, both
+    LOSSLESS w.r.t. the ≥ 6.0 score contract (proof in
+    ``customer_record_linkage``): an exact-name stream (full-name hash
+    join, levenshtein statically 0) and a near-name stream blocked on
+    (nationkey, name-prefix, $1-balance-band ±1, SEGMENT) restricted to
+    1 ≤ name_dist ≤ 2.  Returns the pre-score-filter candidate frame
+    with a ``name_dist`` column — the relation the skew audit counts."""
+    a, b = _linkage_sides(spark, sf_dir)
+    bb = b.withColumn("b_band", F.floor(F.col("b_cents") / 100.0).cast("long"))
+
+    # Stream E — name_dist = 0 ⟺ full-name equality: a plain hash join
+    # on (name, nationkey).  No levenshtein, no band fan-out; under
+    # duplicate-name skew (the sf1 tiled corpus: 10 copies of every
+    # name) the quadratic tile mass concentrates HERE, where each pair
+    # costs one hash probe — and those pairs are mostly emitted output
+    # anyway, so the work is output-proportional by construction.
+    exact = a.join(
+        bb,
+        (F.col("a_name") == F.col("b_name")) & (F.col("a_nat") == F.col("b_nat")),
+    ).withColumn("name_dist", F.lit(0).cast("long"))
+
+    # Stream N — 1 ≤ name_dist ≤ 2: blocked on the original
+    # (nationkey, 15-char prefix, band ±1) key PLUS segment equality,
+    # the second banding dimension the score REQUIRES agreement on for
+    # any non-exact name (max score with a segment miss is
+    # 2.5 + 3.0 − 0.5 = 5.0 < 6.0).  Segment never separates two tile
+    # copies of the same row, but exact-name pairs no longer reach this
+    # join at all — the name_dist ≥ 1 restriction keeps the streams
+    # disjoint — so the quadratic tile mass is gone and segment's ~5×
+    # cut applies to the remaining cross-name candidates.
+    an = a.select(
+        "*", F.substring("a_name", 1, 15).alias("blk")
     ).withColumn(
         "__off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
     ).withColumn(
         "band", F.floor(F.col("a_cents") / 100.0).cast("long") + F.col("__off")
     )
-    pairs = a.join(
-        b.withColumn("b_band", F.floor(F.col("b_cents") / 100.0).cast("long")),
-        (F.col("a_nat") == F.col("b_nat"))
-        & (F.col("blk") == F.substring("b_name", 1, 15))
-        & (F.col("band") == F.col("b_band")),
+    near = (
+        an.join(
+            bb,
+            (F.col("a_nat") == F.col("b_nat"))
+            & (F.col("blk") == F.substring("b_name", 1, 15))
+            & (F.col("band") == F.col("b_band"))
+            & (F.col("a_segment") == F.col("b_segment")),
+        )
+        .withColumn("name_dist", F.levenshtein(F.col("a_name"), F.col("b_name")).cast("long"))
+        .filter(F.col("name_dist").between(1, 2))
+        .drop("blk", "__off", "band")
     )
-    name_dist = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    cols = [
+        "a_key", "a_name", "a_nat", "a_cents", "a_segment",
+        "b_key", "b_name", "b_nat", "b_cents", "b_segment", "name_dist",
+    ]
+    return exact.select(*cols).unionByName(near.select(*cols))
+
+
+def customer_record_linkage(spark, sf_dir):
+    """Blocked Fellegi–Sunter linkage of customer vs a deterministically
+    dirtied copy of itself; emits pairs scoring ≥ 6.0 with per-field
+    evidence and the ground-truth flag.
+
+    The candidate plan is a LOSSLESS two-stream decomposition of the
+    score threshold.  score ≥ 6.0 ⟺
+      (name_dist = 0 ∧ cents_diff ≤ 10)            — 4.0+3.0−0.5 = 6.5
+      ∨ (1 ≤ name_dist ≤ 2 ∧ cents_diff ≤ 10
+         ∧ segment agreement)                       — 2.5+3.0+1.0 = 6.5
+    because without the cents term the best case is 4.0−1.5+1.0 = 3.5,
+    and a near-name with a segment miss tops out at 2.5+3.0−0.5 = 5.0.
+    So stream E joins on FULL NAME (levenshtein statically 0, no band
+    fan-out) and stream N keeps the original (nationkey, 15-char
+    prefix, $1-band ±1) block key plus SEGMENT equality.  The original
+    blocking contract is preserved exactly: name-equal pairs satisfy
+    the prefix block trivially and cents_diff ≤ 10 forces the bands
+    within ±1, so the emitted relation is bit-identical to the
+    single-stream plan (oracle unchanged).
+
+    Why two streams: the round-6 single-join plan was output-correct
+    but superlinear on the sf1 tiled corpus (11.2× wall for 10× rows)
+    — duplicate names put the quadratic tile mass through the
+    levenshtein+band join.  Routing exact names through a bare hash
+    join makes the heavy path output-proportional, and segment
+    agreement cuts the residual cross-name candidates ~5×.
+    tests/test_r8.py pins candidate growth vs tiling."""
+    pairs = _linkage_candidates(spark, sf_dir)
+    name_dist = F.col("name_dist")
     cents_diff = F.abs(F.col("a_cents") - F.col("b_cents"))
     score = (
         F.when(name_dist == 0, F.lit(4.0)).when(name_dist <= 2, F.lit(2.5)).otherwise(F.lit(-2.0))
@@ -313,7 +380,7 @@ def customer_record_linkage(spark, sf_dir):
         pairs.select(
             "a_key",
             "b_key",
-            name_dist.cast("long").alias("name_dist"),
+            name_dist.alias("name_dist"),
             cents_diff.alias("cents_diff"),
             F.round(score, 1).alias("score"),
             (F.col("a_key") == F.col("b_key")).alias("true_match"),

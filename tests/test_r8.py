@@ -143,6 +143,99 @@ def test_record_linkage_match_set_from_recipe(spark, sf_dir):
             assert r["cents_diff"] <= 10 and r["name_dist"] > 0
 
 
+@pytest.fixture(scope="module")
+def tiled_customer_dirs(sf_dir, tmp_path_factory):
+    """customer tiled T× exactly the way tools/make_sfn.py scales sf1:
+    keys offset by the stride, NAMES AND VALUES KEPT — the duplicate-name
+    skew that blew the round-6 single-stream linkage plan up 11.2× at
+    sf1."""
+    import duckdb
+
+    root = tmp_path_factory.mktemp("linkage_tiles")
+    con = duckdb.connect()
+    src = f"{sf_dir}/customer.parquet"
+    stride = con.sql(f"SELECT max(c_custkey)+1 FROM '{src}'").fetchone()[0]
+    dirs = {}
+    for t in (2, 4):
+        d = root / f"t{t}"
+        d.mkdir()
+        con.sql(
+            f"""COPY (SELECT c_custkey + i*{stride} AS c_custkey, c_name,
+                             c_nationkey, c_acctbal, c_mktsegment
+                      FROM '{src}', range({t}) r(i))
+                TO '{d}/customer.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    return {t: str(root / f"t{t}") for t in (2, 4)}
+
+
+def test_record_linkage_candidates_output_proportional_under_name_skew(
+    spark, tiled_customer_dirs
+):
+    """Pin the round-7 two-stream linkage plan's candidate volume under
+    duplicate-name tiling (the sf1 skew): candidate pairs must track the
+    EMITTED output (which legitimately grows ~T² when every name has T
+    copies), not the block-occupancy quadratic the old single-stream
+    plan paid.  Measured on this corpus the ratio is exactly 1.0;
+    the pin allows 3× headroom for corpus drift."""
+    from aspep_etl_spark.plans.analytics_r8 import _linkage_candidates
+
+    counts = {}
+    for t, d in tiled_customer_dirs.items():
+        cand = _linkage_candidates(spark, d).count()
+        emit = customer_record_linkage(spark, d).count()
+        counts[t] = (cand, emit)
+        assert cand <= 3 * emit + 150 * t, (t, cand, emit)
+    # growth T=2 → T=4 stays pinned to output growth (no superquadratic
+    # block-mass term): candidate growth ≤ emitted growth × 1.25
+    (c2, e2), (c4, e4) = counts[2], counts[4]
+    assert c4 / c2 <= 1.25 * (e4 / e2), counts
+
+
+def test_record_linkage_two_stream_plan_matches_brute_force(
+    spark, tiled_customer_dirs
+):
+    """Set-level oracle for the lossless decomposition: on the T=2 tiled
+    corpus (duplicate names present, so the exact-name stream carries
+    a_key≠b_key pairs), a brute-force cross join scored with the same
+    Fellegi–Sunter expressions and the ORIGINAL block-membership
+    predicate must emit exactly the two-stream plan's pair set."""
+    d = tiled_customer_dirs[2]
+    from aspep_etl_spark.plans.analytics_r8 import _linkage_sides
+
+    a, b = _linkage_sides(spark, d)
+    brute = a.crossJoin(b)
+    nd = F.levenshtein(F.col("a_name"), F.col("b_name"))
+    cd = F.abs(F.col("a_cents") - F.col("b_cents"))
+    score = (
+        F.when(nd == 0, F.lit(4.0)).when(nd <= 2, F.lit(2.5)).otherwise(F.lit(-2.0))
+        + F.when(cd <= 10, F.lit(3.0)).otherwise(F.lit(-1.5))
+        + F.when(F.col("a_segment") == F.col("b_segment"), F.lit(1.0)).otherwise(F.lit(-0.5))
+    )
+    block = (
+        (F.col("a_nat") == F.col("b_nat"))
+        & (F.substring("a_name", 1, 15) == F.substring("b_name", 1, 15))
+        & (
+            F.abs(
+                F.floor(F.col("a_cents") / 100.0).cast("long")
+                - F.floor(F.col("b_cents") / 100.0).cast("long")
+            )
+            <= 1
+        )
+    )
+    expected = {
+        (r["a_key"], r["b_key"])
+        for r in brute.filter(block & (score >= 6.0)).select("a_key", "b_key").collect()
+    }
+    got = {
+        (r["a_key"], r["b_key"])
+        for r in customer_record_linkage(spark, d).collect()
+    }
+    assert got == expected
+    # and the tiled corpus really exercises the exact-name cross-tile path
+    assert any(ak != bk for ak, bk in got)
+
+
 def test_bucketed_join_plan_is_shuffle_free(spark, sf_dir):
     """With broadcast disabled, the bucketed orders⋈customer join must
     plan as a SortMergeJoin with exactly ONE Exchange in the whole

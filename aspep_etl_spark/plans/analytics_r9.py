@@ -1074,6 +1074,317 @@ R9_ORACLE_SQL["docs_nb_crossval"] = _NBCV_SQL
 
 
 # --------------------------------------------------------------------------
+# docs_nb_crossval_capped — the scale-path twin (VERDICT r6 ask #3)
+# --------------------------------------------------------------------------
+
+# vocabulary df floor: a word enters the model only if it appears in at
+# least max(2, ceil(n_docs/1000)) documents — integer math, so both
+# engines elect the identical vocabulary with no tie ambiguity.  The
+# same relative-df discipline as docs_pmi_pairs' caps: at 100 TB the
+# (cls, word, fold) model table is bounded by the cap (rare words are
+# most of a Zipf vocabulary), which is what keeps it broadcastable.
+_NBCV_DF_DENOM = 1000
+
+
+def docs_nb_crossval_capped(spark, sf_dir):
+    """K-fold NB cross-validation restructured to SUFFICIENT STATISTICS
+    — the scale-path twin of ``docs_nb_crossval`` (which stays in the
+    registry as the exact positional-fold variant).
+
+    Four changes, each the 100-TB discipline:
+
+    1. **Doc×word grain, not token grain.**  Tokens aggregate once to
+       (doc, word, n) — ONE persisted relation, bounded by vocab-per-
+       doc, that every downstream job reuses.  The exact variant fans
+       the FULL token relation ×K classes and sorts per-position
+       arrays — its 21 s at sf1 is that fan-out.
+    2. **Relative-df vocab cap** (``df ≥ max(2, ceil(n_docs/1000))``,
+       document frequency, integer math): bounds the model.  Since
+       Σ_w df(w) ≤ n_docs·max_doc_len, at most 1000·max_doc_len words
+       can clear the floor — the model size is bounded INDEPENDENT of
+       corpus size, which is what licenses both the broadcast and the
+       driver-side assembly below.  OOV tokens are dropped from
+       training AND scoring (the model is the NB over the capped
+       vocabulary — a self-consistent contract with its own oracle).
+    3. **Driver-assembled INTEGER model, JVM float math.**  The
+       sufficient statistics are two tiny integer collects — the
+       (cls, w, fold) count cube over the capped vocab and the
+       (cls, fold) prior cube — and the leave-one-fold-out subtraction
+       is exact integer arithmetic in Python (the centroid/BPE-table
+       precedent; a chained-tiny-DataFrame formulation spent 2.7 s of
+       wall on ~20 25-row shuffle stages).  All float math (log10,
+       divisions) stays in Spark EXPRESSIONS over the rebuilt literal
+       frames, so every double is produced by the same JVM ops the
+       row-grain formulation used — the DuckDB twin hash-matches with
+       no rounding slack.
+    4. **Class-vectorized scoring, one pass, no window.**  The model
+       broadcasts at (w, fold) grain with cls-ASC arrays of integer
+       numerators; scoring is one broadcast join + one per-doc groupBy;
+       per class the left fold over w-ascending terms is bit-identical
+       to the (doc, cls)-grain shape.  argmax(s DESC, cls ASC) becomes
+       array_position(s, array_max(s)) on the cls-ASC array.  Docs
+       whose every token is OOV fall out of the join and classify by
+       prior alone (left join; exercised in tests)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("fold", _cv_fold(F.col("doc_id")))
+    # (doc, word, n) sufficient statistics, persisted: the explode is
+    # fenced from the regexp by the aggregation itself, and this is the
+    # ONLY relation any downstream job rescans
+    dw = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "fold",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(_NBCV_WORD_RE), 0)
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "lang", "fold", "w")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    # prior cube: 25 integer rows — n_all, per-class, per-fold counts
+    base = docs.groupBy("lang", "fold").agg(F.count("*").alias("n_cf")).collect()
+    n_all = sum(r["n_cf"] for r in base)
+    cls_names = sorted({r["lang"] for r in base})
+    folds = list(range(_NBCV_K))
+    n_c = {c: 0 for c in cls_names}
+    n_f = {f: 0 for f in folds}
+    n_cf = {}
+    for r in base:
+        n_c[r["lang"]] += r["n_cf"]
+        n_f[r["fold"]] += r["n_cf"]
+        n_cf[(r["lang"], r["fold"])] = r["n_cf"]
+    min_df = max(2, -(-n_all // _NBCV_DF_DENOM))
+    # capped-vocab count cube: one distributed vocab election (dw is
+    # already distinct at (doc, w), so df is a count), one integer
+    # collect at (cls, w, fold) grain — bounded by the df cap
+    vocab = (
+        dw.groupBy("w")
+        .agg(F.count("*").alias("df_w"))
+        .filter(F.col("df_w") >= F.lit(min_df))
+        .select("w")
+    )
+    cw_rows = (
+        dw.join(F.broadcast(vocab), "w")
+        .groupBy("lang", "w", "fold")
+        .agg(F.sum("n").alias("cf"))
+        .collect()
+    )
+    # exact integer model assembly (leave-one-fold-out subtraction)
+    cg, cf, tot_g, tot_f = {}, {}, {c: 0 for c in cls_names}, {}
+    cw_all, cw_fold = {}, {}
+    for r in cw_rows:
+        c, w, f, n = r["lang"], r["w"], r["fold"], r["cf"]
+        cg[(c, w)] = cg.get((c, w), 0) + n
+        cf[(c, w, f)] = n
+        tot_g[c] += n
+        tot_f[(c, f)] = tot_f.get((c, f), 0) + n
+        cw_all[w] = cw_all.get(w, 0) + n
+        cw_fold[(w, f)] = cw_fold.get((w, f), 0) + n
+    words = sorted({w for _, w in cg})
+    v = {
+        f: sum(1 for w in words if cw_all[w] > cw_fold.get((w, f), 0))
+        for f in folds
+    }
+    tot_ex = {(c, f): tot_g[c] - tot_f.get((c, f), 0) for c in cls_names for f in folds}
+    # literal frames: INTEGER numerators/denominators only; log10 and
+    # division happen in Spark expressions (same JVM ops as the
+    # row-grain shape ⇒ bit-identical doubles)
+    model_rows = [
+        (
+            w,
+            f,
+            [cg.get((c, w), 0) - cf.get((c, w, f), 0) + 1 for c in cls_names],
+            [tot_ex[(c, f)] + v[f] for c in cls_names],
+        )
+        for w in words
+        for f in folds
+    ]
+    model_schema = (
+        "w string, fold long, nums array<long>, dens array<long>"
+    )
+    model = spark.createDataFrame(model_rows, model_schema).select(
+        "w",
+        "fold",
+        F.zip_with(
+            "nums",
+            "dens",
+            lambda nu, de: F.log10(nu.cast("double") / de.cast("double")),
+        ).alias("logps"),
+    )
+    prior_rows = [
+        (
+            f,
+            [n_c[c] - n_cf.get((c, f), 0) for c in cls_names],
+            n_all - n_f[f],
+            cls_names,
+        )
+        for f in folds
+    ]
+    priors = spark.createDataFrame(
+        prior_rows,
+        "fold long, pnums array<long>, pden long, names_arr array<string>",
+    ).select(
+        "fold",
+        F.transform(
+            "pnums",
+            lambda nu: F.log10(nu.cast("double") / F.col("pden").cast("double")),
+        ).alias("prior_arr"),
+        "names_arr",
+    )
+    # scoring: ONE broadcast join, ONE per-doc groupBy; the class
+    # fan-out lives inside arrays, not rows
+    dwl = (
+        dw.join(F.broadcast(model), ["w", "fold"])
+        .select(
+            "doc_id",
+            F.struct(
+                "w",
+                F.transform(
+                    "logps", lambda p: F.col("n").cast("double") * p
+                ).alias("t"),
+            ).alias("wt"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("wt")).alias("wts"))
+    )
+    zeros = F.transform("prior_arr", lambda _: F.lit(0.0))
+    loglik = F.when(F.col("wts").isNull(), zeros).otherwise(
+        F.aggregate(
+            F.transform("wts", lambda x: x["t"]),
+            zeros,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        )
+    )
+    scored = (
+        docs.select("doc_id", "lang", "fold")
+        .join(dwl, "doc_id", "left")  # null wts ⇒ all-OOV doc ⇒ prior-only
+        .join(F.broadcast(priors), "fold")
+        .select(
+            "fold",
+            "lang",
+            F.zip_with("prior_arr", loglik, lambda a, b: a + b).alias("s_arr"),
+            F.col("names_arr"),
+        )
+    )
+    # argmax with the (s DESC, cls ASC) tie rule: arrays are cls-ASC, so
+    # the FIRST position holding the max is the lowest class
+    pred = scored.select(
+        "fold",
+        (
+            F.element_at(
+                "names_arr",
+                F.array_position(F.col("s_arr"), F.array_max("s_arr")).cast("int"),
+            )
+            == F.col("lang")
+        ).cast("long").alias("hit"),
+    )
+    return (
+        pred.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("hit").alias("n_correct"),
+        )
+        .select(
+            "fold",
+            "n_docs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("accuracy"),
+        )
+    )
+
+
+_NBCV_CAPPED_SQL = f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, lang, text,
+         CAST('0x' || substr(md5('cv|' || doc_id::VARCHAR), 1, 8) AS BIGINT)
+           % {_NBCV_K} AS fold
+  FROM documents
+), dw AS MATERIALIZED (
+  SELECT doc_id, lang, fold, w, count(*)::BIGINT AS n
+  FROM (SELECT doc_id, lang, fold,
+               unnest(regexp_extract_all(lower(text), '{_NBCV_WORD_RE}')) AS w
+        FROM docs)
+  GROUP BY 1, 2, 3, 4
+), nall AS (SELECT count(*)::BIGINT AS n_all FROM docs),
+vocab AS MATERIALIZED (
+  SELECT w FROM (SELECT w, count(*)::BIGINT AS df_w FROM dw GROUP BY w)
+  CROSS JOIN nall
+  WHERE df_w >= greatest(2, (n_all + {_NBCV_DF_DENOM - 1}) // {_NBCV_DF_DENOM})
+), dwv AS MATERIALIZED (
+  SELECT dw.* FROM dw JOIN vocab USING (w)
+), cw_g AS MATERIALIZED (
+  SELECT lang AS cls, w, sum(n)::BIGINT AS cg FROM dwv GROUP BY 1, 2
+), cw_f AS MATERIALIZED (
+  SELECT lang AS cls, w, fold, sum(n)::BIGINT AS cf FROM dwv GROUP BY 1, 2, 3
+), totc_g AS (SELECT cls, sum(cg)::BIGINT AS tot_g FROM cw_g GROUP BY cls),
+totc_f AS (SELECT cls, fold, sum(cf)::BIGINT AS tot_f FROM cw_f GROUP BY 1, 2),
+wg AS MATERIALIZED (SELECT w, sum(n)::BIGINT AS cw_all FROM dwv GROUP BY w),
+wf AS MATERIALIZED (
+  SELECT w, fold, sum(n)::BIGINT AS cw_fold FROM dwv GROUP BY 1, 2
+), folds AS (SELECT unnest(generate_series(0, {_NBCV_K - 1}))::BIGINT AS fold),
+vocab_f AS (
+  SELECT fold, count(*)::BIGINT AS v
+  FROM wg CROSS JOIN folds
+  LEFT JOIN wf USING (w, fold)
+  WHERE cw_all > coalesce(cw_fold, 0)
+  GROUP BY fold
+), pri_g AS (SELECT lang AS cls, count(*)::BIGINT AS n_c FROM docs GROUP BY 1),
+pri_f AS (
+  SELECT lang AS cls, fold, count(*)::BIGINT AS n_cf FROM docs GROUP BY 1, 2
+), nfold AS (SELECT fold, count(*)::BIGINT AS n_f FROM docs GROUP BY fold),
+classes AS MATERIALIZED (
+  SELECT pri_g.cls, folds.fold,
+         tot_g - coalesce(tot_f, 0) AS tot_ex, v,
+         log10((n_c - coalesce(n_cf, 0))::DOUBLE / (n_all - n_f)::DOUBLE)
+           AS log_prior
+  FROM pri_g CROSS JOIN folds
+  LEFT JOIN pri_f ON pri_f.cls = pri_g.cls AND pri_f.fold = folds.fold
+  JOIN totc_g ON totc_g.cls = pri_g.cls
+  LEFT JOIN totc_f ON totc_f.cls = pri_g.cls AND totc_f.fold = folds.fold
+  JOIN vocab_f ON vocab_f.fold = folds.fold
+  JOIN nfold ON nfold.fold = folds.fold
+  CROSS JOIN nall
+), terms AS (
+  SELECT t.doc_id, t.lang, t.fold, c.cls, c.log_prior, t.w,
+         t.n::DOUBLE * log10((coalesce(cw_g.cg, 0) - coalesce(cw_f.cf, 0) + 1)::DOUBLE
+               / (c.tot_ex + c.v)::DOUBLE) AS term
+  FROM dwv t
+  JOIN classes c ON c.fold = t.fold
+  LEFT JOIN cw_g ON cw_g.cls = c.cls AND cw_g.w = t.w
+  LEFT JOIN cw_f ON cw_f.cls = c.cls AND cw_f.w = t.w AND cw_f.fold = t.fold
+), folded AS MATERIALIZED (
+  SELECT doc_id, lang, fold, cls,
+         log_prior + list_reduce(
+           list_prepend(0.0::DOUBLE, list(term ORDER BY w)),
+           (a, b) -> a + b) AS s
+  FROM terms
+  GROUP BY doc_id, lang, fold, cls, log_prior
+), oov AS (
+  SELECT d.doc_id, d.lang, d.fold, c.cls, c.log_prior AS s
+  FROM docs d JOIN classes c ON c.fold = d.fold
+  WHERE d.doc_id NOT IN (SELECT DISTINCT doc_id FROM dwv)
+), pred AS (
+  SELECT doc_id, lang, fold, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, cls ASC) AS r
+  FROM (SELECT * FROM folded UNION ALL SELECT * FROM oov)
+)
+SELECT fold, count(*)::BIGINT AS n_docs,
+       sum((cls = lang)::INT)::BIGINT AS n_correct,
+       round(sum((cls = lang)::INT)::DOUBLE / count(*)::DOUBLE, 4) AS accuracy
+FROM pred WHERE r = 1
+GROUP BY fold
+"""
+
+R9_QUERIES["docs_nb_crossval_capped"] = docs_nb_crossval_capped
+R9_ORACLE_SQL["docs_nb_crossval_capped"] = _NBCV_CAPPED_SQL
+
+
+# --------------------------------------------------------------------------
 # customer_k_anonymity
 # --------------------------------------------------------------------------
 

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "docs_dsir_weights",
     "docs_nb_crossval",
+    "docs_nb_crossval_capped",
 ]
 
 # Queries added to the headline set after round 3 — excluded from the
@@ -68,6 +69,7 @@ _POST_R3_QUERIES = {
     "dedup_embedding_cosine",  # r5: BLAS filter-refine showcase
     "docs_dsir_weights",  # r6: scan-bound data-selection showcase
     "docs_nb_crossval",  # r6: 1-scan K-fold CV (train-by-subtraction) showcase
+    "docs_nb_crossval_capped",  # r7: vocab-capped sufficient-stats CV scale twin
 }
 
 

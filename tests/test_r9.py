@@ -345,6 +345,111 @@ def test_nb_crossval_matches_python(spark, sf_dir, docs_pd):
         assert got[f][2] == pytest.approx(nc / nd, abs=1e-4)
 
 
+def test_nb_crossval_capped_matches_python_and_handles_oov(spark, tmp_path):
+    """Pure-Python recompute of the CAPPED contract on a constructed
+    corpus that exercises the all-OOV branch: vocabulary is words with
+    document frequency ≥ max(2, ceil(n/1000)) = 2, so the two docs
+    built entirely from singleton words carry no model evidence and
+    must be classified by the fold prior alone."""
+    from collections import Counter
+
+    K = 5
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        # shared, frequent words (df >> 2) plus a per-doc singleton
+        common = ("alpha beta " if lang == "aa" else "gamma delta ") * 3
+        rows.append((i, lang, common + f"singleton{i}"))
+    # two all-OOV docs: every word unique to the doc
+    rows.append((100, "aa", "zzonlyhere1 zzonlyhere2"))
+    rows.append((101, "bb", "qqonlyhere1 qqonlyhere2"))
+    pd.DataFrame(rows, columns=["doc_id", "lang", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+
+    docs = [(d, l, re.findall("[a-z0-9]+", t.lower())) for d, l, t in rows]
+    fold = {d: _md5i(f"cv|{d}") % K for d, _, _ in docs}
+    n_all = len(docs)
+    min_df = max(2, -(-n_all // 1000))
+    df_w: Counter = Counter()
+    for _, _, toks in docs:
+        for w in set(toks):
+            df_w[w] += 1
+    vocab = {w for w, c in df_w.items() if c >= min_df}
+    cw_g: Counter = Counter()
+    cw_f: Counter = Counter()
+    wg: Counter = Counter()
+    wf: Counter = Counter()
+    n_c: Counter = Counter()
+    n_cf: Counter = Counter()
+    n_f: Counter = Counter()
+    for d, lang, toks in docs:
+        f = fold[d]
+        n_c[lang] += 1
+        n_cf[(lang, f)] += 1
+        n_f[f] += 1
+        for w in toks:
+            if w in vocab:
+                cw_g[(lang, w)] += 1
+                cw_f[(lang, w, f)] += 1
+                wg[w] += 1
+                wf[(w, f)] += 1
+    langs = sorted(n_c)
+    vf = {f: sum(1 for w in wg if wg[w] > wf.get((w, f), 0)) for f in range(K)}
+    tot_g: Counter = Counter()
+    tot_f: Counter = Counter()
+    for (c, _w), v in cw_g.items():
+        tot_g[c] += v
+    for (c, _w, f), v in cw_f.items():
+        tot_f[(c, f)] += v
+    exp = {f: [0, 0] for f in range(K)}
+    oov_docs = []
+    for d, lang, toks in docs:
+        f = fold[d]
+        invocab = sorted(Counter(w for w in toks if w in vocab).items())
+        if not invocab:
+            oov_docs.append(d)
+        best = None
+        for c in langs:
+            lp = math.log10((n_c[c] - n_cf.get((c, f), 0)) / (n_all - n_f[f]))
+            denom = tot_g[c] - tot_f.get((c, f), 0) + vf[f]
+            s = 0.0
+            for w, n in invocab:  # w-ascending, count-weighted
+                cnt = cw_g.get((c, w), 0) - cw_f.get((c, w, f), 0)
+                s += n * math.log10((cnt + 1) / denom)
+            score = lp + s
+            if best is None or score > best[0] or (score == best[0] and c < best[1]):
+                best = (score, c)
+        exp[f][0] += 1
+        exp[f][1] += int(best[1] == lang)
+    assert len(oov_docs) == 2  # the constructed branch is actually exercised
+
+    from aspep_etl_spark.plans.analytics_r9 import docs_nb_crossval_capped
+
+    got = {
+        r["fold"]: (r["n_docs"], r["n_correct"], r["accuracy"])
+        for r in docs_nb_crossval_capped(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {f for f in range(K) if exp[f][0] > 0}
+    for f in got:
+        nd, nc = exp[f]
+        assert got[f][0] == nd and got[f][1] == nc
+        assert got[f][2] == pytest.approx(nc / nd, abs=1e-4)
+
+
+def test_nb_crossval_capped_plan_has_no_window_and_broadcasts_model(spark, sf_dir):
+    """The class-vectorized scoring plan must carry the K-class fan-out
+    inside arrays: no Window node anywhere, the model lookup a
+    BroadcastHashJoin, and no SortMergeJoin at doc grain."""
+    from aspep_etl_spark.plans.analytics_r9 import docs_nb_crossval_capped
+
+    plan = docs_nb_crossval_capped(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_k_anonymity_matches_python(spark, sf_dir):
     """Exact pandas recomputation of the QI class-size histogram,
     k-violation counts, and minimum l-diversity."""

@@ -69,6 +69,7 @@ TIER_QUERIES = [
     "items_cooccurrence_topk",
     "docs_blocklist_phrases",
     "docs_nb_crossval",
+    "docs_nb_crossval_capped",
     "classifier_conformal",
     "embedding_jl_audit",
     "lineitem_reconciliation",

@@ -500,6 +500,100 @@ WHERE neg_rank <= 5
 """
 
 
+_NEG_SCALED_RATE = 1.0 / 8.0
+
+
+def ann_negative_samples_scaled(spark, sf_dir):
+    """The 100-TB path for negative mining — the hash_sample
+    pre-sampling swap that ``ann_negative_samples`` documents, AS CODE
+    (its own contract + oracle, the ``*_scaled`` twin discipline).
+
+    The candidate relation is still queries × corpus, but candidates
+    are FILTERED map-side to md5(query|cand) < threshold(rate) — the
+    very hash the ranking orders by, computed where the pair is born —
+    so the per-query window sees ~rate·|corpus| rows instead of
+    |corpus|.  The corpus side is never shuffled at pair grain: the
+    10-row query batch broadcasts (BroadcastNestedLoopJoin), the hash
+    filter runs in the same stage as the corpus scan, and only the
+    sampled survivors reach the row_number exchange.  Ranking within
+    the sample by the SAME hash keeps the contract deterministic and
+    engine-reproducible; a query emits fewer than K negatives only if
+    the sample underfills (rate is sized ~10× above K+top-k overlap).
+    Exclusion of true top-20 cosine neighbors is unchanged and now
+    anti-joins against the sampled set only."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import _hex_threshold
+    from ..operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    positives = brute_force_topk(emb, queries, k=20).select(
+        "query_id", "neighbor_id"
+    )
+    thr = _hex_threshold(_NEG_SCALED_RATE)
+    cand = (
+        F.broadcast(queries.select(F.col("vec_id").alias("query_id")))
+        .crossJoin(emb.select(F.col("vec_id").alias("cand_id")))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "__h",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("query_id").cast("string"),
+                    F.col("cand_id").cast("string"),
+                )
+            ),
+        )
+        .filter(F.col("__h") < F.lit(thr))  # map-side, pre-shuffle
+    )
+    cand = cand.join(
+        positives,
+        (cand.query_id == positives.query_id)
+        & (cand.cand_id == positives.neighbor_id),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy("__h", "cand_id")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("query_id", F.col("cand_id").alias("negative_id"), "neg_rank")
+    )
+
+
+from ..operators.sampling import _hex_threshold as _neg_hex_threshold
+
+_hex_threshold_lit = _neg_hex_threshold(_NEG_SCALED_RATE)
+
+_NEG_SAMPLES_SCALED_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS ne FROM embeddings),
+s AS (
+  SELECT qid, nid,
+         round(list_dot_product(qe, ne) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))), 4) AS cosine
+  FROM q, c WHERE qid <> nid
+), pos AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+    FROM s) WHERE rn <= 20
+), cand AS (
+  SELECT q.qid, c.nid, md5(q.qid::VARCHAR || '|' || c.nid::VARCHAR) AS h
+  FROM q, c
+  WHERE q.qid <> c.nid
+    AND md5(q.qid::VARCHAR || '|' || c.nid::VARCHAR) < '{_hex_threshold_lit}'
+    AND NOT EXISTS (SELECT 1 FROM pos WHERE pos.qid = q.qid AND pos.nid = c.nid)
+)
+SELECT qid AS query_id, nid AS negative_id, neg_rank
+FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY h, nid) AS neg_rank
+  FROM cand)
+WHERE neg_rank <= 5
+"""
+
+
 def docs_weighted_sample(spark, sf_dir):
     """Importance sampling with DATA-DEPENDENT rates: each (source, lang)
     domain samples at min(1, 4·mix_weight) — up-sampling small
@@ -628,6 +722,7 @@ LLM_QUERIES = {
     "embedding_top_component": embedding_top_component,
     "docs_pack_sequences": docs_pack_sequences,
     "ann_negative_samples": ann_negative_samples,
+    "ann_negative_samples_scaled": ann_negative_samples_scaled,
     "docs_weighted_sample": docs_weighted_sample,
     "dedup_clusters": dedup_clusters,
     "embedding_quantization": embedding_quantization,
@@ -642,6 +737,7 @@ LLM_ORACLE_SQL = {
     "embedding_top_component": _TOP_COMPONENT_SQL,
     "docs_pack_sequences": _PACK_SQL,
     "ann_negative_samples": _NEG_SAMPLES_SQL,
+    "ann_negative_samples_scaled": _NEG_SAMPLES_SCALED_SQL,
     "docs_weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "embedding_quantization": _EMB_QUANT_SQL,

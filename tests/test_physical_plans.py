@@ -619,11 +619,110 @@ def test_psi_grid_window_and_broadcast_edges(spark, sf):
     """Decile edges come from the distinct-cent grid cumulative window;
     the histogram probes a broadcast 9-element array — no shuffle join
     of the fact rows."""
+    from aspep_etl_spark.cache import free_cached_blocks
     from aspep_etl_spark.plans.analytics_r9 import events_value_psi
 
+    free_cached_blocks(spark)  # node counts depend on cached-lineage prints
     plan = plan_of(events_value_psi(spark, sf), mode="simple")
     assert "SortMergeJoin" not in plan
     # the cached histogram feeds totals and terms; the only windows are
     # the baseline grid cumsum (reprinted once per cached-lineage print)
     assert plan.count("InMemoryTableScan") >= 2
     assert plan.count("Window") <= 2
+
+
+def test_kl_drift_capped_topk_is_take_ordered(spark, sf):
+    """The top-k vocab election must plan as TakeOrderedAndProject
+    (per-partition partial top-k), never a global single-partition sort
+    of the vocab relation."""
+    from aspep_etl_spark.plans.analytics_r6b import docs_source_kl_drift_capped
+
+    plan = plan_of(docs_source_kl_drift_capped(spark, sf), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_neg_samples_scaled_filters_before_rank_window(spark, sf):
+    """The hash_sample pre-filter must run map-side on the candidate
+    cross join (queries side broadcast), so the row_number exchange sees
+    only the sampled survivors — pinned structurally (the md5 threshold
+    Filter appears BELOW the Window's Exchange in the plan tree) and
+    behaviorally (candidate count ≈ rate · |queries×corpus|)."""
+    from aspep_etl_spark.operators.sampling import _hex_threshold
+    from aspep_etl_spark.plans.llm_extra import (
+        _NEG_SCALED_RATE,
+        ann_negative_samples_scaled,
+    )
+
+    df = ann_negative_samples_scaled(spark, sf)
+    plan = plan_of(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the threshold literal must sit in a Filter, and that Filter must be
+    # deeper in the tree (printed later) than the Window node
+    thr = _hex_threshold(_NEG_SCALED_RATE)
+    win_at = plan.index("Window")
+    filt_at = plan.index(thr)
+    assert filt_at > win_at, "hash filter must be below (inside) the window input"
+    # behavioral: sampled candidate volume tracks the rate
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = emb.count()
+    cand = (
+        F.broadcast(
+            emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"))
+        )
+        .crossJoin(emb.select(F.col("vec_id").alias("cid")))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "__h",
+            F.md5(
+                F.concat_ws("|", F.col("qid").cast("string"), F.col("cid").cast("string"))
+            ),
+        )
+        .filter(F.col("__h") < F.lit(thr))
+        .count()
+    )
+    expected = 10 * (n - 1) * _NEG_SCALED_RATE
+    assert cand <= expected * 1.6 + 40
+    # and every query still fills its K=5 negatives on this corpus
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in df.collect())
+    assert all(v == 5 for v in per_q.values()) and len(per_q) == 10
+
+
+def test_winsorized_approx_path_bounds_and_shape(spark, sf):
+    """The percentile_approx scale path (approx=True): same plan shape
+    (no SortMergeJoin, broadcast cuts), and by the GK rank-error
+    guarantee (accuracy 10⁴ ⇒ ε = 1/10⁴ rank error) the approx cuts
+    must land within the exact neighborhood of the requested quantiles;
+    clip counts stay within the corresponding rank tolerance."""
+    from aspep_etl_spark.plans.analytics_extra import events_value_winsorized
+
+    exact = {
+        r["event_type"]: r for r in events_value_winsorized(spark, sf).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in events_value_winsorized(spark, sf, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    plan = plan_of(events_value_winsorized(spark, sf, approx=True), mode="simple")
+    assert "approx_percentile" in plan or "percentile_approx" in plan
+    assert "SortMergeJoin" not in plan
+    for et, ex in exact.items():
+        ap = approx[et]
+        n = ex["n_events"]
+        tol_rank = max(2, int(n * 2e-4) + 1)  # 2× the GK ε in ranks
+        # clip counts move by at most the rank tolerance
+        assert abs(ap["n_clipped_low"] - ex["n_clipped_low"]) <= tol_rank
+        assert abs(ap["n_clipped_high"] - ex["n_clipped_high"]) <= tol_rank
+        # cuts stay inside the exact p04..p06 / p94..p96 neighborhood
+        span = ex["p95"] - ex["p05"]
+        assert abs(ap["p05"] - ex["p05"]) <= 0.15 * span + 1e-6
+        assert abs(ap["p95"] - ex["p95"]) <= 0.15 * span + 1e-6
+        # winsorized mean barely moves (clipping 10% tails)
+        assert abs(ap["winsorized_mean"] - ex["winsorized_mean"]) <= 0.05 * (
+            abs(ex["winsorized_mean"]) + span
+        )

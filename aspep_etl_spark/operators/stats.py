@@ -25,9 +25,24 @@ from .setops import union_by_name
 #: reference's rel 1e-3 golden budget while staying sketch-sized.
 APPROX_MEDIAN_ACCURACY = 10_000
 
+def _mean_ordered(c):
+    """Mean as a left fold over the VALUE-SORTED group — bitwise
+    run-reproducible (and cross-engine reproducible) regardless of
+    partitioning, unlike ``F.avg`` whose float sum order is
+    partition-dependent.  Only for bounded-grain cohorts (the ASPEP stats
+    stage groups an already-aggregated fact: ≤ #states rows per group at
+    ANY raw-data scale) — ``collect_list`` on an unbounded group would
+    buffer it; use plain ``"mean"`` there."""
+    vals = F.sort_array(F.collect_list(c))
+    total = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    n = F.count(c)
+    return F.when(n > 0, total / n)
+
+
 _STAT_FNS = {
     "median": F.median,
     "mean": F.avg,
+    "mean_ordered": _mean_ordered,
     "median_approx": lambda c: F.percentile_approx(
         c, F.lit(0.5), F.lit(APPROX_MEDIAN_ACCURACY)
     ),

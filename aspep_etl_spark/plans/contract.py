@@ -1287,8 +1287,18 @@ def aspep_extended_pipeline(spark, sf_dir, median_of="exact"):
     an ASPEP-shaped fact derived from lineitem (supplier→state analog,
     returnflag×linestatus→function, ship-year→year), then the full
     derive_stats → derive_extended_stats fan-out (~150 derived columns over
-    two window shuffles).  Rows-only: the chain's cell-level semantics are
-    oracle-checked by the pandas-parity suite instead.
+    two window shuffles).
+
+    The fact measures are **integer-valued** (pay in cents / 1e-4-dollar
+    units, employment in row counts) — faithful to the census workbooks'
+    integer grain (the reference's raw cells are whole dollars/headcounts),
+    and the property the DuckDB oracle leans on: per-row quantization makes
+    the group sums exact BIGINTs (order-independent), so every downstream
+    mean/median/ratio/delta/rank is a pure function of identical binary64
+    inputs on both engines — the full 130-column chain hash-matches with NO
+    rounding macros (plans/pipeline_oracle.py).  Plan shape is unchanged:
+    the per-row multiply+round+cast stays inside whole-stage codegen and
+    the sums remain partial+final hash aggregates.
 
     ``median_of="approx"`` runs the whole chain with the mergeable
     percentile_approx median (the 100 TB path — see derive_stats); the
@@ -1297,6 +1307,13 @@ def aspep_extended_pipeline(spark, sf_dir, median_of="exact"):
     from .pipeline import derive_extended_stats, derive_stats
 
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pt_units = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
+    ).cast("long")
+    ft_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
     fact = (
         li.groupBy(
             F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("state_code"),
@@ -1304,11 +1321,11 @@ def aspep_extended_pipeline(spark, sf_dir, median_of="exact"):
             F.year("l_shipdate").alias("year"),
         )
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("total_pay"),
-            F.round(F.sum("l_quantity"), 2).alias("ft_eq_employment"),
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("pt_pay"),
-            F.round(F.sum(F.col("l_quantity") * 8), 2).alias("pt_hour"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("ft_pay"),
+            F.sum(cents).cast("double").alias("total_pay"),
+            F.sum("l_quantity").alias("ft_eq_employment"),
+            F.sum(pt_units).cast("double").alias("pt_pay"),
+            F.sum(F.col("l_quantity") * 8).alias("pt_hour"),
+            F.sum(ft_units).cast("double").alias("ft_pay"),
             F.count("*").cast("double").alias("ft_employment"),
         )
     )
@@ -2137,10 +2154,12 @@ SPARK_QUERIES = {
     # streaming stateful kernel, oracle-promoted for the single-batch
     # emission (see streaming_sessionize_q docstring)
     "streaming_sessionize": streaming_sessionize_q,
-    # rows-only (non-SQL-expressible)
+    # full-chain DuckDB replay (plans/pipeline_oracle.py) — the integer-
+    # quantized fact makes the whole 130-column fan-out hash-exact
     "aspep_extended_pipeline": aspep_extended_pipeline,
 }
 
+from .pipeline_oracle import ASPEP_PIPELINE_SQL as _ASPEP_PIPELINE_SQL
 from .xxh64_sql import minhash_lsh_oracle as _minhash_lsh_oracle
 from .xxh64_sql import simhash_oracle as _simhash_oracle
 
@@ -2219,6 +2238,9 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": _XXH_MINHASH_SQL,
     "dedup_simhash": _XXH_SIMHASH_SQL,
     "docs_substring_dedup": _SUBSTRING_DEDUP_SQL,
+    # generated 130-column replay of the full ASPEP chain — exactness comes
+    # from the fact build's integer quantization, not rounding macros
+    "aspep_extended_pipeline": _ASPEP_PIPELINE_SQL,
 }
 
 from .analytics_extra import ANALYTICS_ORACLE_SQL, ANALYTICS_QUERIES  # noqa: E402

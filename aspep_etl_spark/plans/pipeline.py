@@ -69,6 +69,11 @@ def derive_stats(fact: DataFrame, median_of: str = "exact") -> DataFrame:
     - Safe ratios: zero or null divisor → null (F7).
     - Stats cohorts group by (year, gov_function) over non-US rows only,
       then union back labeled `US-median` / `US-mean`, scope `stats`.
+    - The mean is the value-sorted ordered fold (``mean_ordered``): the
+      stats stage aggregates the already-aggregated fact (≤ #states rows
+      per cohort at any raw scale), and the fold makes the published
+      stats bitwise reproducible across runs/partitionings — also what
+      lets the full-chain DuckDB oracle hash-match (pipeline_oracle.py).
     - ``median_of``: ``"exact"`` (default — `F.median`, the verification
       baseline) or ``"approx"`` (mergeable ``percentile_approx`` sketch,
       the 100 TB path: partial+final agg, no per-group sort buffer).  The
@@ -92,7 +97,7 @@ def derive_stats(fact: DataFrame, median_of: str = "exact") -> DataFrame:
         group_keys=["year", "gov_function"],
         stat_cols=stat_cols,
         exclude_filter=F.col("state_code") != "US",
-        stat_labels={median_stat: "US-median", "mean": "US-mean"},
+        stat_labels={median_stat: "US-median", "mean_ordered": "US-mean"},
     )
 
 

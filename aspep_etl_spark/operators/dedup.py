@@ -394,6 +394,7 @@ def embedding_near_dup_pairs_bucketed(
     n_assign: int = 4,
     seed: int = 42,
     screen: str = "gemm",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Bucketed embedding-cosine near-dup pairs — the 100 TB path.
 
@@ -435,8 +436,97 @@ def embedding_near_dup_pairs_bucketed(
     exact JVM ordered fold the oracle replays, so emitted values are
     unchanged.  ``screen="fold"`` keeps the all-JVM path (useful to
     difference the two, and for Arrow-less deployments).
+
+    ``collapse_exact=True`` (default) groups bit-identical vectors FIRST
+    (one hash shuffle) and runs the quadratic core on DISTINCT vectors
+    only, expanding group pairs back to id pairs at the end.  On real web
+    corpora exact-dup multiplicity is large, and a duplicated vector
+    inflates in-bucket pair volume by its multiplicity SQUARED — the r6
+    sf1 rehearsal (tiled ×10 copies) measured 8.7× wall for 10× rows from
+    exactly this; with the collapse the core runs at distinct-count size
+    and the expansion is output-bound.  Lossless by construction:
+    cross-group pairs inherit the representative pair's cosine (identical
+    bit-vectors → identical fold), within-group pairs get the group's
+    self-cosine through the same guarded expression, and zero-norm groups
+    screen out exactly like the pair formula does.
     """
     from .similarity import with_norm, cosine_expr
+
+    if collapse_exact:
+        # self-cosine computed INTO the persisted frame so the explodes
+        # below duplicate a cached scalar instead of re-evaluating the
+        # fold per emitted element (the documented explode trap)
+        norm_expr = F.sqrt(
+            F.expr(
+                "aggregate(transform(__gvec, x -> CAST(x AS DOUBLE)"
+                " * CAST(x AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+            )
+        )
+        groups = (
+            df.groupBy(F.col(vec_col).alias("__gvec"))
+            .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+            .select(
+                "__ids",
+                F.col("__gvec").alias("vec_a"),
+                F.col("__gvec").alias("vec_b"),
+                norm_expr.alias("norm_a"),
+                norm_expr.alias("norm_b"),
+            )
+            .select(
+                "__ids",
+                F.col("vec_a").alias("__gvec"),
+                F.round(
+                    cosine_expr("vec_a", "vec_b", "norm_a", "norm_b"), 4
+                ).alias("__selfcos"),
+            )
+            .persist()
+        )
+        reps = groups.select(
+            F.element_at("__ids", 1).alias(id_col), F.col("__gvec").alias(vec_col)
+        )
+        rep_pairs = embedding_near_dup_pairs_bucketed(
+            reps,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_leaders=n_leaders,
+            n_assign=n_assign,
+            seed=seed,
+            screen=screen,
+            collapse_exact=False,
+        )
+        members = groups.select(
+            F.element_at("__ids", 1).alias("__rep"), F.explode("__ids").alias("__m")
+        )
+        cross = (
+            rep_pairs.join(
+                members.select(F.col("__rep").alias("id_a"), F.col("__m").alias("__a")),
+                "id_a",
+            )
+            .join(
+                members.select(F.col("__rep").alias("id_b"), F.col("__m").alias("__b")),
+                "id_b",
+            )
+            .select(
+                F.least("__a", "__b").alias("id_a"),
+                F.greatest("__a", "__b").alias("id_b"),
+                "cosine",
+            )
+        )
+        within = (
+            groups.filter(
+                (F.size("__ids") >= 2) & (F.col("__selfcos") >= threshold)
+            )
+            .select(
+                F.col("__selfcos").alias("cosine"),
+                F.explode("__ids").alias("id_a"),
+                "__ids",
+            )
+            .select("cosine", "id_a", F.explode("__ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "cosine")
+        )
+        return cross.unionByName(within)
 
     if n_leaders is None:
         n_leaders = canopy_leader_count(df.select(id_col).count())

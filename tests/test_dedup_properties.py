@@ -303,6 +303,51 @@ def test_gemm_screen_keeps_rounding_boundary_pairs(spark):
         assert (1, 2) in got, f"boundary pair dropped by screen={screen!r}"
 
 
+def test_gemm_fold_set_equality_on_boundary_fixture(spark):
+    """Set-equality of the two screens on a fixture that CONTAINS a
+    constructed rounding-boundary pair (r6 verdict ask #6): real testdata
+    may hold no cosine inside [t−5e-5, t−1e-6), so the sf-parametrized
+    equality test above can pass without ever exercising the margin.
+    This fixture pins all three regimes at once: a boundary pair that
+    rounds UP into the accept set, a just-below pair that must be
+    EXCLUDED by both paths, and a comfortably-above pair."""
+    import math
+
+    from aspep_etl_spark.operators.dedup import embedding_near_dup_pairs_bucketed
+
+    t = 0.95
+
+    def vec_at(c):  # unit vector at exact cosine c from e1
+        th = math.acos(c)
+        return [math.cos(th), math.sin(th), 0.0, 0.0]
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, vec_at(t - 3e-5)),   # boundary: round4 == 0.95 → accept
+        (3, vec_at(t - 8e-5)),   # below: round4 == 0.9499 → reject vs 1
+        (4, [0.0, 0.0, 1.0, 0.0]),  # orthogonal distractor
+        (5, vec_at(0.999)),      # comfortably above vs 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=t, n_leaders=2, n_assign=2)
+    results = {}
+    for screen in ("gemm", "fold"):
+        results[screen] = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dup_pairs_bucketed(
+                emb, screen=screen, **kw
+            ).collect()
+        }
+    assert results["gemm"] == results["fold"]
+    got_pairs = {(a, b) for a, b, _ in results["gemm"]}
+    assert (1, 2) in got_pairs, "boundary pair dropped"
+    assert (1, 3) not in got_pairs, "below-boundary pair wrongly admitted"
+    assert (1, 5) in got_pairs
+    # vectors 2,3,5 are mutually within ~1e-4 rad of each other → all
+    # near-1 cosines; only (1,3) and anything involving 4 are excluded
+    assert all(4 not in (a, b) for a, b in got_pairs)
+
+
 def test_gemm_default_falls_back_for_string_ids(spark):
     """embedding_near_dup_pairs_bucketed defaults to screen='gemm', whose
     Arrow kernels hardcode long ids — non-integral id columns must fall

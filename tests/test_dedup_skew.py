@@ -111,3 +111,43 @@ def test_lsh_degenerate_bucket_capped(spark):
     assert not [r for r in rows if r["id_a"] < 100 and r["id_b"] < 100]
     # … and nothing else got caught in the guard (distinct docs don't pair)
     assert not [r for r in rows if r["id_a"] >= 100 or r["id_b"] >= 100]
+
+
+def test_embedding_collapse_exact_under_duplication(spark):
+    """collapse_exact pins the tiled-duplication pathology (r6 sf1: ×10
+    copies → 8.7× wall): with m copies of every vector the quadratic core
+    must see only the DISTINCT vectors, and the expanded output must equal
+    the brute-force pair set on the duplicated corpus — including
+    within-group (copy↔copy, cosine 1.0) pairs and cross-group pairs at
+    every copy combination."""
+    import math
+
+    from aspep_etl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_bucketed,
+    )
+
+    m = 6
+    base = [
+        [1.0, 0.0, 0.0],
+        [math.cos(0.1), math.sin(0.1), 0.0],  # cos 0.995 vs v0
+        [0.0, 1.0, 0.0],                      # far from both
+    ]
+    rows = [
+        (g * 100 + c, v) for g, v in enumerate(base) for c in range(m)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, n_leaders=2, n_assign=2)
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs_bucketed(emb, **kw).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert got == brute
+    # expected volume: C(6,2)=15 self pairs per group × 3 groups (cos 1.0)
+    # + 36 cross pairs between group0 and group1 (cos ≈ 0.995)
+    assert len(got) == 15 * 3 + 36
+    assert sum(1 for _, _, c in got if c == 1.0) == 45

@@ -498,8 +498,12 @@ def embedding_near_dup_pairs_bucketed(
         members = groups.select(
             F.element_at("__ids", 1).alias("__rep"), F.explode("__ids").alias("__m")
         )
+        # rep_pairs is a bare (id,id,cosine) stream that the joins expand
+        # by multiplicity² — AQE would coalesce it to 1-2 tasks by BYTES
+        # (the documented trap); the explicit numbered repartition keeps
+        # the expansion parallel
         cross = (
-            rep_pairs.join(
+            _fan(rep_pairs, "id_a").join(
                 members.select(F.col("__rep").alias("id_a"), F.col("__m").alias("__a")),
                 "id_a",
             )

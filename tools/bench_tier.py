@@ -74,6 +74,15 @@ TIER_QUERIES = [
     "embedding_jl_audit",
     "lineitem_reconciliation",
     "components_incremental",
+    # round 7: the full (now-oracled) ASPEP chain, the linkage→ER chain
+    # and streaming MV maintenance (r6 verdict ask #9: deepen the curve),
+    # plus the three r7 scale-swap twins
+    "aspep_extended_pipeline",
+    "linkage_entity_clusters",
+    "streaming_mv_maintenance",
+    "ann_negative_samples_scaled",
+    "docs_source_kl_drift_capped",
+    "dedup_ngram_jaccard_capped",
 ]
 
 

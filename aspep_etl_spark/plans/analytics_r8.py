@@ -180,7 +180,8 @@ def events_hll_daily_rollup(spark, sf_dir):
         week_est.join(naive, "week")
         .join(exact, "week")
         .select("week", "n_days", "exact_distinct", "hll_est_week", "sum_daily_est")
-        .orderBy("week")
+        # no ORDER BY: the range sampler would re-run all three aggs
+        # (PERF.md "never orderBy a non-top-k contract output")
     )
 
 
@@ -230,7 +231,7 @@ WITH h AS (
 )
 SELECT w.week, n.n_days, x.exact_distinct, w.hll_est_week, n.sum_daily_est
 FROM week_est w JOIN naive n USING (week) JOIN exact x USING (week)
-ORDER BY w.week
+
 """
 
 
@@ -533,7 +534,8 @@ def layout_bucketed_join(spark, sf_dir):
                 "revenue_cents"
             ),
         )
-        .orderBy("c_mktsegment")
+        # no ORDER BY (5-row output; the range sampler would re-run
+        # the whole bucketed join — 2× the very thing this query measures)
     )
 
 
@@ -542,7 +544,7 @@ SELECT c.c_mktsegment,
        count(*)::BIGINT AS n_orders,
        sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+GROUP BY c.c_mktsegment
 """
 
 R8_QUERIES["layout_bucketed_join"] = layout_bucketed_join
@@ -694,7 +696,7 @@ def docs_logreg_train(spark, sf_dir):
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out.orderBy("round")
+    return out  # per-round literal frames; no cosmetic sort (PERF.md rule)
 
 
 def _lr_sql() -> str:
@@ -762,7 +764,7 @@ WITH tok AS MATERIALIZED (
   SELECT count(*)::BIGINT AS n FROM docs0
 ), {", ".join(rounds)}
 {" UNION ALL ".join(selects)}
-ORDER BY round
+
 """
 
 

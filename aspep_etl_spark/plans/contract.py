@@ -2249,6 +2249,7 @@ from .analytics_r6b import R6B_ORACLE_SQL, R6B_QUERIES  # noqa: E402
 from .analytics_r7 import R7_ORACLE_SQL, R7_QUERIES  # noqa: E402
 from .analytics_r8 import R8_ORACLE_SQL, R8_QUERIES  # noqa: E402
 from .analytics_r9 import R9_ORACLE_SQL, R9_QUERIES  # noqa: E402
+from .analytics_r10 import R10_ORACLE_SQL, R10_QUERIES  # noqa: E402
 from .curation import CURATION_ORACLE_SQL, CURATION_QUERIES  # noqa: E402
 from .ingest_funnel import INGEST_ORACLE_SQL, INGEST_QUERIES  # noqa: E402
 from .llm_extra import LLM_ORACLE_SQL, LLM_QUERIES  # noqa: E402
@@ -2268,6 +2269,7 @@ SPARK_QUERIES.update(R6B_QUERIES)
 SPARK_QUERIES.update(R7_QUERIES)
 SPARK_QUERIES.update(R8_QUERIES)
 SPARK_QUERIES.update(R9_QUERIES)
+SPARK_QUERIES.update(R10_QUERIES)
 SPARK_QUERIES.update(INGEST_QUERIES)
 SPARK_QUERIES.update(TOKENIZER_QUERIES)
 ORACLE_SQL.update(EXTRA_ORACLE_SQL)
@@ -2281,5 +2283,6 @@ ORACLE_SQL.update(R6B_ORACLE_SQL)
 ORACLE_SQL.update(R7_ORACLE_SQL)
 ORACLE_SQL.update(R8_ORACLE_SQL)
 ORACLE_SQL.update(R9_ORACLE_SQL)
+ORACLE_SQL.update(R10_ORACLE_SQL)
 ORACLE_SQL.update(INGEST_ORACLE_SQL)
 ORACLE_SQL.update(TOKENIZER_ORACLE_SQL)

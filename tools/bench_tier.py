@@ -83,6 +83,7 @@ TIER_QUERIES = [
     "ann_negative_samples_scaled",
     "docs_source_kl_drift_capped",
     "dedup_ngram_jaccard_capped",
+    "mv_join_incremental",
 ]
 
 

@@ -112,3 +112,77 @@ GROUP BY 1, 2
 
 R10_QUERIES["mv_join_incremental"] = mv_join_incremental
 R10_ORACLE_SQL["mv_join_incremental"] = _MVJ_SQL
+
+
+#: deletion selector for the retraction query: ~1/19 of orders cancel.
+_MVJ_DEL_MOD = 19
+
+
+def mv_join_retraction(spark, sf_dir):
+    """DELETIONS without recompute — the signed-weight (Z-set) half of
+    incremental view maintenance: a cancellation batch enters the same
+    merge pipeline as insertions, just with weight −1 (count → −count,
+    sum → −sum), and groups whose support reaches zero drop out.  With
+    ``mv_join_incremental`` (insert deltas on both join sides) this
+    covers the full insert/delete algebra of Blakeley-style view
+    maintenance; updates are a retraction + insertion pair.  The ORACLE
+    recomputes the view over the post-delete state, so equality proves
+    the retraction algebra INCLUDING the zero-support drop rule.
+
+    100 TB posture: identical to the insert path — the retraction batch
+    is delta-sized, joins the broadcast dim once, merges at MV grain;
+    history is never re-joined.  Integer cents make +/− merges exact;
+    n_orders > 0 is an exact integer predicate (a fully-cancelled group
+    leaves exact zeros, never float residue)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cancelled = o.filter(F.col("o_orderkey") % _MVJ_DEL_MOD == 0)
+
+    # base MV over the FULL history — the stored relation
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "month")
+        .agg(
+            F.count("*").cast("long").alias("bn"),
+            F.sum("cents").cast("long").alias("bs"),
+        )
+    )
+    # retraction batch: same agg, weight −1
+    retract = (
+        cancelled.join(F.broadcast(c), cancelled.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "month")
+        .agg(
+            (-F.count("*")).cast("long").alias("dn"),
+            (-F.sum("cents")).cast("long").alias("ds"),
+        )
+    )
+    merged = base.join(retract, ["c_mktsegment", "month"], "full_outer").select(
+        "c_mktsegment",
+        F.col("month").cast("string").alias("month"),
+        (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (F.coalesce(F.col("bs"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return merged.filter(F.col("n_orders") > 0)
+
+
+_MVJ_RETRACT_SQL = """
+SELECT c.c_mktsegment,
+       date_trunc('month', o.o_orderdate)::DATE::VARCHAR AS month,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 19 <> 0
+GROUP BY 1, 2
+"""
+
+R10_QUERIES["mv_join_retraction"] = mv_join_retraction
+R10_ORACLE_SQL["mv_join_retraction"] = _MVJ_RETRACT_SQL

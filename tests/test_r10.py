@@ -79,3 +79,33 @@ def test_mv_join_plan_broadcasts_dim_deltas(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4  # base + 3 delta dim joins
+
+
+def test_mv_join_retraction_equals_post_delete_recompute(spark, sf_dir):
+    from aspep_etl_spark.plans.analytics_r10 import mv_join_retraction
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 19 != 0
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    direct = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("revenue_cents"),
+        )
+    )
+    assert _rows(mv_join_retraction(spark, sf_dir)) == _rows(direct)
+
+
+def test_mv_join_retraction_full_cancellation_empties_view(spark, sf_dir, monkeypatch):
+    """Degenerate pin of the zero-support drop rule: cancelling EVERY
+    order must leave an empty view (exact integer zeros, no residue)."""
+    import aspep_etl_spark.plans.analytics_r10 as r10
+
+    monkeypatch.setattr(r10, "_MVJ_DEL_MOD", 1)
+    assert r10.mv_join_retraction(spark, sf_dir).count() == 0

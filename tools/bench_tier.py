@@ -112,17 +112,36 @@ def main() -> None:
 
     load_before = loadavg()
     observations: dict[str, list[float]] = {q: [] for q in names}
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    for timed in [False] + [True] * n_passes:
+
+    def run_pass(record: bool) -> None:
         for name in names:
             t0 = time.time()
             SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
                 "overwrite"
             ).save()
             dt = round(time.time() - t0, 3)
-            if timed:
+            if record:
                 observations[name].append(dt)
             free_cached_blocks(spark)
+
+    # Same self-certification as bench.py: the reported number is the
+    # per-query MINIMUM; auto-extend timed passes until the time-weighted
+    # second-best spread is ≤ 5% (each minimum backed by an independent
+    # observation), capped at SPARK_GRAFT_BENCH_MAX_PASSES.
+    min_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "5"))
+    run_pass(record=False)  # warmup
+    converged = False
+    n_passes = 0
+    for p in range(max_passes):
+        run_pass(record=True)
+        n_passes = p + 1
+        if n_passes >= max(min_passes, 2):
+            best = sum(sorted(o)[0] for o in observations.values())
+            second = sum(sorted(o)[1] for o in observations.values())
+            converged = best > 0 and (second - best) <= 0.05 * best
+            if converged:
+                break
     timings = {q: min(o) for q, o in observations.items()}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -134,6 +153,7 @@ def main() -> None:
                 "queries": timings,
                 "warmup": True,
                 "passes": n_passes,
+                "converged": converged,
                 "loadavg_before": load_before,
                 "loadavg_after": loadavg(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

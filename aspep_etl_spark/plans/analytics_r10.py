@@ -186,3 +186,89 @@ GROUP BY 1, 2
 
 R10_QUERIES["mv_join_retraction"] = mv_join_retraction
 R10_ORACLE_SQL["mv_join_retraction"] = _MVJ_RETRACT_SQL
+
+
+#: dim-update selector: ~1/23 of customers change segment (SCD-1 update).
+_MVJ_UPD_MOD = 23
+
+
+def mv_join_dim_update(spark, sf_dir):
+    """DIM UPDATES — the hard case for join-view maintenance: a changed
+    dimension row invalidates every fact row joined to it.  The refresh
+    joins the fact ONCE on the changed dim keys (at 100 TB a
+    bucket/partition-pruned probe, cf. ``layout_bucketed_join``) and
+    emits a retract/insert PAIR per fact row — weight −1 under the old
+    segment, +1 under the new — through the same coalesce-sum merge;
+    zero-support groups drop.  With ``mv_join_incremental`` (inserts on
+    both sides) and ``mv_join_retraction`` (deletes) this closes the
+    insert/delete/update triangle of Blakeley-style maintenance.  The
+    ORACLE recomputes the view over the post-update dim state, so
+    equality proves that the +/− pair algebra moves every affected
+    order between groups exactly once."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c_upd = c.filter(F.col("c_custkey") % _MVJ_UPD_MOD == 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("old_seg"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("new_seg"),
+    )
+
+    # base MV over the pre-update state — the stored relation
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "month")
+        .agg(
+            F.count("*").cast("long").alias("bn"),
+            F.sum("cents").cast("long").alias("bs"),
+        )
+    )
+    # one pruned fact probe on the changed keys; each matched order emits
+    # a (−1 old_seg, +1 new_seg) pair via a 2-element literal array —
+    # cheap scalars, safe under the explode-reevaluation rule
+    pairs = (
+        o.join(F.broadcast(c_upd), o.o_custkey == c_upd.c_custkey)
+        .select(
+            "month",
+            "cents",
+            F.explode(
+                F.array(
+                    F.struct(F.col("old_seg").alias("seg"), F.lit(-1).alias("w")),
+                    F.struct(F.col("new_seg").alias("seg"), F.lit(1).alias("w")),
+                )
+            ).alias("d"),
+        )
+        .select(F.col("d.seg").alias("c_mktsegment"), "month", "d.w", "cents")
+    )
+    delta = pairs.groupBy("c_mktsegment", "month").agg(
+        F.sum("w").cast("long").alias("dn"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("ds"),
+    )
+    merged = base.join(delta, ["c_mktsegment", "month"], "full_outer").select(
+        "c_mktsegment",
+        F.col("month").cast("string").alias("month"),
+        (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (F.coalesce(F.col("bs"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    return merged.filter(F.col("n_orders") > 0)
+
+
+_MVJ_UPDATE_SQL = """
+SELECT CASE WHEN c.c_custkey % 23 = 0 THEN c.c_mktsegment || '_V2'
+            ELSE c.c_mktsegment END AS c_mktsegment,
+       date_trunc('month', o.o_orderdate)::DATE::VARCHAR AS month,
+       count(*)::BIGINT AS n_orders,
+       sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+R10_QUERIES["mv_join_dim_update"] = mv_join_dim_update
+R10_ORACLE_SQL["mv_join_dim_update"] = _MVJ_UPDATE_SQL

@@ -109,3 +109,48 @@ def test_mv_join_retraction_full_cancellation_empties_view(spark, sf_dir, monkey
 
     monkeypatch.setattr(r10, "_MVJ_DEL_MOD", 1)
     assert r10.mv_join_retraction(spark, sf_dir).count() == 0
+
+
+def test_mv_join_dim_update_equals_post_update_recompute(spark, sf_dir):
+    """The retract/insert pair per affected fact row must move every
+    order between segment groups exactly once."""
+    from aspep_etl_spark.plans.analytics_r10 import mv_join_dim_update
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 23 == 0, F.concat(F.col("c_mktsegment"), F.lit("_V2"))
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    direct = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").cast("string").alias("month"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("revenue_cents"),
+        )
+    )
+    assert _rows(mv_join_dim_update(spark, sf_dir)) == _rows(direct)
+
+
+def test_mv_join_dim_update_conserves_orders(spark, sf_dir):
+    """A dim update relabels rows, never creates or destroys them: total
+    n_orders and revenue must equal the base view's totals."""
+    from aspep_etl_spark.plans.analytics_r10 import (
+        mv_join_dim_update,
+        mv_join_retraction,
+    )
+
+    upd = mv_join_dim_update(spark, sf_dir).agg(
+        F.sum("n_orders"), F.sum("revenue_cents")
+    ).first()
+    base = _direct(spark, sf_dir).agg(
+        F.sum("n_orders"), F.sum("revenue_cents")
+    ).first()
+    assert tuple(upd) == tuple(base)

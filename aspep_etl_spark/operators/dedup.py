@@ -449,6 +449,11 @@ def embedding_near_dup_pairs_bucketed(
     bit-vectors → identical fold), within-group pairs get the group's
     self-cosine through the same guarded expression, and zero-norm groups
     screen out exactly like the pair formula does.
+
+    The collapse path persists the distinct-vector groups frame (it feeds
+    three consumers: reps, cross-expansion, within-expansion); multi-query
+    callers should sweep with ``cache.free_cached_blocks`` after
+    materializing the result, as elsewhere in this module.
     """
     from .similarity import with_norm, cosine_expr
 

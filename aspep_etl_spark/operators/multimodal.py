@@ -187,14 +187,15 @@ def files_as_media(binary_df: DataFrame) -> DataFrame:
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content) if content is not None else b""
                 fmt = sniff_format(raw)
-                # 63-bit id from the md5 prefix of the path: birthday
+                # 63-bit id from the md5 prefix of the path (16 hex
+                # digits = 64 bits, sign bit masked off): birthday
                 # collisions at ~3.6e9 assets (vs ~80k for a 31-bit
                 # crc32) — safe for a real media lake; the full path
                 # stays alongside in media_meta as the exact key.
                 path_h = _hashlib.md5(path.encode()).hexdigest()
                 rows.append(
                     {
-                        "asset_id": int(path_h[:15], 16) & 0x7FFFFFFFFFFFFFFF,
+                        "asset_id": int(path_h[:16], 16) & 0x7FFFFFFFFFFFFFFF,
                         "modality": modality_of.get(fmt, "unknown"),
                         "payload": raw,
                         "media_meta": {"path": path, "format": fmt or "unknown"},

@@ -103,7 +103,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.col("s").alias("b"), F.col("t").alias("c")
     ).unionByName(oriented.select(F.col("t").alias("b"), F.col("s").alias("c")))
     tri = wedges.join(closing, ["b", "c"]).agg(F.count("*").alias("n_triangles"))
-    stats = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+    stats = F.broadcast(edges.agg(F.count("*").alias("n_edges"))).crossJoin(
         F.broadcast(deg.agg(
             F.count("*").alias("n_nodes"),
             F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("__wedges"),

@@ -467,15 +467,28 @@ def _register_bucketed_cleanup(base: str) -> None:
             ]
         )
         # sweep debris from crashed/killed prior runs: any sibling dir
-        # whose trailing _<pid> no longer names a live process
+        # whose trailing _<pid> no longer names a live process AND that
+        # hasn't been touched for an hour — the age guard protects a
+        # live sibling under pid reuse / separate pid namespaces
+        # sharing /tmp (its bucketed catalog tables would fail mid-run
+        # if rmtree'd)
+        import time
+
         root = os.path.dirname(base)
         try:
+            now = time.time()
             for d in os.listdir(root):
                 pid_part = d.rsplit("_", 1)[-1]
                 if not pid_part.isdigit():
                     continue
-                if not os.path.exists(f"/proc/{pid_part}"):
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                path = os.path.join(root, d)
+                try:
+                    fresh = now - os.path.getmtime(path) < 3600
+                except OSError:
+                    fresh = False
+                if fresh or os.path.exists(f"/proc/{pid_part}"):
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass
     _BUCKETED_CLEANUP_PATHS.add(base)

@@ -404,27 +404,63 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def a1_grouped_median_approx(spark, sf_dir):
     """A1 with the sketch-based median ("median_approx"): mergeable
     percentile_approx partials instead of exact median's per-group sort —
-    the 100 TB path.  No SQL oracle (sketch internals differ from DuckDB's
-    approx_quantile); the error-bound vs exact is pinned in
-    tests/test_relational_ops.py (rel ≤1e-3, reference asset_checks.py:60
-    budget)."""
-    from ..operators.stats import grouped_stats_fused
+    the 100 TB path (reference asset_checks.py:60 rel-1e-3 budget).
 
+    The sketch value itself is engine-specific (Spark's KLL-style sketch vs
+    DuckDB's t-digest), so the oracled output carries the *invariant*
+    instead of the raw sketch: percentile_approx(c, 0.5, acc) guarantees a
+    returned element whose rank is within n·(0.5 ± 1/acc).  With
+    acc=10⁴ we check it against the hugely slackened exact rank window
+    [percentile(0.49), percentile(0.51)] — computed in the SAME fused
+    aggregate (one shuffle) — and emit 1/0 flags the hash covers.  DuckDB's
+    twin emits the exact medians/means plus constant-1 flags; any sketch
+    regression flips a flag and hash-mismatches.  At 100 TB you'd run the
+    sketch WITHOUT the exact-percentile verification columns
+    (grouped_stats_fused stats=("median_approx","mean")); this entry is the
+    correctness harness for it."""
     li = _t(spark, sf_dir, "lineitem")
-    fused = grouped_stats_fused(
-        li,
-        ["l_returnflag", "l_linestatus"],
-        ["l_quantity", "l_extendedprice"],
-        stats=("median_approx", "mean"),
-    )
+    from ..operators.stats import APPROX_MEDIAN_ACCURACY
+
+    acc = F.lit(APPROX_MEDIAN_ACCURACY)
+    aggs = []
+    for c in ("l_quantity", "l_extendedprice"):
+        aggs += [
+            F.percentile_approx(c, F.lit(0.5), acc).alias(f"__apx__{c}"),
+            F.percentile(F.col(c), F.lit(0.49)).alias(f"__lo__{c}"),
+            F.percentile(F.col(c), F.lit(0.51)).alias(f"__hi__{c}"),
+            F.median(c).alias(f"__med__{c}"),
+            F.avg(c).alias(f"__mean__{c}"),
+        ]
+    fused = li.groupBy("l_returnflag", "l_linestatus").agg(*aggs)
+
+    def _ok(c):
+        return (
+            (F.col(f"__apx__{c}") >= F.col(f"__lo__{c}"))
+            & (F.col(f"__apx__{c}") <= F.col(f"__hi__{c}"))
+        ).cast("int")
+
     return fused.select(
         "l_returnflag",
         "l_linestatus",
-        F.round("__median_approx__l_quantity", 4).alias("median_qty"),
-        F.round("__median_approx__l_extendedprice", 4).alias("median_price"),
+        F.round("__med__l_quantity", 4).alias("median_qty"),
+        F.round("__med__l_extendedprice", 4).alias("median_price"),
         F.round("__mean__l_quantity", 4).alias("mean_qty"),
         F.round("__mean__l_extendedprice", 4).alias("mean_price"),
+        _ok("l_quantity").alias("approx_qty_in_bound"),
+        _ok("l_extendedprice").alias("approx_price_in_bound"),
     )
+
+
+_A1_APPROX_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(median(l_quantity), 4)      AS median_qty,
+       round(median(l_extendedprice), 4) AS median_price,
+       round(avg(l_quantity), 4)         AS mean_qty,
+       round(avg(l_extendedprice), 4)    AS mean_price,
+       1 AS approx_qty_in_bound,
+       1 AS approx_price_in_bound
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
 
 
 def a3_stats_union_back(spark, sf_dir):
@@ -2178,6 +2214,7 @@ ORACLE_SQL = {
     "j1_broadcast_dim_join": _J1_SQL,
     "j2_recode_passthrough": _J2_SQL,
     "a1_grouped_median": _A1_SQL,
+    "a1_grouped_median_approx": _A1_APPROX_SQL,
     "a3_stats_union_back": _A3_SQL,
     "w1_lag_deltas": _W1_SQL,
     "w3_rank_null_parity": _W3_SQL,

@@ -448,7 +448,9 @@ def ann_negative_samples(spark, sf_dir):
     positives = brute_force_topk(emb, queries, k=20).select(
         "query_id", "neighbor_id"
     )
-    cand = queries.select(F.col("vec_id").alias("query_id")).crossJoin(
+    cand = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"))
+    ).crossJoin(
         emb.select(F.col("vec_id").alias("cand_id"))
     ).filter(F.col("query_id") != F.col("cand_id"))
     cand = cand.join(

@@ -127,7 +127,9 @@ def run_streaming_mv_maintenance(
         s = batch.sparkSession
         old = store + "__old"
         if not os.path.isdir(store) and os.path.isdir(old):
-            # crash landed between the two renames below: roll forward
+            # crash landed between the two renames below: roll back to
+            # the pre-batch store; foreachBatch redelivery re-applies
+            # the interrupted batch on top of it
             os.replace(old, store)
         if os.path.exists(os.path.join(store, f"_applied_{batch_id}")):
             return  # checkpoint-recovery redelivery

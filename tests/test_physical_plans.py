@@ -660,6 +660,7 @@ def test_neg_samples_scaled_filters_before_rank_window(spark, sf):
     # the threshold literal must sit in a Filter, and that Filter must be
     # deeper in the tree (printed later) than the Window node
     thr = _hex_threshold(_NEG_SCALED_RATE)
+    assert thr in plan, f"hex threshold literal {thr!r} missing from plan"
     win_at = plan.index("Window")
     filt_at = plan.index(thr)
     assert filt_at > win_at, "hash filter must be below (inside) the window input"

@@ -1155,19 +1155,25 @@ def docs_nb_crossval_capped(spark, sf_dir):
         n_f[r["fold"]] += r["n_cf"]
         n_cf[(r["lang"], r["fold"])] = r["n_cf"]
     min_df = max(2, -(-n_all // _NBCV_DF_DENOM))
-    # capped-vocab count cube: one distributed vocab election (dw is
-    # already distinct at (doc, w), so df is a count), one integer
-    # collect at (cls, w, fold) grain — bounded by the df cap
-    vocab = (
-        dw.groupBy("w")
-        .agg(F.count("*").alias("df_w"))
-        .filter(F.col("df_w") >= F.lit(min_df))
-        .select("w")
+    # capped-vocab count cube in ONE scan of dw (r8: the previous
+    # two-pass shape — vocab election groupBy(w), then join+groupBy —
+    # rescanned the persisted dw twice and cost ~0.7 s of the sf0.1
+    # constant).  Pass 1 aggregates at (w, lang, fold) grain; pass 2 is
+    # a TINY shuffle at w grain (input is already model-sized) that
+    # sums document frequency and gathers the ≤ cls·K cells per word,
+    # so the df filter and the collect both happen post-cap.  dw rows
+    # are distinct (doc, w) pairs, so df(w) = Σ dfp.
+    cwf = dw.groupBy("w", "lang", "fold").agg(
+        F.sum("n").alias("cf"), F.count("*").alias("dfp")
+    )
+    per_w = cwf.groupBy("w").agg(
+        F.sum("dfp").alias("df_w"),
+        F.collect_list(F.struct("lang", "fold", "cf")).alias("cells"),
     )
     cw_rows = (
-        dw.join(F.broadcast(vocab), "w")
-        .groupBy("lang", "w", "fold")
-        .agg(F.sum("n").alias("cf"))
+        per_w.filter(F.col("df_w") >= F.lit(min_df))
+        .select("w", F.explode("cells").alias("c"))
+        .select("c.lang", "w", "c.fold", "c.cf")
         .collect()
     )
     # exact integer model assembly (leave-one-fold-out subtraction)

@@ -57,7 +57,10 @@ BENCH_QUERIES = [
     "docs_classifier_score",
     "dedup_embedding_cosine",
     "docs_dsir_weights",
-    "docs_nb_crossval",
+    # r8: the K-fold CV headline slot is the CAPPED sufficient-stats twin
+    # (the 100 TB path); the exact positional-fold `docs_nb_crossval`
+    # stays registry-green as its oracle twin (the dedup_ngram_jaccard /
+    # _capped precedent) but is no longer benchmarked.
     "docs_nb_crossval_capped",
 ]
 
@@ -68,7 +71,6 @@ _POST_R3_QUERIES = {
     "docs_classifier_score",
     "dedup_embedding_cosine",  # r5: BLAS filter-refine showcase
     "docs_dsir_weights",  # r6: scan-bound data-selection showcase
-    "docs_nb_crossval",  # r6: 1-scan K-fold CV (train-by-subtraction) showcase
     "docs_nb_crossval_capped",  # r7: vocab-capped sufficient-stats CV scale twin
 }
 

@@ -57,6 +57,11 @@ def connected_components(
     realistic graph).
     """
     spark = pairs.sparkSession
+    # the src/dst union reads `pairs` TWICE — persist it so an expensive
+    # upstream (e.g. the blocked-linkage candidate plan feeding
+    # linkage_entity_clusters) evaluates once; released in the finally
+    # alongside edges
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -116,3 +121,4 @@ def connected_components(
         raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
     finally:
         edges.unpersist()
+        pairs.unpersist()

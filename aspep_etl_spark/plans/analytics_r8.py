@@ -292,9 +292,22 @@ def _linkage_candidates(spark, sf_dir):
     join, levenshtein statically 0) and a near-name stream blocked on
     (nationkey, name-prefix, $1-balance-band ±1, SEGMENT) restricted to
     1 ≤ name_dist ≤ 2.  Returns the pre-score-filter candidate frame
-    with a ``name_dist`` column — the relation the skew audit counts."""
+    with a ``name_dist`` column — the relation the skew audit counts.
+
+    Both sides get an explicit NUMBERED repartition before the joins
+    (the dedup._fan discipline): the customer scan is byte-small even
+    at sf1 (~4 input splits), and every probe row runs substring +
+    levenshtein and fans out ×3 band offsets — AQE's byte-based
+    coalescing funneled that compute through 2-4 tasks (r7 artifact:
+    5.2 s / 8.63× at sf1; fenced: ~1.4 s / ~2.2×, measured r8).  The
+    join strategy itself stays Catalyst's choice — broadcast at bench
+    SFs, sort-merge when both sides are cluster-scale."""
     a, b = _linkage_sides(spark, sf_dir)
-    bb = b.withColumn("b_band", F.floor(F.col("b_cents") / 100.0).cast("long"))
+    par = spark.sparkContext.defaultParallelism
+    a = a.repartition(par)
+    bb = b.withColumn(
+        "b_band", F.floor(F.col("b_cents") / 100.0).cast("long")
+    ).repartition(par)
 
     # Stream E — name_dist = 0 ⟺ full-name equality: a plain hash join
     # on (name, nationkey).  No levenshtein, no band fan-out; under

@@ -2400,13 +2400,33 @@ def streaming_mv_maintenance(spark, sf_dir):
     return run_streaming_mv_maintenance(spark, f"{sf_dir}/events.parquet")
 
 
-R9_QUERIES["streaming_mv_maintenance"] = streaming_mv_maintenance
-R9_ORACLE_SQL["streaming_mv_maintenance"] = """
+def streaming_mv_many_batches(spark, sf_dir):
+    """``streaming_mv_maintenance`` under a 10× BATCH COUNT (30 real
+    micro-batches instead of 3) — the r7-verdict state-growth probe:
+    each foreachBatch merge reads the full MV store back, so batch
+    count (not input size) drives the read-amplification term, and the
+    MV-grain store is what bounds it.  Same flat-recompute oracle —
+    the maintained store is split-count invariant (pinned for the
+    3-split shape in tests/test_streaming_mv.py; this entry IS the
+    30-split pin, enforced every correctness sweep)."""
+    from ..streaming.mv import run_streaming_mv_maintenance
+
+    return run_streaming_mv_maintenance(
+        spark, f"{sf_dir}/events.parquet", n_splits=30
+    )
+
+
+_MV_FLAT_SQL = """
 SELECT ts::DATE::VARCHAR AS day, event_type,
        count(*)::BIGINT AS n_events,
        sum(round(value * 100)::BIGINT)::BIGINT AS cents_sum
 FROM events GROUP BY 1, 2
 """
+
+R9_QUERIES["streaming_mv_maintenance"] = streaming_mv_maintenance
+R9_ORACLE_SQL["streaming_mv_maintenance"] = _MV_FLAT_SQL
+R9_QUERIES["streaming_mv_many_batches"] = streaming_mv_many_batches
+R9_ORACLE_SQL["streaming_mv_many_batches"] = _MV_FLAT_SQL
 
 
 # --------------------------------------------------------------------------

@@ -98,12 +98,14 @@ def run_streaming_mv_maintenance(
     # parquet's TIMESTAMP(NANOS) ts
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # deterministic re-shard: event_id % n_splits, one file each
+    # re-shard in ONE pass: an explicit numbered repartition on event_id
+    # writes ~n_splits part files from a single scan (the per-residue
+    # filter loop scanned the input n_splits times — at 30 splits that
+    # setup dominated the probe).  Exactly-once row coverage is what the
+    # merge algebra needs; the maintained MV is split-invariant (its
+    # oracle is the flat recompute).
     raw = spark.read.parquet(events_path)
-    for i in range(n_splits):
-        raw.filter(F.col("event_id") % n_splits == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(shards)
+    raw.repartition(n_splits, F.col("event_id")).write.parquet(shards)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(shards).schema)

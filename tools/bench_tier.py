@@ -84,6 +84,12 @@ TIER_QUERIES = [
     "docs_source_kl_drift_capped",
     "dedup_ngram_jaccard_capped",
     "mv_join_incremental",
+    # round 8 (r7 verdict ask #7): the rest of the incremental-MV
+    # triangle, and streaming MV under a 10× BATCH COUNT (state/merge
+    # growth, not just data growth)
+    "mv_join_retraction",
+    "mv_join_dim_update",
+    "streaming_mv_many_batches",
 ]
 
 
@@ -112,13 +118,22 @@ def main() -> None:
 
     load_before = loadavg()
     observations: dict[str, list[float]] = {q: [] for q in names}
+    rows_out: dict[str, int] = {}
 
     def run_pass(record: bool) -> None:
         for name in names:
             t0 = time.time()
-            SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            if not record and name not in rows_out:
+                # warmup doubles as the output-size census: emitted row
+                # counts let the artifact normalize wall-clock by output
+                # (pair-emitting queries legitimately grow output ~k²
+                # under tiled corpora — sec/row is the scaling metric,
+                # see make_sf1_artifact.py)
+                rows_out[name] = SPARK_QUERIES[name](spark, SF_DIR).count()
+            else:
+                SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             dt = round(time.time() - t0, 3)
             if record:
                 observations[name].append(dt)
@@ -151,6 +166,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "rows_out": rows_out,
                 "warmup": True,
                 "passes": n_passes,
                 "converged": converged,

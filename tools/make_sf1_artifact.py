@@ -36,16 +36,44 @@ def main() -> None:
         for q in tier1["queries"]
         if q in tier01["queries"] and tier01["queries"][q] > 0
     }
+    # Output-normalized scaling (r7 verdict ask #2): for pair-emitting
+    # queries the OUTPUT legitimately grows ~k² under a k-tiled corpus
+    # (every name has k copies ⇒ each original match becomes k² pairs),
+    # so raw wall ratio penalizes output growth.  work_per_output_ratio
+    # = (t_sf1/rows_sf1) / (t_sf0.1/rows_sf0.1): ~flat (or falling)
+    # means compute is output-proportional; only a query superlinear in
+    # BOTH wall and work-per-row is a real scaling defect.
+    rows01 = tier01.get("rows_out", {})
+    rows1 = tier1.get("rows_out", {})
+    rows_out_ratio = {
+        q: round(rows1[q] / rows01[q], 2)
+        for q in rows1
+        if rows01.get(q)
+    }
+    work_per_output_ratio = {
+        q: round(
+            (tier1["queries"][q] / rows1[q])
+            / (tier01["queries"][q] / rows01[q]),
+            2,
+        )
+        for q in rows_out_ratio
+        if q in ratios
+    }
     out = {
         "sf1_headline": head1,
         "tier_sf0_1": tier01,
         "tier_sf1": tier1,
         "tier_ratio_sf1_over_sf0_1": ratios,
+        "rows_out_ratio_sf1_over_sf0_1": rows_out_ratio,
+        "work_per_output_ratio_sf1_over_sf0_1": work_per_output_ratio,
         "rows_ratio": 10.0,
         "note": (
             "ratio well under 10 = idle-core headroom absorbs the growth; "
             "~10 = compute-bound linear; far over 10 = superlinear "
-            "candidate growth (see PERF.md sf1 findings)"
+            "candidate growth (see PERF.md sf1 findings). For queries "
+            "whose rows_out_ratio exceeds the data ratio (pair emitters "
+            "under tiling), judge work_per_output_ratio instead: ~1 = "
+            "output-proportional compute."
         ),
     }
     with open("BENCH_local_sf1.json", "w") as f:

@@ -96,14 +96,25 @@ def docs_dsir_weights(spark, sf_dir):
     broadcast relation; scoring is one token scan + ordered position
     fold, ``round(·, 6)`` absorbing libm log10 slack."""
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    # two persist fences (r8; measured 8.4 → 6.0 s at sf1): the array
+    # frame fences the regexp from posexplode's per-emitted-element
+    # re-evaluation (the documented explode trap), and the token frame
+    # fences the per-token md5 bucketing from its THREE consumers
+    # (raw model, target model, scoring fold).  Multi-query callers
+    # sweep with cache.free_cached_blocks as usual.
+    arr = docs.select(
         "doc_id",
         "lang",
-        F.posexplode(
-            F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), 0)
-        ).alias("pos", "w"),
-    ).withColumn(
-        "b", _md5i(F.concat(F.lit("dsir|"), F.col("w"))) % _DSIR_BUCKETS
+        F.regexp_extract_all(F.lower("text"), F.lit(_WORD_RE), 0).alias(
+            "__toks"
+        ),
+    ).persist()
+    tok = (
+        arr.select("doc_id", "lang", F.posexplode("__toks").alias("pos", "w"))
+        .withColumn(
+            "b", _md5i(F.concat(F.lit("dsir|"), F.col("w"))) % _DSIR_BUCKETS
+        )
+        .persist()
     )
     raw_b = tok.groupBy("b").agg(F.count("*").alias("cr"))
     tgt_b = (

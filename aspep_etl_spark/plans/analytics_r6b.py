@@ -972,10 +972,11 @@ _QS_RATE = 8  # keep 1/8 of rows (deterministic hash sample)
 def events_quantile_sketch(spark, sf_dir):
     """Mergeable sample-based quantile sketch ([EXT]): per event type,
     estimate p50/p95/p99 from a deterministic md5 hash sample (1/8) —
-    the FULLY ORACLED approximate-quantile path next to the rows-only
-    ``a1_grouped_median_approx`` (percentile_approx's sketch is
-    engine-internal; a Bernoulli hash sample is public arithmetic, so
-    the twin replays it exactly).  The sketch is the per-group sorted
+    the value-level-oracled approximate-quantile path next to
+    ``a1_grouped_median_approx`` (whose percentile_approx sketch is
+    engine-internal, so its r8 oracle checks rank-window invariant
+    flags instead; a Bernoulli hash sample is public arithmetic, so
+    THIS twin replays the estimate exactly).  The sketch is the per-group sorted
     sample: partials merge by list union (algebraic), estimates are
     element SELECTIONS — no interpolation, no float math at all.  At
     100 TB the sample rate becomes adaptive per group (documented), the

@@ -408,57 +408,76 @@ def a1_grouped_median_approx(spark, sf_dir):
 
     The sketch value itself is engine-specific (Spark's KLL-style sketch vs
     DuckDB's t-digest), so the oracled output carries the *invariant*
-    instead of the raw sketch: percentile_approx(c, 0.5, acc) guarantees a
-    returned element whose rank is within n·(0.5 ± 1/acc).  With
-    acc=10⁴ we check it against the hugely slackened exact rank window
-    [percentile(0.49), percentile(0.51)] — computed in the SAME fused
-    aggregate (one shuffle) — and emit 1/0 flags the hash covers.  DuckDB's
-    twin emits the exact medians/means plus constant-1 flags; any sketch
-    regression flips a flag and hash-mismatches.  At 100 TB you'd run the
-    sketch WITHOUT the exact-percentile verification columns
-    (grouped_stats_fused stats=("median_approx","mean")); this entry is the
-    correctness harness for it."""
+    instead of the raw sketch — computed WITHOUT any per-group buffering
+    aggregate (an earlier draft verified against exact
+    percentile(0.49/0.51) in the same agg and cost 3.6 s at sf0.1 vs
+    0.7 s for the raw sketch).  Two streaming hash-agg passes:
+
+      1. the sketch pass — percentile_approx + avg + count per group
+         (mergeable partials; this alone is the 100 TB plan);
+      2. a rank-count pass — broadcast the 6-row sketch result back onto
+         the scan and count, per group, values < and <= the sketch
+         median.
+
+    percentile_approx(c, 0.5, acc) returns a DATA ELEMENT whose rank is
+    within n*(0.5 +/- 1/acc); with acc=10^4 we check the element's
+    occupied rank interval [cnt_lt+1, cnt_le] against the 100x-slackened
+    window n*(0.5 +/- 0.01), and that it IS an element
+    (cnt_le > cnt_lt) — emitted as 1/0 flags the hash covers next to the
+    exact means/counts.  DuckDB's twin emits constant-1 flags; any
+    sketch regression (wrong rank, interpolated non-element) flips a
+    flag and hash-mismatches."""
     li = _t(spark, sf_dir, "lineitem")
     from ..operators.stats import APPROX_MEDIAN_ACCURACY
 
     acc = F.lit(APPROX_MEDIAN_ACCURACY)
-    aggs = []
-    for c in ("l_quantity", "l_extendedprice"):
+    keys = ["l_returnflag", "l_linestatus"]
+    cols = ("l_quantity", "l_extendedprice")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
         aggs += [
             F.percentile_approx(c, F.lit(0.5), acc).alias(f"__apx__{c}"),
-            F.percentile(F.col(c), F.lit(0.49)).alias(f"__lo__{c}"),
-            F.percentile(F.col(c), F.lit(0.51)).alias(f"__hi__{c}"),
-            F.median(c).alias(f"__med__{c}"),
             F.avg(c).alias(f"__mean__{c}"),
         ]
-    fused = li.groupBy("l_returnflag", "l_linestatus").agg(*aggs)
+    sk = li.groupBy(*keys).agg(*aggs)
+    rank_aggs = []
+    for c in cols:
+        rank_aggs += [
+            F.sum((F.col(c) < F.col(f"__apx__{c}")).cast("long")).alias(
+                f"__lt__{c}"
+            ),
+            F.sum((F.col(c) <= F.col(f"__apx__{c}")).cast("long")).alias(
+                f"__le__{c}"
+            ),
+            F.first(f"__mean__{c}").alias(f"__mean__{c}"),
+        ]
+    rank_aggs.append(F.first("n_rows").alias("n_rows"))
+    ranked = li.join(F.broadcast(sk), keys).groupBy(*keys).agg(*rank_aggs)
 
     def _ok(c):
-        return (
-            (F.col(f"__apx__{c}") >= F.col(f"__lo__{c}"))
-            & (F.col(f"__apx__{c}") <= F.col(f"__hi__{c}"))
-        ).cast("int")
+        lo = F.ceil(F.col("n_rows") * 0.49)
+        hi = F.floor(F.col("n_rows") * 0.51)
+        in_window = (F.col(f"__le__{c}") >= lo) & (F.col(f"__lt__{c}") < hi)
+        is_element = F.col(f"__le__{c}") > F.col(f"__lt__{c}")
+        return (in_window & is_element).cast("int")
 
-    return fused.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.round("__med__l_quantity", 4).alias("median_qty"),
-        F.round("__med__l_extendedprice", 4).alias("median_price"),
+    return ranked.select(
+        *keys,
+        F.col("n_rows"),
         F.round("__mean__l_quantity", 4).alias("mean_qty"),
         F.round("__mean__l_extendedprice", 4).alias("mean_price"),
-        _ok("l_quantity").alias("approx_qty_in_bound"),
-        _ok("l_extendedprice").alias("approx_price_in_bound"),
+        _ok("l_quantity").alias("approx_qty_ok"),
+        _ok("l_extendedprice").alias("approx_price_ok"),
     )
 
 
 _A1_APPROX_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(median(l_quantity), 4)      AS median_qty,
-       round(median(l_extendedprice), 4) AS median_price,
-       round(avg(l_quantity), 4)         AS mean_qty,
-       round(avg(l_extendedprice), 4)    AS mean_price,
-       1 AS approx_qty_in_bound,
-       1 AS approx_price_in_bound
+       count(*)::BIGINT               AS n_rows,
+       round(avg(l_quantity), 4)      AS mean_qty,
+       round(avg(l_extendedprice), 4) AS mean_price,
+       1 AS approx_qty_ok,
+       1 AS approx_price_ok
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 

@@ -727,3 +727,38 @@ def test_winsorized_approx_path_bounds_and_shape(spark, sf):
         assert abs(ap["winsorized_mean"] - ex["winsorized_mean"]) <= 0.05 * (
             abs(ex["winsorized_mean"]) + span
         )
+
+
+def test_linkage_candidates_fenced_on_full_parallelism(spark, sf):
+    """r8: both linkage candidate sides must ride an explicit NUMBERED
+    repartition (RoundRobinPartitioning at defaultParallelism) — AQE's
+    byte-based coalescing otherwise funnels the substring+levenshtein
+    probe fan-out through 2-4 tasks at sf1 (the 8.63x r7 tail)."""
+    from aspep_etl_spark.plans.analytics_r8 import _linkage_candidates
+
+    par = spark.sparkContext.defaultParallelism
+    plan = plan_of(_linkage_candidates(spark, sf), mode="simple")
+    assert plan.count(f"RoundRobinPartitioning({par})") >= 2, plan
+
+
+def test_a1_approx_verification_has_no_buffering_aggregate(spark, sf):
+    """r8: the approx-median oracle harness must not buffer groups for an
+    EXACT percentile/median anywhere (the draft that verified against
+    exact percentile(0.49/0.51) cost 5x the raw sketch); the only
+    typed-imperative aggregate allowed is percentile_approx itself."""
+    plan = plan_of(contract.a1_grouped_median_approx(spark, sf), mode="simple")
+    assert "SortAggregate" not in plan
+    assert "percentile(" not in plan  # exact percentile banned; approx only
+    assert "percentile_approx" in plan
+    assert "BroadcastHashJoin" in plan  # 6-row sketch broadcast onto the scan
+
+
+def test_a1_approx_invariant_flags_hold(spark, sf):
+    """The rank-window + is-element flags must be 1 for every group on
+    real data (the DuckDB twin emits constant 1s — this is the Spark-side
+    half of that contract, checked at test scale)."""
+    rows = contract.a1_grouped_median_approx(spark, sf).collect()
+    assert rows, "no groups"
+    for r in rows:
+        assert r["approx_qty_ok"] == 1 and r["approx_price_ok"] == 1, r
+        assert r["n_rows"] > 0

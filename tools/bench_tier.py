@@ -158,6 +158,14 @@ def main() -> None:
             if converged:
                 break
     timings = {q: min(o) for q, o in observations.items()}
+    # per-query spread between the two best observations (bench.py's
+    # self-certification): a non-converged run names its noisy queries
+    spread_pct = {
+        q: round(100.0 * (sorted(o)[1] - sorted(o)[0]) / sorted(o)[0], 1)
+        if len(o) >= 2 and sorted(o)[0] > 0
+        else None
+        for q, o in observations.items()
+    }
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -167,6 +175,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "rows_out": rows_out,
+                "query_spread_pct": spread_pct,
                 "warmup": True,
                 "passes": n_passes,
                 "converged": converged,

@@ -11,9 +11,16 @@ lookup and a sigmoid — entirely with built-in array expressions:
   the ordered left-fold sum are all map-side Catalyst expressions, so
   scoring rides the corpus scan (at 100 TB the classifier pass is
   scan-bound, exactly like production quality-filter sweeps).
-- The bucket hash is the first 8 hex chars of md5 (32-bit), which both
-  Spark (`conv(_, 16, 10)`) and DuckDB (`CAST('0x' || _ AS BIGINT)`)
-  parse identically — what makes the score hash-exact cross-engine.
+- The bucket hash is the engine's native ``xxhash64`` (seed 42), folded
+  non-negative with ``pmod``.  (r9: re-keyed from the md5 8-hex-prefix
+  trick — the per-feature md5→hex→conv chain ran INTERPRETED inside the
+  ``transform`` lambda and was the measured dominant cost of every
+  classifier-family query at sf1, ~5.3 s of conformal's 6.65 s per the
+  PERF.md A/B; xxhash64 is one JVM hash call with no string allocation.)
+  Cross-engine exactness is preserved by the DuckDB XXH64 macro twin in
+  ``plans/xxh64_sql.py`` — the same oracle machinery the MinHash/SimHash
+  queries use, byte-semantics pinned by ``tests/test_hash_twins.py`` —
+  hashing once per DISTINCT feature oracle-side.
 - Weights come from a deterministic bucket->weight formula rather than
   a trained literal table, so the contract query needs no external
   artifact; swapping in real trained weights is a one-line change
@@ -37,9 +44,13 @@ from .text import WORD_RE
 
 
 def hashed_bucket(feature: Column, dim: int) -> Column:
-    """32-bit md5-prefix hash of a feature string, reduced mod `dim`."""
-    h32 = F.conv(F.substring(F.md5(feature), 1, 8), 16, 10).cast("long")
-    return h32 % F.lit(dim)
+    """Non-negative ``xxhash64`` (seed 42) of a feature string, mod `dim`.
+
+    ``pmod`` folds the signed 64-bit hash into [0, dim); for the
+    power-of-two dims used here that equals the unsigned hash mod dim,
+    which is what the DuckDB twin computes (``xx_bytes`` returns the
+    unsigned value)."""
+    return F.pmod(F.xxhash64(feature), F.lit(dim))
 
 
 def bucket_weight(bucket: Column) -> Column:

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 
 from ..operators.text import WORD_RE
 from ..sources.registry import load_table as _t
+from .xxh64_sql import PRELUDE as _XXH_PRELUDE
+from .xxh64_sql import classifier_wts_ctes as _cls_wts
 
 # 2024-01-01T00:00:00Z in microseconds — the events table's epoch.
 _EPOCH_US = 1704067200000000
@@ -2751,22 +2753,12 @@ def docs_classifier_auc(spark, sf_dir):
     )
 
 
-_AUC_SQL = """
-WITH base AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
-), feat AS (
+_AUC_SQL = f"""{_XXH_PRELUDE}
+WITH {_cls_wts()},
+folded AS (
   SELECT doc_id,
-         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
-  FROM base WHERE len(w) >= 1
-), wts AS (
-  SELECT doc_id,
-         list_transform(f, t ->
-           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
-             / 1000.0 - 1.0) AS wv
-  FROM feat
-), folded AS (
-  SELECT doc_id,
-         round(list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv), 6)
+         round(list_reduce(list_prepend(0.0::DOUBLE, wv), (a, b) -> a + b)
+               / len(wv), 6)
            AS score
   FROM wts
 ), lab AS (

@@ -61,6 +61,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table as _t
+from .xxh64_sql import PRELUDE as _XXH_PRELUDE
+from .xxh64_sql import classifier_wts_ctes as _cls_wts
 
 R6B_QUERIES: dict = {}
 R6B_ORACLE_SQL: dict = {}
@@ -369,23 +371,13 @@ def classifier_pr_thresholds(spark, sf_dir):
     )
 
 
-_PR_SQL = f"""
-WITH base AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
-), feat AS (
-  SELECT doc_id,
-         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
-  FROM base WHERE len(w) >= 1
-), wts AS (
-  SELECT doc_id,
-         list_transform(f, t ->
-           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
-             / 1000.0 - 1.0) AS wv
-  FROM feat
-), scored AS (
+_PR_SQL = f"""{_XXH_PRELUDE}
+WITH {_cls_wts()},
+scored AS (
   SELECT doc_id,
          round(1.0 / (1.0 + exp(-round(
-           list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv),
+           list_reduce(list_prepend(0.0::DOUBLE, wv), (a, b) -> a + b)
+             / len(wv),
            6))), 6) AS prob
   FROM wts
 ), lab AS (
@@ -822,23 +814,13 @@ def classifier_calibration_bins(spark, sf_dir):
     )
 
 
-_CAL_SQL = f"""
-WITH base AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
-), feat AS (
-  SELECT doc_id,
-         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
-  FROM base WHERE len(w) >= 1
-), wts AS (
-  SELECT doc_id,
-         list_transform(f, t ->
-           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
-             / 1000.0 - 1.0) AS wv
-  FROM feat
-), scored AS (
+_CAL_SQL = f"""{_XXH_PRELUDE}
+WITH {_cls_wts()},
+scored AS (
   SELECT doc_id,
          round(1.0 / (1.0 + exp(-round(
-           list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv),
+           list_reduce(list_prepend(0.0::DOUBLE, wv), (a, b) -> a + b)
+             / len(wv),
            6))), 6) AS prob
   FROM wts
 ), lab AS (

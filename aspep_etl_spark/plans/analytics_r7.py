@@ -68,6 +68,8 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table as _t
 from .lloyd_sql import lloyd_assign_prefix
+from .xxh64_sql import PRELUDE as _XXH_PRELUDE
+from .xxh64_sql import classifier_wts_ctes as _cls_wts
 
 R7_QUERIES: dict = {}
 R7_ORACLE_SQL: dict = {}
@@ -109,10 +111,19 @@ def docs_dsir_weights(spark, sf_dir):
             "__toks"
         ),
     ).persist()
+    # r9: bucket hash re-keyed md5 → native xxhash64 (the md5→hex→conv
+    # chain ran per token OCCURRENCE and was the scan's dominant cost at
+    # sf1; xxhash64 is one codegen'd JVM hash).  The DuckDB twin hashes
+    # once per DISTINCT word via the XXH64 macro and joins back —
+    # 256 divides 2^64, so unsigned-mod equals pmod.
     tok = (
         arr.select("doc_id", "lang", F.posexplode("__toks").alias("pos", "w"))
         .withColumn(
-            "b", _md5i(F.concat(F.lit("dsir|"), F.col("w"))) % _DSIR_BUCKETS
+            "b",
+            F.pmod(
+                F.xxhash64(F.concat(F.lit("dsir|"), F.col("w"))),
+                F.lit(_DSIR_BUCKETS),
+            ),
         )
         .persist()
     )
@@ -164,15 +175,20 @@ def docs_dsir_weights(spark, sf_dir):
     )
 
 
-_DSIR_SQL = f"""
-WITH tok AS MATERIALIZED (
+_DSIR_SQL = f"""{_XXH_PRELUDE}
+WITH words AS MATERIALIZED (
   SELECT doc_id, lang,
          generate_subscripts(regexp_extract_all(lower(text), '{_WORD_RE}'), 1)
            AS pos,
-         CAST('0x' || substr(md5('dsir|' ||
-           unnest(regexp_extract_all(lower(text), '{_WORD_RE}'))), 1, 8)
-           AS BIGINT) % {_DSIR_BUCKETS} AS b
+         unnest(regexp_extract_all(lower(text), '{_WORD_RE}')) AS w
   FROM documents
+), dwh AS MATERIALIZED (
+  SELECT w,
+         (xx_bytes(xx_strbytes('dsir|' || w), 42::HUGEINT)
+           % {_DSIR_BUCKETS})::BIGINT AS b
+  FROM (SELECT DISTINCT w FROM words)
+), tok AS MATERIALIZED (
+  SELECT doc_id, lang, pos, b FROM words JOIN dwh USING (w)
 ), raw_b AS (
   SELECT b, count(*)::BIGINT AS cr FROM tok GROUP BY b
 ), tgt_b AS (
@@ -686,32 +702,21 @@ def classifier_brier_score(spark, sf_dir):
     )
 
 
-_BRIER_SQL = """
-WITH base AS (
-  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-  FROM documents
-), feat AS (
-  SELECT doc_id, source,
-         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
-  FROM base WHERE len(w) >= 1
-), wts AS (
-  SELECT doc_id, source,
-         list_transform(f, t ->
-           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
-             / 1000.0 - 1.0) AS wv
-  FROM feat
-), folded AS (
-  SELECT doc_id, source,
-         round(list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv), 6)
+_BRIER_SQL = f"""{_XXH_PRELUDE}
+WITH {_cls_wts()},
+folded AS (
+  SELECT doc_id,
+         round(list_reduce(list_prepend(0.0::DOUBLE, wv), (a, b) -> a + b)
+               / len(wv), 6)
            AS score
   FROM wts
 ), scored AS (
-  SELECT doc_id,
+  SELECT f.doc_id,
          CAST(floor(round(1.0 / (1.0 + exp(-score)), 6) * 1000000) AS BIGINT)
            AS p6,
-         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 1 ELSE 0 END
+         CASE WHEN CAST(substr(d.source, 4) AS INT) % 2 = 0 THEN 1 ELSE 0 END
            AS label
-  FROM folded
+  FROM folded f JOIN documents d USING (doc_id)
 ), agg AS (
   SELECT count(*)::BIGINT AS n_docs, sum(label)::BIGINT AS n_pos,
          sum((p6 - label * 1000000) * (p6 - label * 1000000))::BIGINT AS se2

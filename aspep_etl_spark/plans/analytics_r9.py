@@ -57,6 +57,8 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table as _t
 from .oracle_util import SPARK_ROUND4_MACRO
+from .xxh64_sql import PRELUDE as _XXH_PRELUDE
+from .xxh64_sql import classifier_wts_ctes as _cls_wts
 
 R9_QUERIES: dict = {}
 R9_ORACLE_SQL: dict = {}
@@ -545,27 +547,20 @@ def classifier_conformal(spark, sf_dir):
     )
 
 
-_CONF_SQL = """
-WITH base0 AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w, source
-  FROM documents
-), feat AS (
-  SELECT doc_id, source,
-         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
-  FROM base0 WHERE len(w) >= 1
-), folded AS (
-  SELECT doc_id, source,
-         round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(f, t ->
-             (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
-               / 1000.0 - 1.0)), (a, b) -> a + b) / len(f), 6) AS score
-  FROM feat
-), base AS MATERIALIZED (
+_CONF_SQL = f"""{_XXH_PRELUDE}
+WITH {_cls_wts()},
+folded AS (
   SELECT doc_id,
-         (CAST(substr(source, 4) AS INT) % 2 = 0)::INT::BIGINT AS y,
+         round(list_reduce(list_prepend(0.0::DOUBLE, wv), (a, b) -> a + b)
+               / len(wv), 6) AS score
+  FROM wts
+), base AS MATERIALIZED (
+  SELECT f.doc_id,
+         (CAST(substr(d.source, 4) AS INT) % 2 = 0)::INT::BIGINT AS y,
          CAST(round(1000000.0::DOUBLE / (1.0 + exp(-score))) AS BIGINT) AS p6,
-         CAST('0x' || substr(md5('conf|' || doc_id::VARCHAR), 1, 8) AS BIGINT)
+         CAST('0x' || substr(md5('conf|' || f.doc_id::VARCHAR), 1, 8) AS BIGINT)
            % 5 = 0 AS is_cal
-  FROM folded
+  FROM folded f JOIN documents d USING (doc_id)
 ), cal AS MATERIALIZED (
   SELECT CASE WHEN y = 1 THEN 1000000 - p6 ELSE p6 END AS a6
   FROM base WHERE is_cal

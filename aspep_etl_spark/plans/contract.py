@@ -455,11 +455,21 @@ def a1_grouped_median_approx(spark, sf_dir):
     ranked = li.join(F.broadcast(sk), keys).groupBy(*keys).agg(*rank_aggs)
 
     def _ok(c):
+        # Small-group guard: for n_rows < 100 the ±1% rank window is
+        # narrower than one element (n_rows=1 gives hi=floor(0.51)=0, so
+        # lt < hi can never hold; n_rows=2 would force the sketch to pick
+        # the lower element) — any element a nonempty group's sketch
+        # returns is a valid median there, so the flag short-circuits to
+        # is_element.  TPC-H lineitem's 4 big groups always take the full
+        # window; the guard keeps the harness correct on generic inputs.
         lo = F.ceil(F.col("n_rows") * 0.49)
         hi = F.floor(F.col("n_rows") * 0.51)
         in_window = (F.col(f"__le__{c}") >= lo) & (F.col(f"__lt__{c}") < hi)
         is_element = F.col(f"__le__{c}") > F.col(f"__lt__{c}")
-        return (in_window & is_element).cast("int")
+        small = F.col("n_rows") < F.lit(100)
+        return (
+            F.when(small, is_element).otherwise(in_window & is_element)
+        ).cast("int")
 
     return ranked.select(
         *keys,
@@ -478,6 +488,68 @@ SELECT l_returnflag, l_linestatus,
        round(avg(l_extendedprice), 4) AS mean_price,
        1 AS approx_qty_ok,
        1 AS approx_price_ok
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def a1_grouped_median_sketch(spark, sf_dir):
+    """The sketch pass of ``a1_grouped_median_approx`` ALONE — the actual
+    100 TB plan: ONE streaming hash-agg of mergeable percentile_approx
+    partials + means + counts per group, no second rank-count scan.
+
+    The r8 oracled entry pays for its own verification (sketch pass +
+    rank-count audit pass = 1.31 s at sf0.1 vs 0.72 s for the sketch
+    alone), so this is the r8-verdict slot split (the
+    docs_nb_crossval / _capped precedent): the HEADLINE BENCH times this
+    single-pass plan, while ``a1_grouped_median_approx`` stays
+    registry-green as the strong rank-count oracle twin.  The sketch
+    value itself is engine-specific, so the oracled output forces the
+    sketch through a weak single-pass invariant instead of emitting it
+    raw: percentile_approx returns a DATA ELEMENT of the group, hence
+    always within [min, max] — computable in the SAME aggregate with two
+    cheap extra partials and unprunable by Catalyst (the sketch column
+    feeds the emitted flag).  DuckDB's twin emits constant-1 flags; a
+    sketch returning garbage outside the group's value range flips the
+    flag and hash-mismatches."""
+    li = _t(spark, sf_dir, "lineitem")
+    from ..operators.stats import APPROX_MEDIAN_ACCURACY
+
+    acc = F.lit(APPROX_MEDIAN_ACCURACY)
+    keys = ["l_returnflag", "l_linestatus"]
+    cols = ("l_quantity", "l_extendedprice")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.percentile_approx(c, F.lit(0.5), acc).alias(f"__apx__{c}"),
+            F.min(c).alias(f"__min__{c}"),
+            F.max(c).alias(f"__max__{c}"),
+            F.avg(c).alias(f"__mean__{c}"),
+        ]
+    sk = li.groupBy(*keys).agg(*aggs)
+
+    def _in_range(c):
+        return (
+            (F.col(f"__apx__{c}") >= F.col(f"__min__{c}"))
+            & (F.col(f"__apx__{c}") <= F.col(f"__max__{c}"))
+        ).cast("int")
+
+    return sk.select(
+        *keys,
+        F.col("n_rows"),
+        F.round("__mean__l_quantity", 4).alias("mean_qty"),
+        F.round("__mean__l_extendedprice", 4).alias("mean_price"),
+        _in_range("l_quantity").alias("apx_qty_in_range"),
+        _in_range("l_extendedprice").alias("apx_price_in_range"),
+    )
+
+
+_A1_SKETCH_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*)::BIGINT               AS n_rows,
+       round(avg(l_quantity), 4)      AS mean_qty,
+       round(avg(l_extendedprice), 4) AS mean_price,
+       1 AS apx_qty_in_range,
+       1 AS apx_price_in_range
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -2151,6 +2223,7 @@ SPARK_QUERIES = {
     "j2_recode_passthrough": j2_recode_passthrough,
     "a1_grouped_median": a1_grouped_median,
     "a1_grouped_median_approx": a1_grouped_median_approx,
+    "a1_grouped_median_sketch": a1_grouped_median_sketch,
     "a3_stats_union_back": a3_stats_union_back,
     "w1_lag_deltas": w1_lag_deltas,
     "w3_rank_null_parity": w3_rank_null_parity,
@@ -2234,6 +2307,7 @@ ORACLE_SQL = {
     "j2_recode_passthrough": _J2_SQL,
     "a1_grouped_median": _A1_SQL,
     "a1_grouped_median_approx": _A1_APPROX_SQL,
+    "a1_grouped_median_sketch": _A1_SKETCH_SQL,
     "a3_stats_union_back": _A3_SQL,
     "w1_lag_deltas": _W1_SQL,
     "w3_rank_null_parity": _W3_SQL,

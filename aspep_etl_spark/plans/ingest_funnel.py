@@ -30,6 +30,8 @@ from ..operators.dedup import decontaminate, incremental_jaccard_matches
 from ..operators.sampling import split_column
 from ..operators.text import quality_metrics
 from ..sources.registry import load_table as _t
+from .xxh64_sql import PRELUDE as _XXH_PRELUDE
+from .xxh64_sql import classifier_wts_ctes as _cls_wts
 
 SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -143,7 +145,7 @@ def llm_ingest_funnel(spark, sf_dir):
     return funnel.unionAll(splits)
 
 
-_INGEST_FUNNEL_SQL = """
+_INGEST_FUNNEL_SQL = f"""{_XXH_PRELUDE}
 WITH delta AS (
   SELECT doc_id, text, source FROM documents WHERE doc_id % 5 = 4
 ), corpus AS (
@@ -205,21 +207,12 @@ WITH delta AS (
   WHERE n_tokens >= 20
     AND round(stop / greatest(n_tokens, 1), 4) <= 0.35
     AND round(alnum / greatest(n_tokens, 1), 4) BETWEEN 2.0 AND 12.0
-), feat AS (
-  SELECT doc_id, source,
-         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
-  FROM (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-        FROM s4)
-  WHERE len(w) >= 1
-), scored AS (
-  SELECT doc_id, source,
+), {_cls_wts("s4")}, scored AS (
+  SELECT w.doc_id, s4.source,
          round(1.0 / (1.0 + exp(-round(
-           list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(f, t ->
-               (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
-                 / 1000.0 - 1.0)),
-             (a, b) -> a + b) / len(f), 6))), 6) AS prob
-  FROM feat
+           list_reduce(list_prepend(0.0::DOUBLE, wv),
+             (a, b) -> a + b) / len(wv), 6))), 6) AS prob
+  FROM wts w JOIN s4 USING (doc_id)
 ), s5 AS (
   SELECT doc_id, source FROM scored WHERE prob >= 0.5
 ), admitted AS (

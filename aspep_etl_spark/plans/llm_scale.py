@@ -10,9 +10,12 @@
   recomputes old-old pairs).
 
 Every query has a DuckDB oracle.  Cross-engine integer hashing uses the
-md5 8-hex-prefix trick (`conv(_,16,10)` / `CAST('0x'||_ AS BIGINT)`);
-double sums that must hash-match are ORDERED LEFT FOLDS on both engines
-(`F.aggregate` / `list_reduce`), never engine-chosen summation orders.
+md5 8-hex-prefix trick (`conv(_,16,10)` / `CAST('0x'||_ AS BIGINT)`)
+for per-ROW draws, and native ``xxhash64`` with the XXH64 macro twin
+(``xxh64_sql.py``) for the per-FEATURE classifier hash (r9 — the md5
+fold was the measured per-feature hot path); double sums that must
+hash-match are ORDERED LEFT FOLDS on both engines (`F.aggregate` /
+`list_reduce`), never engine-chosen summation orders.
 """
 
 from __future__ import annotations
@@ -24,6 +27,8 @@ from ..operators.classifier import score_documents
 from ..operators.dedup import incremental_jaccard_matches, shingles
 from ..operators.text import WORD_RE
 from ..sources.registry import load_table as _t
+from .xxh64_sql import PRELUDE as _XXH_PRELUDE
+from .xxh64_sql import classifier_wts_ctes as _cls_wts
 
 
 def docs_classifier_score(spark, sf_dir):
@@ -35,22 +40,12 @@ def docs_classifier_score(spark, sf_dir):
     return score_documents(docs, "text", "doc_id", dim=4096)
 
 
-_CLASSIFIER_SQL = """
-WITH base AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents
-), feat AS (
-  SELECT doc_id,
-         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
-  FROM base WHERE len(w) >= 1
-), wts AS (
-  SELECT doc_id,
-         list_transform(f, t ->
-           (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 4096 % 2001)
-             / 1000.0 - 1.0) AS wv
-  FROM feat
-), folded AS (
+_CLASSIFIER_SQL = f"""{_XXH_PRELUDE}
+WITH {_cls_wts()},
+folded AS (
   SELECT doc_id, len(wv)::BIGINT AS n_features,
-         round(list_reduce(list_prepend(0.0, wv), (a, b) -> a + b) / len(wv), 6)
+         round(list_reduce(list_prepend(0.0::DOUBLE, wv), (a, b) -> a + b)
+               / len(wv), 6)
            AS score
   FROM wts
 )

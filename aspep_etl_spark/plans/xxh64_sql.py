@@ -311,6 +311,41 @@ WHERE round(({agree}) / {num_perm}.0, 4) >= {threshold}
 """
 
 
+def classifier_wts_ctes(src: str = "documents") -> str:
+    """CTE fragment (no leading ``WITH``) twinning
+    ``operators/classifier.score_documents`` feature weighting, ending in
+    ``wts(doc_id, wv)`` where ``wv`` is the doc's ordered DOUBLE weight
+    list (unigrams then bigrams, document order).
+
+    Requires ``PRELUDE`` earlier in the statement.  The per-feature hash
+    is Spark's ``pmod(xxhash64(t), 4096)``; the twin runs the XXH64 byte
+    macro once per DISTINCT feature and joins back (the macro is a deep
+    expression tree — per-occurrence evaluation would blow the oracle
+    budget), then rebuilds each doc's weight list ordered by feature
+    position so the downstream IEEE left fold sums in exactly Spark's
+    order.  ``xx_bytes`` is the UNSIGNED hash, and 4096 divides 2⁶⁴, so
+    unsigned-mod equals Spark's signed ``pmod``.  Weight formula matches
+    ``bucket_weight``: (b % 2001)/1000 − 1."""
+    return f"""cbase AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM {src}
+), cfeat AS (
+  SELECT doc_id,
+         list_concat(w, [w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS f
+  FROM cbase WHERE len(w) >= 1
+), cfpos AS MATERIALIZED (
+  SELECT doc_id, unnest(f) AS t, generate_subscripts(f, 1) AS pos FROM cfeat
+), cfdw AS MATERIALIZED (
+  SELECT t,
+         ((xx_bytes(xx_strbytes(t), {_lit(42)}) % 4096) % 2001)::BIGINT
+           / 1000.0 - 1.0 AS wt
+  FROM (SELECT DISTINCT t FROM cfpos)
+), wts AS MATERIALIZED (
+  SELECT doc_id, list(wt ORDER BY pos) AS wv
+  FROM cfpos JOIN cfdw USING (t)
+  GROUP BY doc_id
+)"""
+
+
 def simhash_oracle() -> str:
     """Oracle for ``simhash(docs, "doc_id", "text")``: dup-weighted token
     votes (token hashed once per DISTINCT token, weighted by occurrence

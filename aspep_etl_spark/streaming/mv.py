@@ -104,8 +104,19 @@ def run_streaming_mv_maintenance(
     # setup dominated the probe).  Exactly-once row coverage is what the
     # merge algebra needs; the maintained MV is split-invariant (its
     # oracle is the flat recompute).
+    # round-robin repartition (no key): hash partitioning on event_id can
+    # leave empty partitions on small/skewed inputs, silently writing
+    # fewer than n_splits shard files and weakening the many-batch
+    # probe's batch count; round-robin fills every partition whenever
+    # rows ≥ n_splits, and the assert pins the batch count mechanically
+    # (MV correctness is split-invariant either way)
     raw = spark.read.parquet(events_path)
-    raw.repartition(n_splits, F.col("event_id")).write.parquet(shards)
+    raw.repartition(n_splits).write.parquet(shards)
+    n_files = len([f for f in os.listdir(shards) if f.endswith(".parquet")])
+    assert n_files == n_splits, (
+        f"shard count {n_files} != n_splits {n_splits}: the streaming "
+        f"probe's micro-batch count would silently shrink"
+    )
 
     stream = (
         spark.readStream.schema(spark.read.parquet(shards).schema)

@@ -10,7 +10,6 @@ plan-shape assertions that matter at 100 TB.
 
 from __future__ import annotations
 
-import hashlib
 import math
 import re
 
@@ -25,9 +24,13 @@ from aspep_etl_spark.operators.dedup import (
     shingles,
 )
 
+from .xxh64_twin import xxh64_bytes
 
-def _md5_bucket(feature: str, dim: int) -> int:
-    return int(hashlib.md5(feature.encode()).hexdigest()[:8], 16) % dim
+
+def _xx_bucket(feature: str, dim: int) -> int:
+    # pmod(xxhash64(feature), dim): the unsigned XXH64 twin value mod a
+    # power-of-two dim equals Spark's pmod of the signed hash
+    return xxh64_bytes(feature.encode(), 42) % dim
 
 
 def _py_classifier(text: str, dim: int = 4096):
@@ -35,7 +38,7 @@ def _py_classifier(text: str, dim: int = 4096):
     feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     acc = 0.0
     for t in feats:  # ordered left fold, same as F.aggregate
-        acc += (_md5_bucket(t, dim) % 2001) / 1000.0 - 1.0
+        acc += (_xx_bucket(t, dim) % 2001) / 1000.0 - 1.0
     score = round(acc / len(feats), 6)
     prob = round(1.0 / (1.0 + math.exp(-score)), 6)
     return len(feats), score, prob

@@ -15,6 +15,8 @@ import pytest
 
 from aspep_etl_spark.plans import analytics_r7 as r7
 
+from .xxh64_twin import xxh64_bytes
+
 
 def _md5i(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
@@ -37,7 +39,9 @@ def test_dsir_matches_brute_force(spark, sf_dir):
         r.doc_id: tok_re.findall(r.text.lower()) for r in docs.itertuples()
     }
     buckets = {
-        d: [_md5i("dsir|" + w) % B for w in ws] for d, ws in doc_toks.items()
+        # r9: DSIR bucket re-keyed to pmod(xxhash64('dsir|'+w), B)
+        d: [xxh64_bytes(("dsir|" + w).encode(), 42) % B for w in ws]
+        for d, ws in doc_toks.items()
     }
     cr: dict[int, int] = {}
     ct: dict[int, int] = {}

@@ -123,20 +123,26 @@ def main() -> None:
     def run_pass(record: bool) -> None:
         for name in names:
             t0 = time.time()
-            if not record and name not in rows_out:
-                # warmup doubles as the output-size census: emitted row
-                # counts let the artifact normalize wall-clock by output
-                # (pair-emitting queries legitimately grow output ~k²
-                # under tiled corpora — sec/row is the scaling metric,
-                # see make_sf1_artifact.py)
-                rows_out[name] = SPARK_QUERIES[name](spark, SF_DIR).count()
-            else:
-                SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+            # the warmup execution is PLAN-IDENTICAL to the timed passes
+            # (same noop write): Catalyst prunes projected-only expensive
+            # expressions under count(), so a count()-based warmup would
+            # skip the codegen/Python-worker/expression paths the timed
+            # passes exercise and the first timed pass would absorb the
+            # cold start
+            SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
             dt = round(time.time() - t0, 3)
             if record:
                 observations[name].append(dt)
+            elif name not in rows_out:
+                # output-size census on the warmup pass only, via a
+                # separate cheap count(): emitted row counts let the
+                # artifact normalize wall-clock by output (pair-emitting
+                # queries legitimately grow output ~k² under tiled
+                # corpora — sec/row is the scaling metric, see
+                # make_sf1_artifact.py)
+                rows_out[name] = SPARK_QUERIES[name](spark, SF_DIR).count()
             free_cached_blocks(spark)
 
     # Same self-certification as bench.py: the reported number is the

@@ -7,12 +7,14 @@ order-insensitive value comparison (exact string match after sorting, plus
 a float-tolerant fallback report so near-misses are distinguishable from
 real bugs).
 
-Usage: python tools/check_correctness.py [name ...]
+Usage: python tools/check_correctness.py [--out PATH] [name ...]
 
 A full-registry run (no names given) also writes ``CORRECTNESS_local.json``
 at the repo root — the same per-query shape as the driver's
 ``CORRECTNESS_r*.json`` plus a ``mode`` field — so the queries the driver's
 sample misses stay auditable per-round without re-running Spark.
+``--out PATH`` redirects that snapshot (judge/CI verification runs can
+point it at a scratch file and leave the committed tree untouched).
 """
 
 from __future__ import annotations
@@ -73,7 +75,20 @@ def value_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
     return exact, close, detail
 
 
-def main(names: list[str]) -> int:
+def main(argv: list[str]) -> int:
+    out_override = None
+    names: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--out":
+            out_override = argv[i + 1]
+            i += 2
+        elif argv[i].startswith("--out="):
+            out_override = argv[i].split("=", 1)[1]
+            i += 1
+        else:
+            names.append(argv[i])
+            i += 1
     import __spark_entry__ as contract
     from aspep_etl_spark.cache import free_cached_blocks
     from aspep_etl_spark.session import get_spark
@@ -157,7 +172,7 @@ def main(names: list[str]) -> int:
         # separators into the filename)
         base = os.path.basename(SF_DIR.rstrip("/"))
         sf_tag = "" if base == "sf0.01" else "_" + base
-        out = os.path.join(
+        out = out_override or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             f"CORRECTNESS_local{sf_tag}.json",
         )

@@ -50,6 +50,8 @@ def main() -> None:
         for q in rows1
         if rows01.get(q)
     }
+    # a query emitting 0 rows at sf1 keeps its rows_out_ratio (0.0) but is
+    # excluded from the per-row normalization — sec/row is undefined there
     work_per_output_ratio = {
         q: round(
             (tier1["queries"][q] / rows1[q])
@@ -57,7 +59,7 @@ def main() -> None:
             2,
         )
         for q in rows_out_ratio
-        if q in ratios
+        if q in ratios and rows1.get(q)
     }
     out = {
         "sf1_headline": head1,

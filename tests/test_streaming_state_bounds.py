@@ -129,6 +129,62 @@ def test_debounce_state_bounded(spark, hourly_events_dir):
     assert max(states[-3:]) <= 1.5 * max(states[5:8]), states
 
 
+def test_sessionizer_state_bounded_by_keys(spark, hourly_events_dir):
+    """r8 verdict ask #6: the custom stateful sessionizer under a 16×
+    batch count.  Its state is ONE (counter, last_end) row per user —
+    f(keys), never f(events): after the first batch touches all users,
+    numRowsTotal must sit exactly at the distinct-user count for all
+    remaining batches, however many events stream through."""
+    from aspep_etl_spark.streaming.stateful import (
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        _session_fn,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d, total_rows = hourly_events_dir
+    stream = _hourly_stream(spark, d)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn(1800),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    states = _run_batched(out, "sessionize_state_probe")
+    assert len(states) >= N_HOURS
+    n_users = 5  # fixture writes users 0..4
+    assert max(states) <= n_users, states
+    # exact plateau: every batch after the first holds exactly one state
+    # row per user — state growth costs nothing at any batch count
+    assert states[-1] == n_users, states
+    assert total_rows > 10 * n_users  # the bound is keys, not events
+
+
+def test_ingest_dedup_state_bounded_by_watermark(spark, hourly_events_dir):
+    """r8 verdict ask #6: the watermarked at-least-once ingest dedup
+    (``withWatermark + dropDuplicates`` on the event key, the
+    ``run_streaming_dedup`` recipe) under a 16× batch count.  Every event
+    key is distinct here, so UNBOUNDED dedup state would approach
+    total_rows by the final batch; the watermark must evict keys older
+    than its window, capping peak state at ~(window + in-flight hour) of
+    arrivals."""
+    d, total_rows = hourly_events_dir
+    stream = _hourly_stream(spark, d)
+    out = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id", "ts"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    states = _run_batched(out, "ingest_dedup_state_probe")
+    assert len(states) >= N_HOURS
+    # peak ≈ 3 hourly files of keys (2h watermark + the in-flight hour)
+    # out of 16 — far under the unbounded end-state
+    assert max(states) < 0.5 * total_rows, states
+    # plateau, not monotone growth
+    assert max(states[-3:]) <= 1.5 * max(states[5:8]), states
+
+
 def test_attribution_join_state_bounded(spark, hourly_events_dir):
     from aspep_etl_spark.streaming.attribution import attribution_pairs
 

@@ -6,7 +6,21 @@ Writes AUDIT.md with:
   reference source file (quick_ratio prefilter, real ratio on
   candidates) — the copy detector's view;
 - a stub scan (NotImplementedError / bare `pass` / `...` bodies);
-- a grep for strings that would indicate non-public provenance.
+- a grep for strings that would indicate non-public provenance;
+- a regression-shape scan (r8 verdict ask #7) that mechanically re-checks
+  the classes of defect past ADVICE rounds fixed by hand:
+  (a) non-broadcast ``crossJoin`` sites outside the documented allowlist
+  (the brute-force dedup oracle baseline and the query-batch-bounded
+  negative samplers are the only sanctioned ones);
+  (b) ``.persist()`` in ``operators/`` files with no in-file release
+  evidence (``unpersist``/``localCheckpoint``/``free_cached_blocks`` —
+  iterative operators must free inline; ``plans/`` contract queries rely
+  on the caller's ``free_cached_blocks`` sweep by convention and are
+  exempt);
+  (c) truncated-hash IDs (``hexdigest()[:8]``-style 32-bit slices used as
+  identifiers — the r7 asset-id collision shape);
+  (d) ``Exchange SinglePartition`` / ``CartesianProduct`` nodes in the
+  committed PLANS.md (both must stay at zero).
 
 Usage: python tools/self_audit.py
 """
@@ -84,6 +98,57 @@ def foreign_scan(paths: list[str]) -> list[str]:
     return hits
 
 
+# Documented non-broadcast crossJoin sites (file basename, context regex):
+# anything else that crossJoins without a broadcast() wrapper is a finding.
+CROSSJOIN_ALLOWLIST = [
+    ("dedup.py", r"a\.crossJoin\(b\)"),  # brute-force oracle baseline (documented)
+    ("llm_extra.py", r"\.crossJoin\("),  # query-batch-bounded negative samplers
+]
+
+
+def regression_shape_scan(paths: list[str]) -> list[str]:
+    hits: list[str] = []
+    for p in paths:
+        rel = os.path.relpath(p, REPO)
+        if rel.startswith("tests" + os.sep) or rel.startswith("tools" + os.sep):
+            continue
+        src = open(p, errors="ignore").read()
+        base = os.path.basename(p)
+        # (a) non-broadcast crossJoin outside the allowlist
+        for m in re.finditer(r"\.crossJoin\(", src):
+            tail = src[m.start() : m.start() + 120]
+            if "broadcast" in tail:
+                continue
+            if any(
+                base == ab and re.search(apat, src)
+                for ab, apat in CROSSJOIN_ALLOWLIST
+            ):
+                continue
+            line = src.count("\n", 0, m.start()) + 1
+            hits.append(f"{rel}:{line}: non-broadcast crossJoin outside allowlist")
+        # (b) operators/ persist with no in-file release evidence
+        if (os.sep + "operators" + os.sep) in p and ".persist()" in src:
+            if not re.search(r"unpersist|localCheckpoint|free_cached_blocks", src):
+                hits.append(f"{rel}: .persist() with no in-file release evidence")
+        # (c) truncated 32-bit hash slices used as IDENTIFIERS (python-side).
+        # A slice immediately reduced with `%` is a parity/bucket draw
+        # (bounded collision domain by design, e.g. the JL ±1 matrix);
+        # the defect shape is the un-modded slice carried as an identity.
+        for m in re.finditer(r"hexdigest\(\)\[:8\]", src):
+            if "%" in src[m.end() : m.end() + 40]:
+                continue
+            line = src.count("\n", 0, m.start()) + 1
+            hits.append(f"{rel}:{line}: 32-bit hexdigest slice (collision-prone id)")
+    plans_md = os.path.join(REPO, "PLANS.md")
+    if os.path.exists(plans_md):
+        txt = open(plans_md, errors="ignore").read()
+        for bad in ("Exchange SinglePartition", "CartesianProduct"):
+            n = txt.count(bad)
+            if n:
+                hits.append(f"PLANS.md: {n}x {bad}")
+    return hits
+
+
 def main() -> None:
     repo = repo_sources()
     refs = [(p, open(p, errors="ignore").read()) for p in reference_sources()]
@@ -118,10 +183,16 @@ def main() -> None:
     lines += ["", "## Provenance string scan", ""]
     foreign = foreign_scan(repo)
     lines += [f"- {s}" for s in foreign] or ["- none"]
+    lines += ["", "## Regression-shape scan (fixed-ADVICE patterns)", ""]
+    shapes = regression_shape_scan(repo)
+    lines += [f"- {s}" for s in shapes] or ["- none"]
     lines.append("")
     out = os.path.join(REPO, "AUDIT.md")
     open(out, "w").write("\n".join(lines))
-    print(f"wrote {out}: max_sim={sims[0][0]:.3f} stubs={len(stubs)} foreign={len(foreign)}")
+    print(
+        f"wrote {out}: max_sim={sims[0][0]:.3f} stubs={len(stubs)} "
+        f"foreign={len(foreign)} shapes={len(shapes)}"
+    )
 
 
 if __name__ == "__main__":

@@ -183,11 +183,47 @@ def _spread(df: DataFrame) -> DataFrame:
     RoundRobin exchange, only when the scan has fewer partitions than the
     default parallelism.  A properly-split lake scan passes through
     untouched (the sf1 rehearsal caught the 64-hash signature stage
-    grinding on a single 6 MB input split)."""
+    grinding on a single 6 MB input split).
+
+    Partition COUNT alone is a lying proxy on few-file inputs: the
+    scheduler byte-splits a file into ``size/maxPartitionBytes`` ranges,
+    but parquet readers consume whole ROW GROUPS — a file with R row
+    groups feeds at most R tasks and the other byte-range splits come up
+    empty.  The sf10 probe caught exactly this: a 59.5 MB single file
+    (5 row groups) "split" into 32 partitions ran the whole simhash vote
+    on 5 tasks — 30× wall for 10× rows.  So when the input is few files,
+    the check reads the REAL row-group count from the local footers
+    (driver-side, metadata-only, only on the few-file path) and spreads
+    when it undershoots.  Non-local or unreadable footers pass through
+    untouched — at lake scale inputs are thousands of files and the
+    file-count guard short-circuits everything."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
-    return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= par:
+        return df
+    try:
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        groups = 0
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                return df  # remote fs: metadata read not worth a guess
+            if not f.endswith(".parquet"):
+                return df
+            groups += pq.ParquetFile(unquote(u.path)).metadata.num_row_groups
+            if groups >= par:
+                return df
+    except Exception:
+        return df
+    return df.repartition(par)
 
 
 def _fan(df: DataFrame, *cols: str) -> DataFrame:

@@ -113,8 +113,15 @@ def run_streaming_mv_maintenance(
     raw = spark.read.parquet(events_path)
     raw.repartition(n_splits).write.parquet(shards)
     n_files = len([f for f in os.listdir(shards) if f.endswith(".parquet")])
-    assert n_files == n_splits, (
-        f"shard count {n_files} != n_splits {n_splits}: the streaming "
+    # round-robin leaves empty partitions (which write no file) only when
+    # the input has fewer rows than n_splits — clamp the pinned count so
+    # tiny inputs degrade gracefully to fewer micro-batches instead of
+    # crashing the probe
+    n_rows = raw.count()
+    expected = min(n_rows, n_splits)
+    assert n_files == expected, (
+        f"shard count {n_files} != expected {expected} "
+        f"(n_splits={n_splits}, rows={n_rows}): the streaming "
         f"probe's micro-batch count would silently shrink"
     )
 

@@ -81,6 +81,9 @@ def main(argv: list[str]) -> int:
     i = 0
     while i < len(argv):
         if argv[i] == "--out":
+            if i + 1 >= len(argv):
+                print("usage: check_correctness.py [--out PATH] [name ...]")
+                return 2
             out_override = argv[i + 1]
             i += 2
         elif argv[i].startswith("--out="):

@@ -98,11 +98,16 @@ def foreign_scan(paths: list[str]) -> list[str]:
     return hits
 
 
-# Documented non-broadcast crossJoin sites (file basename, context regex):
-# anything else that crossJoins without a broadcast() wrapper is a finding.
+# Documented non-broadcast crossJoin sites (file basename, context regex).
+# The regex is matched against a ±200-char window AROUND each occurrence —
+# never against the whole file — so one sanctioned site cannot blanket-exempt
+# a future unbroadcast crossJoin added elsewhere in the same file.
 CROSSJOIN_ALLOWLIST = [
-    ("dedup.py", r"a\.crossJoin\(b\)"),  # brute-force oracle baseline (documented)
-    ("llm_extra.py", r"\.crossJoin\("),  # query-batch-bounded negative samplers
+    # brute-force oracle baseline (documented in dedup.py)
+    ("dedup.py", r"a\.crossJoin\(b\)"),
+    # query-batch-bounded negative samplers: broadcast(queries) is on the
+    # LEFT of the crossJoin, so the tail-window broadcast check misses it
+    ("llm_extra.py", r"crossJoin\(\s*emb\.select\(F\.col\(\"vec_id\"\)\.alias\(\"cand_id\"\)\)"),
 ]
 
 
@@ -119,8 +124,9 @@ def regression_shape_scan(paths: list[str]) -> list[str]:
             tail = src[m.start() : m.start() + 120]
             if "broadcast" in tail:
                 continue
+            window = src[max(0, m.start() - 200) : m.start() + 200]
             if any(
-                base == ab and re.search(apat, src)
+                base == ab and re.search(apat, window)
                 for ab, apat in CROSSJOIN_ALLOWLIST
             ):
                 continue

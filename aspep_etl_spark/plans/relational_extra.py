@@ -318,16 +318,33 @@ def dedup_levenshtein(spark, sf_dir):
 
 _LEVENSHTEIN_SQL = """
 -- Pure semantic spec (NO band blocking): all same-lang pairs, pre-pruned
--- only by the sound length-difference lower bound.  The Spark side's
+-- only by SOUND edit-distance lower bounds.  The Spark side's
 -- band-neighbor blocking must reproduce exactly this set, so the gate
 -- verifies blocking soundness instead of mirroring the blocker.
-WITH t AS (
-  SELECT doc_id, text, lang, length(text) AS len FROM documents
+-- Two bounds (both provable, neither mirrors the engine):
+--   (1) |len(a)-len(b)| <= lev(a,b)  (each op changes length by <= 1);
+--   (2) L1(hist(a), hist(b)) <= 2*lev(a,b): an insert/delete changes one
+--       character count by 1, a substitution changes two counts by 1
+--       each, so per op the character-histogram L1 distance moves <= 2.
+-- Bound (2) cuts the 157k length-banded sf0.1 pairs to ~100 before the
+-- O(len^2) levenshtein runs (72 s -> 2.8 s, result identical).  The
+-- histogram is computed ONCE per doc in a MATERIALIZED CTE (plain CTEs
+-- are inlined per reference in DuckDB 1.0).
+WITH t AS MATERIALIZED (
+  SELECT doc_id, text, lang, length(text) AS len,
+         list_transform(
+           ['a','b','c','d','e','f','g','h','i','j','k','l','m',
+            'n','o','p','q','r','s','t','u','v','w','x','y','z',' '],
+           c -> length(text) - length(replace(text, c, ''))
+         ) AS hist
+  FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.text, b.text)::INT AS lev
 FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
   AND abs(a.len - b.len) <= 12
+  AND list_sum(list_transform(list_zip(a.hist, b.hist),
+                              p -> abs(p[1] - p[2]))) <= 24
 WHERE levenshtein(a.text, b.text) <= 12
 """
 

@@ -149,6 +149,31 @@ _TOKS = (
 )
 
 
+_U32 = 1 << 32
+
+
+def _mulc_half(lo: str, hi: str, c: int, add: int = 0) -> tuple[str, str]:
+    """(hi·2³² + lo) · c + add, mod 2^64, in UBIGINT half-words.  The
+    lo·c_lo product expression is interpolated into both output columns —
+    a cheap duplicate multiply on materialized inputs, simpler than
+    threading a shared column through the stage."""
+    clo, chi = c % _U32, c >> 32
+    alo, ahi = add % _U32, add >> 32
+    p0 = f"({lo} * {clo}::UBIGINT)"
+    cross = f"(({lo} * {chi}::UBIGINT) % {_U32} + ({hi} * {clo}::UBIGINT) % {_U32})"
+    if add:
+        nlo_f = f"({p0} % {_U32} + {alo}::UBIGINT)"
+        nhi = (
+            f"(({cross} + {p0} // {_U32} + {ahi}::UBIGINT"
+            f" + {nlo_f} // {_U32}) % {_U32})"
+        )
+        nlo = f"({nlo_f} % {_U32})"
+    else:
+        nlo = f"({p0} % {_U32})"
+        nhi = f"(({cross} + {p0} // {_U32}) % {_U32})"
+    return nlo, nhi
+
+
 def perm_pipeline_ctes(num_perm: int, src: str = "dbase", key: str = "shingle") -> tuple[str, int]:
     """Staged CTE pipeline computing ``c_i = xx_int(i, base)`` (signed
     BIGINT) for i in 0..num_perm−1 from a ``(key, bp)`` source relation,
@@ -172,7 +197,7 @@ def perm_pipeline_ctes(num_perm: int, src: str = "dbase", key: str = "shingle") 
     Returns (ctes_sql, n_stage) — the final CTE is ``p{n_stage}`` with
     columns (key, c_0..c_{num_perm-1}).
     """
-    U32 = 1 << 32
+    U32 = _U32
 
     def _cols(fmt) -> str:
         """One lo/hi column pair per permutation."""
@@ -180,27 +205,6 @@ def perm_pipeline_ctes(num_perm: int, src: str = "dbase", key: str = "shingle") 
             f"{fmt(i)[0]} AS lo_{i},\n    {fmt(i)[1]} AS hi_{i}"
             for i in range(num_perm)
         )
-
-    def _mulc_half(lo: str, hi: str, c: int, add: int = 0) -> tuple[str, str]:
-        """(hi·2³² + lo) · c + add, mod 2^64, in half-words.  The lo·c_lo
-        product expression is interpolated into both output columns — a
-        cheap duplicate multiply on materialized inputs, simpler than
-        threading a shared column through the stage."""
-        clo, chi = c % U32, c >> 32
-        alo, ahi = add % U32, add >> 32
-        p0 = f"({lo} * {clo}::UBIGINT)"
-        cross = f"(({lo} * {chi}::UBIGINT) % {U32} + ({hi} * {clo}::UBIGINT) % {U32})"
-        if add:
-            nlo_f = f"({p0} % {U32} + {alo}::UBIGINT)"
-            nhi = (
-                f"(({cross} + {p0} // {U32} + {ahi}::UBIGINT"
-                f" + {nlo_f} // {U32}) % {U32})"
-            )
-            nlo = f"({nlo_f} % {U32})"
-        else:
-            nlo = f"({p0} % {U32})"
-            nhi = f"(({cross} + {p0} // {U32}) % {U32})"
-        return nlo, nhi
 
     stages = []
     # split + xor mask + rotl23, fused: x = xor(bp, mask) in half-words,
@@ -246,6 +250,171 @@ def perm_pipeline_ctes(num_perm: int, src: str = "dbase", key: str = "shingle") 
     return perm_ctes, n_stage
 
 
+def band_fold_ctes(
+    num_perm: int, bands: int, src: str = "mh", id_col: str = "doc_id", seed: int = 42
+) -> tuple[str, str]:
+    """Staged half-word CTE pipeline computing the per-band LSH hash
+    ``bh_b = xx_long(u64(mh_{b·rpb+3}), … xx_long(u64(mh_{b·rpb}), seed))``
+    for every band from a ``(id, mh_0..mh_{num_perm-1})`` source relation
+    — the same seed-chained XXH64-of-longs Spark's ``xxhash64(c0..c3)``
+    runs per band.
+
+    Rationale: the macro form (``xx_long`` nested 4 deep per band) is a
+    deep HUGEINT expression tree re-interpreted per doc×band — measured
+    16.3 s for 5000 docs × 16 bands at sf0.1, 85% of the whole minhash
+    oracle.  This pipeline unrolls the fold into vectorized native-width
+    column stages, exactly the ``perm_pipeline_ctes`` treatment: UBIGINT
+    (lo, hi) 32-bit half-words so every product fits hardware 64-bit,
+    rotations as half-word shuffles, one signed reconstruction at the
+    end (same artifact: 16.3 s → ~0.2 s, values identical).  Exactness
+    is pinned against the Python twin in tests/test_hash_twins.py.
+
+    Returns (ctes_sql, final_cte_name); the final CTE has columns
+    (id_col, bh_0..bh_{bands-1}) as signed BIGINT.
+    """
+    rpb = num_perm // bands
+    U32 = _U32
+    KADD = (P5 + 8) % M64  # seed-chain constant of XXH64's 8-byte path
+
+    def stage(round_r: int, fmt, *, carry_state: bool) -> str:
+        """One CTE body: per-band (lo, hi) exprs + pass-through columns."""
+        cols = []
+        for b in range(bands):
+            lo, hi = fmt(b)
+            cols.append(f"{lo} AS w_lo_{b}")
+            cols.append(f"{hi} AS w_hi_{b}")
+        if carry_state and round_r > 0:
+            for b in range(bands):
+                cols.append(f"s_lo_{b}")
+                cols.append(f"s_hi_{b}")
+        for j in range(num_perm):  # mh values consumed by LATER rounds
+            if j % rpb > round_r:
+                cols.append(f"mh_{j}")
+        return ",\n    ".join(cols)
+
+    stages: list[str] = []
+    for r in range(rpb):
+        v = lambda b: f"mh_{b * rpb + r}"  # noqa: B023 — consumed immediately
+
+        # A: w = u64(v) · P2 (half-word split of the signed BIGINT fused in)
+        def _a(b, _v=v):
+            vlo = f"(({_v(b)} & 4294967295)::UBIGINT)"
+            vhi = f"((({_v(b)} >> 32) & 4294967295)::UBIGINT)"
+            return _mulc_half(vlo, vhi, P2)
+
+        stages.append(stage(r, _a, carry_state=True))
+        # B: w = rotl(w, 31): lo' = (lo%2)·2³¹ + hi//2, hi' = (hi%2)·2³¹ + lo//2
+        stages.append(
+            stage(
+                r,
+                lambda b: (
+                    f"((w_lo_{b} % 2) * 2147483648 + w_hi_{b} // 2)",
+                    f"((w_hi_{b} % 2) * 2147483648 + w_lo_{b} // 2)",
+                ),
+                carry_state=True,
+            )
+        )
+        # C: w = w · P1
+        stages.append(
+            stage(r, lambda b: _mulc_half(f"w_lo_{b}", f"w_hi_{b}", P1), carry_state=True)
+        )
+        # D: w = xor(state + KADD, w); r=0 folds the constant Python-side
+        if r == 0:
+            t0 = (seed + KADD) % M64
+            stages.append(
+                stage(
+                    r,
+                    lambda b: (
+                        f"xor({t0 % U32}::UBIGINT, w_lo_{b})",
+                        f"xor({t0 >> 32}::UBIGINT, w_hi_{b})",
+                    ),
+                    carry_state=False,
+                )
+            )
+        else:
+            stages.append(
+                stage(
+                    r,
+                    lambda b: (
+                        f"xor((s_lo_{b} + {KADD % U32}::UBIGINT) % {U32}, w_lo_{b})",
+                        f"xor((s_hi_{b} + {KADD >> 32}::UBIGINT"
+                        f" + (s_lo_{b} + {KADD % U32}::UBIGINT) // {U32}) % {U32},"
+                        f" w_hi_{b})",
+                    ),
+                    carry_state=False,
+                )
+            )
+        # E: w = rotl(w, 27): lo' = (lo·2²⁷)%2³² + hi//2⁵, hi' symmetric
+        stages.append(
+            stage(
+                r,
+                lambda b: (
+                    f"((w_lo_{b} * 134217728) % {U32} + w_hi_{b} // 32)",
+                    f"((w_hi_{b} * 134217728) % {U32} + w_lo_{b} // 32)",
+                ),
+                carry_state=False,
+            )
+        )
+        # F: w = w · P1 + P4
+        stages.append(
+            stage(
+                r,
+                lambda b: _mulc_half(f"w_lo_{b}", f"w_hi_{b}", P1, add=P4),
+                carry_state=False,
+            )
+        )
+        # G-J: fmix steps 1-4 (^>>33, ·P2, ^>>29, ·P3)
+        stages.append(
+            stage(
+                r,
+                lambda b: (f"xor(w_lo_{b}, w_hi_{b} // 2)", f"w_hi_{b}"),
+                carry_state=False,
+            )
+        )
+        stages.append(
+            stage(r, lambda b: _mulc_half(f"w_lo_{b}", f"w_hi_{b}", P2), carry_state=False)
+        )
+        stages.append(
+            stage(
+                r,
+                lambda b: (
+                    f"xor(w_lo_{b}, (w_hi_{b} % 536870912) * 8 + w_lo_{b} // 536870912)",
+                    f"xor(w_hi_{b}, w_hi_{b} // 536870912)",
+                ),
+                carry_state=False,
+            )
+        )
+        stages.append(
+            stage(r, lambda b: _mulc_half(f"w_lo_{b}", f"w_hi_{b}", P3), carry_state=False)
+        )
+        # K: fmix step 5 (^>>32) — becomes the next round's state
+        k_cols = []
+        for b in range(bands):
+            k_cols.append(f"xor(w_lo_{b}, w_hi_{b}) AS s_lo_{b}")
+            k_cols.append(f"w_hi_{b} AS s_hi_{b}")
+        for j in range(num_perm):
+            if j % rpb > r:
+                k_cols.append(f"mh_{j}")
+        stages.append(",\n    ".join(k_cols))
+
+    recon = ",\n    ".join(
+        f"CASE WHEN s_hi_{b} >= 2147483648"
+        f" THEN ((s_hi_{b}::HUGEINT * {U32} + s_lo_{b}::HUGEINT) - {_lit(M64)})::BIGINT"
+        f" ELSE (s_hi_{b}::BIGINT * {U32} + s_lo_{b}::BIGINT) END AS bh_{b}"
+        for b in range(bands)
+    )
+    ctes = ",\n".join(
+        f"bf{k} AS MATERIALIZED (\n  SELECT {id_col},\n    {cols}\n  FROM bf{k - 1}\n)"
+        for k, cols in enumerate(stages, start=1)
+    ).replace("FROM bf0", f"FROM {src}")
+    final = f"bf{len(stages) + 1}"
+    ctes += (
+        f",\n{final} AS MATERIALIZED (\n  SELECT {id_col},\n    {recon}\n"
+        f"  FROM bf{len(stages)}\n)"
+    )
+    return ctes, final
+
+
 def minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.2) -> str:
     """Oracle for ``minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.2)``.
 
@@ -254,18 +423,11 @@ def minhash_lsh_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0
     (``perm_pipeline_ctes``); minima, band folds, and the agreement count
     are unrolled into vectorized column expressions.
     """
-    rpb = num_perm // bands
     perm_ctes, n_stage = perm_pipeline_ctes(num_perm)
+    bf_ctes, bf_final = band_fold_ctes(num_perm, bands)
 
     mh_cols = ",\n    ".join(f"min(c_{i}) AS mh_{i}" for i in range(num_perm))
-
-    def band_expr(b: int) -> str:
-        e = _lit(42)
-        for r in range(rpb):
-            e = f"xx_long(xx_u64(mh_{b * rpb + r}), {e})"
-        return f"xx_sgn({e})"
-
-    band_list = ",\n      ".join(band_expr(b) for b in range(bands))
+    bh_list = ",\n      ".join(f"bh_{b}" for b in range(bands))
     agree = " + ".join(
         f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(num_perm)
     )
@@ -289,13 +451,14 @@ mh AS MATERIALIZED (
   FROM sh JOIN p{n_stage} USING (shingle)
   GROUP BY doc_id
 ),
+{bf_ctes},
 bands AS MATERIALIZED (
   SELECT doc_id,
          unnest(range({bands})) AS band,
          unnest([
-      {band_list}
+      {bh_list}
     ]) AS band_hash
-  FROM mh
+  FROM {bf_final}
 ),
 cand AS (
   SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
@@ -349,10 +512,19 @@ def classifier_wts_ctes(src: str = "documents") -> str:
 def simhash_oracle() -> str:
     """Oracle for ``simhash(docs, "doc_id", "text")``: dup-weighted token
     votes (token hashed once per DISTINCT token, weighted by occurrence
-    count), 64 unrolled bit-vote sums, empty-token docs emitting 0."""
+    count), 64 unrolled bit-vote sums, empty-token docs emitting 0.
+
+    The ±1 bit signs are extracted per DISTINCT token in ``dh`` (64
+    BIGINT columns on the tiny token dimension), so the per-occurrence
+    vote aggregate is native ``cnt·sign`` integer math — the previous
+    form ran the HUGEINT ``(h // 2^b) % 2`` division per (doc, tok, bit)
+    = 7.4M software-128-bit ops (9.0 s of the oracle's 9.2 s at sf0.1;
+    now ~0.3 s, values identical — integer math either way)."""
+    signs = ",\n    ".join(
+        f"(2 * ((h // {_lit(1 << b)}) % 2) - 1)::BIGINT AS s_{b}" for b in range(64)
+    )
     votes = ",\n    ".join(
-        f"sum(tc.cnt * (2 * ((dh.h // {_lit(1 << b)}) % 2) - 1)) AS v_{b}"
-        for b in range(64)
+        f"sum(tc.cnt * dh.s_{b}) AS v_{b}" for b in range(64)
     )
     bits = " + ".join(
         f"CASE WHEN v_{b} > 0 THEN {_lit(1 << b)} ELSE {_lit(0)} END" for b in range(64)
@@ -360,13 +532,15 @@ def simhash_oracle() -> str:
     return f"""{PRELUDE}
 WITH toks AS MATERIALIZED ({_TOKS}),
 tc AS MATERIALIZED (
-  SELECT doc_id, tok, count(*){_H} AS cnt
+  SELECT doc_id, tok, count(*)::BIGINT AS cnt
   FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
   GROUP BY doc_id, tok
 ),
 dh AS MATERIALIZED (
-  SELECT tok, xx_bytes(tb, {_lit(42)}) AS h
-  FROM (SELECT tok, xx_strbytes(tok) AS tb FROM (SELECT DISTINCT tok FROM tc))
+  SELECT tok,
+    {signs}
+  FROM (SELECT tok, xx_bytes(xx_strbytes(tok), {_lit(42)}) AS h
+        FROM (SELECT DISTINCT tok FROM tc))
 ),
 votes AS MATERIALIZED (
   SELECT tc.doc_id,

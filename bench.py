@@ -108,7 +108,30 @@ def main() -> None:
         except OSError:  # non-Linux fallback
             return []
 
+    # QUIET-WINDOW GATE (r9 verdict ask #6): the r9 driver artifact ran at
+    # loadavg 10.8 and burned a full quiet-host A/B just to prove the +15-34%
+    # was noise.  Background load on this 32-core box makes artifacts
+    # uninterpretable, so before timing anything the harness waits (up to
+    # SPARK_GRAFT_BENCH_QUIET_WAIT_SEC, default 180 s — the 1-min loadavg
+    # decays with a ~1 min time constant, so a burst from a preceding test
+    # run drains within that budget) for the 1-min loadavg to drop under
+    # SPARK_GRAFT_BENCH_LOAD_MAX (default 2.0).  If it never quiets, the
+    # run proceeds but the artifact carries ``load_warning: true`` so a
+    # reviewer knows to discount it rather than re-derive that conclusion.
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    quiet_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_SEC", "180"))
+    waited = 0.0
+    while loadavg() and loadavg()[0] > load_max and waited < quiet_budget:
+        time.sleep(10.0)
+        waited += 10.0
     load_before = loadavg()
+    load_warning = bool(load_before) and load_before[0] > load_max
+    if load_warning:
+        print(
+            f"WARNING: loadavg {load_before[0]} > {load_max} after waiting "
+            f"{waited:.0f}s — timings will include background-load noise",
+            file=sys.stderr,
+        )
 
     # Untimed warmup pass: absorbs Python-worker spawn, Arrow/codegen init
     # and cold-page-cache parquet reads so the timed pass measures plans.
@@ -177,6 +200,9 @@ def main() -> None:
                 "query_spread_pct": spread_pct,
                 "loadavg_before": load_before,
                 "loadavg_after": load_after,
+                "load_threshold": load_max,
+                "quiet_wait_sec": waited,
+                "load_warning": load_warning,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

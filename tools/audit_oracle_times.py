@@ -34,6 +34,13 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--flag", type=float, default=8.0)
     ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument(
+        "--write-cache",
+        action="store_true",
+        help="write the slowest-oracle cache (tools/oracle_slow_list.json) "
+        "that tools/self_audit.py re-times each round; run this after a "
+        "FULL sweep whenever oracles are added or rewritten",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -69,6 +76,26 @@ def main() -> int:
         extra = f" ERROR: {err}" if err else ""
         print(f"{mark} {dt:7.2f}s {name:40s} rows={n}{extra}")
     print(f"\n{len(rows)} oracles, {len(flagged)} flagged (> {args.flag}s or error)")
+    if args.write_cache:
+        import json
+
+        cache = {
+            "note": "slowest DuckDB oracles at sf0.1; self_audit.py re-times "
+            "these and flags > threshold. Regenerate with "
+            "`python tools/audit_oracle_times.py --write-cache` after a "
+            "full sweep.",
+            "sf": args.sf,
+            "threshold_sec": args.flag,
+            "n_timed_full_sweep": len(rows),
+            "slowest": [
+                {"name": name, "sec_at_cache_time": round(dt, 2)}
+                for dt, name, n, err in rows[:15]
+            ],
+        }
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_slow_list.json")
+        with open(path, "w") as f:
+            json.dump(cache, f, indent=1)
+        print(f"wrote {path}")
     return 1 if flagged else 0
 
 

@@ -155,6 +155,81 @@ def regression_shape_scan(paths: list[str]) -> list[str]:
     return hits
 
 
+def oracle_runtime_audit(flag_sec: float = 8.0) -> tuple[list[str], list[str]]:
+    """Re-time the cached slowest DuckDB oracles at sf0.1 (r9 verdict ask
+    #5): the CLAUDE.md audit line is "every ORACLE_SQL < 8 s at sf0.1 in
+    plain DuckDB" — the mechanical tripwire for DuckDB 1.0's plain-CTE
+    inlining trap (a CTE read k times re-evaluates its upstream k×,
+    multiplicative through levels).  Timing all 243 every audit is ~2
+    min, so this re-times the cached top-15 from the last full sweep
+    (tools/oracle_slow_list.json, regenerate with
+    ``audit_oracle_times.py --write-cache``); a NEW oracle can only
+    become slowest by being edited, which is when the full sweep should
+    rerun.  Returns (report_lines, flagged_lines)."""
+    import json
+    import time
+
+    cache_path = os.path.join(REPO, "tools", "oracle_slow_list.json")
+    if not os.path.exists(cache_path):
+        return (
+            ["- no cache: run `python tools/audit_oracle_times.py --write-cache`"],
+            ["oracle_slow_list.json missing"],
+        )
+    cache = json.load(open(cache_path))
+    names = [e["name"] for e in cache["slowest"]]
+    try:
+        import duckdb
+
+        import sys
+
+        sys.path.insert(0, REPO)
+        import __spark_entry__ as contract
+
+        oracles = contract.oracle_sql()
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=16")
+        sf = cache.get("sf", "/root/testdata/sf0.1")
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            p = f"{sf}/{t}.parquet"
+            if os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        timed = []
+        for name in names:
+            sql = oracles.get(name)
+            if sql is None:
+                timed.append((0.0, name, "MISSING from oracle_sql()"))
+                continue
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+                timed.append((time.time() - t0, name, None))
+            except Exception as exc:  # noqa: BLE001
+                timed.append((time.time() - t0, name, str(exc)[:120]))
+    except Exception as exc:  # noqa: BLE001
+        return ([f"- audit failed: {exc}"], [f"oracle audit error: {exc}"])
+    timed.sort(reverse=True)
+    lines = [
+        f"Cached top-{len(names)} oracles re-timed at sf0.1 "
+        f"(flag > {flag_sec:.0f} s; cache from a {cache.get('n_timed_full_sweep', '?')}"
+        "-oracle full sweep):",
+        "",
+        "| sec | oracle | cached sec |",
+        "|---|---|---|",
+    ]
+    cached_by_name = {e["name"]: e["sec_at_cache_time"] for e in cache["slowest"]}
+    for dt, name, err in timed[:5]:
+        lines.append(f"| {dt:.2f} | {name} | {cached_by_name.get(name, '?')} |")
+    flagged = [
+        f"{name}: {dt:.2f}s{' ' + err if err else ''}"
+        for dt, name, err in timed
+        if dt > flag_sec or err
+    ]
+    return lines, flagged
+
+
 def main() -> None:
     repo = repo_sources()
     refs = [(p, open(p, errors="ignore").read()) for p in reference_sources()]
@@ -192,12 +267,18 @@ def main() -> None:
     lines += ["", "## Regression-shape scan (fixed-ADVICE patterns)", ""]
     shapes = regression_shape_scan(repo)
     lines += [f"- {s}" for s in shapes] or ["- none"]
+    lines += ["", "## Oracle runtime audit (DuckDB, sf0.1)", ""]
+    oracle_lines, oracle_flagged = oracle_runtime_audit()
+    lines += oracle_lines
+    lines += ["", "Flagged (> 8 s or error):", ""]
+    lines += [f"- {s}" for s in oracle_flagged] or ["- none"]
     lines.append("")
     out = os.path.join(REPO, "AUDIT.md")
     open(out, "w").write("\n".join(lines))
     print(
         f"wrote {out}: max_sim={sims[0][0]:.3f} stubs={len(stubs)} "
-        f"foreign={len(foreign)} shapes={len(shapes)}"
+        f"foreign={len(foreign)} shapes={len(shapes)} "
+        f"oracle_flagged={len(oracle_flagged)}"
     )
 
 

@@ -133,11 +133,32 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Untimed warmup pass: absorbs Python-worker spawn, Arrow/codegen init
-    # and cold-page-cache parquet reads so the timed pass measures plans.
+    # ADAPTIVE untimed warmup (r9 verdict ask #3): the measured cause of
+    # aspep_extended_pipeline's 3.1-5.2 s day-range is JIT warm-up — the
+    # ~150-column generated codegen methods cost ~35 s of C2 compile time
+    # on first execution, decaying over 5-8 runs to steady state (PERF.md
+    # "the day-range named"), so ONE warmup pass left the min-of-passes
+    # stranded partway down a load-dependent decay curve.  Each query now
+    # warms until two consecutive warmup runs agree within 12% (cap 4);
+    # cheap queries stabilize on the second run, the pipeline query takes
+    # the cap and arrives at the timed passes JIT-settled.
+    jit = None
+    try:
+        jit = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getCompilationMXBean()
+    except Exception:  # noqa: BLE001 — telemetry only
+        pass
+    warmup_runs: dict[str, int] = {}
     for name in BENCH_QUERIES:
-        SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        free_cached_blocks(spark)
+        prev = None
+        for i in range(int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_MAX", "4"))):
+            t0 = time.time()
+            SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            free_cached_blocks(spark)
+            warmup_runs[name] = i + 1
+            if prev is not None and abs(dt - prev) <= 0.12 * prev:
+                break
+            prev = dt
 
     # Auto-extending timed passes: since the reported number is the
     # per-query MINIMUM, the certificate is that each minimum is backed by
@@ -149,8 +170,10 @@ def main() -> None:
     min_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_PASSES", "6"))
     converged = False
+    jit_ms_per_pass: list[int] = []
     for p in range(max_passes):
         pass_total = 0.0
+        jit0 = jit.getTotalCompilationTime() if jit is not None else 0
         for name in BENCH_QUERIES:
             t0 = time.time()
             SPARK_QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -159,6 +182,8 @@ def main() -> None:
             pass_total += dt
             free_cached_blocks(spark)
         pass_totals.append(round(pass_total, 3))
+        if jit is not None:
+            jit_ms_per_pass.append(int(jit.getTotalCompilationTime() - jit0))
         # convergence needs a second observation per query — with
         # SPARK_GRAFT_BENCH_PASSES=1 the check is skipped (converged=False)
         if p + 1 >= max(min_passes, 2):
@@ -194,6 +219,8 @@ def main() -> None:
                 "queries": timings,
                 "r3_queryset_total": r3_subtotal,
                 "warmup": True,
+                "warmup_runs": warmup_runs,
+                "jit_ms_per_pass": jit_ms_per_pass,
                 "passes": len(pass_totals),
                 "pass_totals": pass_totals,
                 "converged": converged,

@@ -142,11 +142,10 @@ def main() -> None:
     # warms until two consecutive warmup runs agree within 12% (cap 4);
     # cheap queries stabilize on the second run, the pipeline query takes
     # the cap and arrives at the timed passes JIT-settled.
-    jit = None
     try:
         jit = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getCompilationMXBean()
     except Exception:  # noqa: BLE001 — telemetry only
-        pass
+        jit = None
     warmup_runs: dict[str, int] = {}
     for name in BENCH_QUERIES:
         prev = None

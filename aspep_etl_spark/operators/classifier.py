@@ -79,8 +79,33 @@ def score_documents_kernel(
     HALF_UP) via ``Decimal(repr(x))``.  Still map-only: zero Exchanges,
     one scan, one Python worker pass per partition; the input is
     projected to (id, keep, text) BEFORE the Arrow exchange so a wide
-    upstream never ships unused columns through the Python worker."""
+    upstream never ships unused columns through the Python worker.
+
+    Edge semantics match the expression twin exactly: a NULL (or
+    non-string) text is DROPPED, same as the twin's ``size(__toks) >= 1``
+    filter over the null token array (pinned in
+    tests/test_classifier_kernel.py).  ``dim`` must be a power of two —
+    the kernel computes unsigned ``xxh64 % dim``, which equals the
+    twin's ``pmod(signed xxhash64, dim)`` only when dim divides 2^64;
+    asserted up front rather than left implicit.
+
+    Residual bit-parity risk (documented, accepted): the kernel's
+    sigmoid uses Python ``math.exp`` (platform libm) while the twin uses
+    the JVM's ``Math.exp``; both are sub-ulp-accurate but not required
+    to be correctly rounded, so a sigmoid value sitting within one ulp
+    of a .5e-6 HALF_UP quantize boundary could round differently between
+    the arms.  The boundary band is ~2^-52 wide relative to the 1e-6
+    grid (~1e-10 hit probability per row); if a parity hash-mismatch
+    ever appears, diff the ``prob`` column first — ``score`` is exp-free
+    and cannot be affected."""
     import pyspark.sql.types as T
+
+    if dim <= 0 or dim & (dim - 1):
+        raise ValueError(
+            f"dim must be a power of two (got {dim}): the kernel's unsigned "
+            "xxh64 % dim only equals the expression twin's "
+            "pmod(signed xxhash64, dim) when dim divides 2^64"
+        )
 
     docs = docs.select(id_col, *keep, text_col)
     in_fields = {f.name: f for f in docs.schema.fields}
@@ -121,7 +146,12 @@ def score_documents_kernel(
             sel, nf, sc, pb = [], [], [], []
             texts = pdf[text_col].values
             for i in range(len(pdf)):
-                toks = word_re.findall(texts[i].lower())
+                t = texts[i]
+                if not isinstance(t, str):
+                    # null / non-string text: DROP, matching the expr
+                    # twin's size(regexp_extract_all(null)) >= 1 filter
+                    continue
+                toks = word_re.findall(t.lower())
                 if not toks:
                     continue
                 feats = toks + [

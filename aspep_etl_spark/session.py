@@ -47,6 +47,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Arrow for every pandas_udf / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Generated-class cache: the default 100 entries thrashes once a
+        # workload cycles through more than ~100 distinct codegen units —
+        # measured on the 17-query bench loop: `events_sessionize` paid
+        # 1.0-1.9 s of recompilation EVERY pass because the queries run
+        # in between evicted its classes (wall 0.82-0.93 s vs 0.49-0.54 s
+        # back-to-back; the monotone r7→r10 creep was the other queries'
+        # codegen footprint growing past the cache).  2000 entries keeps
+        # every plan's classes resident for tens of MB of metaspace —
+        # cheap on any executor sized for real work (PERF.md r11).
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         # 128 MB input splits: good parquet scan granularity at scale.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

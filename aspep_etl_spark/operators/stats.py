@@ -110,3 +110,70 @@ def append_cohort_stats(
             stat_df = stat_df.withColumn(scope_col, F.lit(scope_value))
         frames.append(stat_df)
     return union_by_name(frames)
+
+
+def sketch_median_rank_audit(
+    spark,
+    sf_dir: str,
+    keys: tuple[str, ...] = ("l_returnflag", "l_linestatus"),
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice"),
+    min_group: int = 100,
+) -> dict:
+    """Strong rank audit of the BENCHED sketch-median plan
+    (``a1_grouped_median_sketch``), runnable from any sweep.
+
+    The headline slot's DuckDB oracle only checks an in-[min,max] flag (the
+    sketch value is engine-specific so it cannot be emitted raw) — a much
+    weaker invariant than the rank-count audit its registry twin
+    ``a1_grouped_median_approx`` carries.  This audit closes the gap
+    mechanically: it recomputes the SAME single-pass
+    ``percentile_approx(…, 0.5, APPROX_MEDIAN_ACCURACY)`` aggregate the
+    bench slot runs, then rank-audits each group's percentile element
+    against the raw rows — the element's occupied rank interval
+    ``(lt, le]`` must intersect the slackened window ``n*(0.5 ± 0.01)``
+    and the element must be genuine data (``le > lt``).  Any sketch
+    regression (wrong rank, interpolated non-element) trips this audit
+    even though the headline oracle would still hash-green.
+
+    Returns ``{"ok", "groups_checked", "violations"}`` — callers decide
+    whether to raise (pytest) or fail a sweep (check_correctness).
+    """
+    import math
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    acc = F.lit(APPROX_MEDIAN_ACCURACY)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.percentile_approx(c, F.lit(0.5), acc).alias(f"apx_{c}"))
+    sk = li.groupBy(*keys).agg(*aggs)
+
+    rank_aggs = [F.first("n_rows").alias("n_rows")]
+    for c in cols:
+        rank_aggs += [
+            F.sum((F.col(c) < F.col(f"apx_{c}")).cast("long")).alias(f"lt_{c}"),
+            F.sum((F.col(c) <= F.col(f"apx_{c}")).cast("long")).alias(f"le_{c}"),
+        ]
+    audited = li.join(F.broadcast(sk), list(keys)).groupBy(*keys).agg(*rank_aggs)
+
+    checked = 0
+    violations: list[str] = []
+    for r in audited.collect():
+        n = r["n_rows"]
+        if n < min_group:  # tiny groups: the ±1% window rounds to nothing
+            continue
+        lo = math.ceil(n * 0.49)
+        hi = math.floor(n * 0.51)
+        group = {k: r[k] for k in keys}
+        for c in cols:
+            lt, le = r[f"lt_{c}"], r[f"le_{c}"]
+            checked += 1
+            if le <= lt:
+                violations.append(f"{c}: non-element for {group}")
+            elif not (le >= lo and lt < hi):
+                violations.append(
+                    f"{c}: rank interval ({lt}, {le}] misses [{lo}, {hi}) "
+                    f"for n={n} in {group}"
+                )
+    if checked == 0:
+        violations.append("audit skipped every group — input too small")
+    return {"ok": not violations, "groups_checked": checked, "violations": violations}

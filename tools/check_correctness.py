@@ -167,6 +167,26 @@ def main(argv: list[str]) -> int:
         else:
             failures.append(name)
             print(f"FAIL  {name:28s}{detail[:300]}")
+    # SKETCH RANK AUDIT (r10 verdict ask #5): the benched
+    # `a1_grouped_median_sketch` slot's oracle only checks an in-[min,max]
+    # flag; every sweep now also rank-audits the same single-pass sketch
+    # against the raw rows so the benched plan's median output is verified
+    # mechanically, not just by a pytest run.
+    sketch_audit = None
+    if "a1_grouped_median_sketch" in targets:
+        from aspep_etl_spark.operators.stats import sketch_median_rank_audit
+
+        try:
+            sketch_audit = sketch_median_rank_audit(spark, SF_DIR)
+        except Exception as exc:  # noqa: BLE001
+            sketch_audit = {"ok": False, "groups_checked": 0,
+                            "violations": [f"audit error: {exc}"[:500]]}
+        if sketch_audit["ok"]:
+            print(f"OK    sketch_rank_audit           "
+                  f"{sketch_audit['groups_checked']} elements in rank window")
+        else:
+            failures.append("sketch_rank_audit")
+            print(f"FAIL  sketch_rank_audit           {sketch_audit['violations']}")
     spark.stop()
     if not names:  # full-registry run → committed audit snapshot
         # non-default SF sweeps get their own file so the canonical sf0.01
@@ -187,7 +207,15 @@ def main(argv: list[str]) -> int:
                     "total": len(report),
                     "oracle_checked": n_oracle,
                     "rows_only": len(report) - n_oracle,
-                    "exact": len(targets) - len(failures) - len(closes),
+                    "exact": len(targets)
+                    - len([f for f in failures if f != "sketch_rank_audit"])
+                    - len(closes),
+                    "sketch_audit": (
+                        ("ok" if sketch_audit["ok"] else "VIOLATION")
+                        if sketch_audit is not None
+                        else None
+                    ),
+                    "sketch_audit_detail": sketch_audit,
                     "failures": failures,
                     "close_not_exact": closes,
                     "queries": report,

@@ -330,22 +330,25 @@ def minhash_lsh_pairs(
         )
     # Candidate generation carries BARE ids only: a candidate pair surfacing
     # from several bands would otherwise drag two ~1 KB signature arrays
-    # through the distinct()'s shuffle once per band.  Dedup on (id_a, id_b)
+    # through the dedup's shuffle once per band.  Dedup on (id_a, id_b)
     # first, then re-attach each signature exactly once.
     left = bands_long.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = bands_long.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     # _fan: band rows are bytes-tiny, the bucket self-join output is not —
-    # keep the join + distinct off AQE's ~2-task coalesce (sf1 rehearsal)
-    cand_ids = (
+    # keep the join + dedup off AQE's ~2-task coalesce (sf1 rehearsal)
+    cand_pairs = (
         _fan(left, "band", "band_hash").join(right, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     sigs = banded.select(
         id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig")
     )
-    cand_ids = _fan(cand_ids, "id_a")  # signature-agreement folds are per-pair CPU
+    # dedup rides the _fan fence's numbered id_a exchange (subset-key
+    # partitioning satisfies the aggregate) — one exchange, not the r11
+    # distinct + fence back-to-back pair; signature-agreement folds
+    # downstream are per-pair CPU, so the fence stays load-bearing
+    cand_ids = _fan(cand_pairs, "id_a").dropDuplicates(["id_a", "id_b"])
     cand = cand_ids.join(
         sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
     ).join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
@@ -609,6 +612,10 @@ def embedding_near_dup_pairs_bucketed(
 
         lids, lmat = collect_leader_matrix(leaders, "bucket", "vec_l")
         assign = assign_buckets_gemm(v, lids, lmat, id_col, n_assign)
+        # gemm_screen_pairs already fans the candidate stream onto a
+        # NUMBERED id_a hash exchange and dedups on it — no second
+        # exchange before the verify joins (r12: one Exchange where the
+        # r11 plan had distinct's + the fence's back-to-back)
         cand = gemm_screen_pairs(assign, v, id_col, threshold=threshold)
     else:
         scored = v.crossJoin(F.broadcast(leaders)).withColumn(
@@ -620,16 +627,20 @@ def embedding_near_dup_pairs_bucketed(
             .filter(F.col("__r") <= n_assign)
             .select(id_col, "bucket")
         )
-        cand = (
+        pairs = (
             _fan(assign.select(F.col(id_col).alias("id_a"), "bucket"), "bucket")
             .join(assign.select(F.col(id_col).alias("id_b"), "bucket"), "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct()
         )
+        # the across-bucket dedup RIDES the _fan fence's numbered id_a
+        # exchange (subset-key partitioning satisfies the aggregate's
+        # clustered distribution) — one exchange instead of the r11
+        # distinct + fence pair, and strictly fewer shuffled bytes
+        # (cross-bucket duplicates never met map-side anyway)
+        cand = _fan(pairs, "id_a").dropDuplicates(["id_a", "id_b"])
     a = v.select(F.col(id_col).alias("id_a"), F.col("vec").alias("vec_a"), F.col("norm").alias("norm_a"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vec_b"), F.col("norm").alias("norm_b"))
-    cand = _fan(cand, "id_a")  # survivors re-scored by the exact fold
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -1001,9 +1012,11 @@ def prefix_filter_pairs(
             ).alias("p")
         )
         .select("p.id_a", "p.id_b")
-        .distinct()
     )
-    cand = _fan(cand, "id_a")  # per-pair array_intersect is CPU, not bytes
+    # dedup rides the _fan fence's numbered id_a exchange (subset-key
+    # partitioning satisfies the aggregate) — one exchange, not two;
+    # per-pair array_intersect downstream is CPU, not bytes
+    cand = _fan(cand, "id_a").dropDuplicates(["id_a", "id_b"])
     # exact verification against the persisted full arrays (candidate-
     # bounded: two hash joins on the doc id, no re-shingling)
     fa = arrs.select(

@@ -406,7 +406,22 @@ def gemm_screen_pairs(
     ``block_rows`` row-blocks so a hot bucket of k vectors peaks at
     O(block_rows·k) floats, not k².  Zero-norm rows yield NaN sims and
     screen out.  Output: bare (id_a < id_b), de-duplicated across
-    buckets — feed to the exact fold for refinement.
+    buckets AND already fanned to full parallelism on a NUMBERED id_a
+    hash exchange (the ``_fan`` fence, see ``operators/dedup.py``) —
+    feed straight to the exact fold for refinement, no further
+    repartition needed.
+
+    The across-bucket dedup RIDES that fan exchange instead of paying
+    its own: hash partitioning on ``id_a`` co-locates every copy of an
+    (id_a, id_b) pair (subset-key partitioning satisfies the
+    aggregate's clustered distribution), so the planner elides the
+    dedup's exchange — one shuffle of the candidate stream where the
+    r11 plan had two back-to-back (distinct's ENSURE_REQUIREMENTS
+    exchange + the caller's REPARTITION_BY_NUM fence), and the shuffle
+    now happens before dedup, which is strictly fewer bytes than the
+    old partial-dedup + dedup double shuffle (cross-bucket duplicates
+    land in different map tasks, so map-side partial dedup caught
+    ~nothing).
 
     The default ``margin`` is NOT a bare ulp guard: the refine filter
     (and the DuckDB oracle) accept ``round(cosine, 4) >= threshold``,
@@ -445,11 +460,9 @@ def gemm_screen_pairs(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
-    return (
-        joined.groupBy(bucket_col)
-        .applyInPandas(fn, "id_a long, id_b long")
-        .distinct()
-    )
+    pairs = joined.groupBy(bucket_col).applyInPandas(fn, "id_a long, id_b long")
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(par, F.col("id_a")).dropDuplicates(["id_a", "id_b"])
 
 
 def pq_adc_topk(

@@ -247,7 +247,6 @@ def dedup_semantic(spark, sf_dir):
     cluster sizes — fixed k = 4 here keeps the oracle's unrolled Lloyd
     chain small."""
     from ..operators.clustering import lloyd_kmeans_assign, seeded_label_init
-    from ..operators.dedup import _fan
     from ..operators.similarity import cosine_expr, gemm_screen_pairs, with_norm
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -272,8 +271,11 @@ def dedup_semantic(spark, sf_dir):
         F.col("vec").alias("vec_b"),
         F.col("norm").alias("norm_b"),
     )
+    # gemm_screen_pairs already fans the candidate stream onto a numbered
+    # id_a hash exchange (and dedups on it) — re-fanning here would add
+    # back the exchange the r12 restructure removed
     dropped = (
-        _fan(cand, "id_a")
+        cand
         .join(a, "id_a")
         .join(b, "id_b")
         .filter(

@@ -210,6 +210,15 @@ def main() -> None:
                 break
 
     timings = {q: min(obs) for q, obs in observations.items()}
+    # PASS-COUNT-NEUTRAL companion numbers (r11 verdict ask #6): the
+    # reported metric stays min-of-all-passes, but because convergence can
+    # extend one round's run to more passes than another's, min-of-all is
+    # mildly flattered by extra sampling.  ``min_of_first_2`` uses the same
+    # pass count every run, so round-over-round deltas read off it are
+    # immune to pass asymmetry; ``observations`` carries the raw per-pass
+    # numbers so any other statistic can be recomputed later.  Additions
+    # only — no existing field changes.
+    min_of_first_2 = {q: min(obs[:2]) for q, obs in observations.items()}
     # per-query spread between the two best observations: ≤ ~5% means the
     # reported minimum is a stable number, not a lucky outlier
     spread_pct = {
@@ -236,6 +245,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min_of_first_2": min_of_first_2,
+                "total_min_of_first_2": round(sum(min_of_first_2.values()), 3),
+                "observations": observations,
                 "r3_queryset_total": r3_subtotal,
                 "warmup": True,
                 "warmup_runs": warmup_runs,

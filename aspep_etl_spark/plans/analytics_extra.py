@@ -285,28 +285,36 @@ def _pagerank_sql(iters: int = 3, dp: int = 9, top: int = 100) -> str:
     """Unroll the damped iterations as CTEs.  All float literals are
     ::DOUBLE (a bare 0.85 is DECIMAL in DuckDB) and the teleport term is
     written (1.0 - 0.85::DOUBLE) so both engines fold the same IEEE
-    constant the Spark side computes from `1.0 - damping`."""
+    constant the Spark side computes from `1.0 - damping`.
+
+    Every CTE is MATERIALIZED (CLAUDE.md rule): DuckDB 1.0 inlines plain
+    CTEs at every reference, multiplicatively through levels — here
+    ``edges`` is read by ``nodes`` (2×), ``deg`` and every round, each
+    copy re-running ``e0``'s 8.7M-row orders×lineitem join, which is what
+    cost the sf1 sweep a 473 s standalone-timeout carve-out (r11 VERDICT
+    ask #5).  Materialization changes no values — the same fixpoint is
+    computed once per CTE."""
     parts = [
-        f"""WITH e0 AS (
+        f"""WITH e0 AS MATERIALIZED (
   SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
-), nodes AS (
+), nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src, count(*) AS d FROM edges GROUP BY src
-), nn AS (
+), nn AS MATERIALIZED (
   SELECT count(*)::DOUBLE AS n FROM nodes
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT node, round(1.0 / nn.n, {dp}) AS rank FROM nodes, nn
 )"""
     ]
     prev = "r0"
     for t in range(1, iters + 1):
         parts.append(
-            f""", r{t} AS (
+            f""", r{t} AS MATERIALIZED (
   SELECT nd.node,
          round((1.0 - 0.85::DOUBLE) / any_value(nn.n)
                + 0.85::DOUBLE * coalesce(sum(r.rank / deg.d), 0.0), {dp}) AS rank

@@ -1456,6 +1456,26 @@ def aspep_extended_pipeline(spark, sf_dir, median_of="exact"):
             F.count("*").cast("double").alias("ft_employment"),
         )
     )
+    # Scale-adaptive fact materialization (r12, VERDICT r11 ask #2; guide
+    # §2.4/§5): the 3-branch stats union physically rebuilds the fact per
+    # branch (3 lineitem scans + 3 fact aggregations — column pruning
+    # splits the fused stats agg across union branches).  Measured 2×2
+    # (PERF.md r12): the duplicate rebuilds ride idle cores while the
+    # three scan branches roughly fit the core budget — sf0.1/local[32]
+    # (33 scan tasks on 32 cores, ~1× subscription): persist loses ~10%
+    # (the InMemoryRelation barrier + broken codegen fusion cost more
+    # than the contention saves); once the duplicated scan work
+    # oversubscribes the cores ≥2× the persist wins decisively —
+    # sf0.1/local[8] +23%, sf1/local[32] +23%, sf1/local[8] +25-30%.
+    # The switch is derived from the ACTUAL scan split count vs the
+    # session's parallelism, not a constant tuned for either mode — on a
+    # saturated 100 TB cluster it is always on, and the driver's
+    # vanilla-session sf0.01 correctness runs (1-split scan) keep the
+    # r11 plan.  The persisted frame is aggregate-grain (states ×
+    # functions × years rows, KBs); harness sweeps free it via
+    # ``cache.free_cached_blocks``.
+    if 3 * li.rdd.getNumPartitions() > 2 * spark.sparkContext.defaultParallelism:
+        fact = fact.persist()
     stats = derive_stats(fact, median_of=median_of)
     return derive_extended_stats(stats)
 

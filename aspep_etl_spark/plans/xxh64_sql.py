@@ -465,12 +465,18 @@ cand AS (
   FROM bands ba JOIN bands bb USING (band, band_hash)
   WHERE ba.doc_id < bb.doc_id
 )
-SELECT c.id_a, c.id_b,
-       round(({agree}) / {num_perm}.0, 4) AS est_jaccard
-FROM cand c
-JOIN mh x ON x.doc_id = c.id_a
-JOIN mh y ON y.doc_id = c.id_b
-WHERE round(({agree}) / {num_perm}.0, 4) >= {threshold}
+SELECT id_a, id_b, est_jaccard
+FROM (
+  -- the {num_perm}-term agreement CASE sum is the oracle's hot
+  -- expression: evaluate it ONCE per candidate pair in this inline
+  -- subquery instead of twice (SELECT + WHERE), values unchanged
+  SELECT c.id_a, c.id_b,
+         round(({agree}) / {num_perm}.0, 4) AS est_jaccard
+  FROM cand c
+  JOIN mh x ON x.doc_id = c.id_a
+  JOIN mh y ON y.doc_id = c.id_b
+)
+WHERE est_jaccard >= {threshold}
 """
 
 

@@ -90,6 +90,20 @@ TIER_QUERIES = [
     "mv_join_retraction",
     "mv_join_dim_update",
     "streaming_mv_many_batches",
+    # round 12 (r11 verdict ask #8, streaming tier visibility): the
+    # non-MV streaming maintenance paths — stateful sessionize, the two
+    # watermarked dedup shapes, per-key rate limiting, the watermarked
+    # stream-stream join, sketch maintenance and micro-batch rollup —
+    # were correctness-swept but never tier-benched, so their scaling
+    # cost was invisible.  Each drives the real streaming engine
+    # (file-stream readers, checkpoints, state store) per micro-batch.
+    "streaming_sessionize",
+    "streaming_debounce",
+    "streaming_dedup",
+    "streaming_rate_limit",
+    "streaming_stream_join",
+    "streaming_cms_heavy_hitters",
+    "streaming_hourly_rollup",
 ]
 
 

@@ -97,7 +97,7 @@ def docs_dsir_weights(spark, sf_dir):
     unigram models, Laplace-smoothed.  The 256-bucket model is a
     broadcast relation; scoring is one token scan + ordered position
     fold, ``round(·, 6)`` absorbing libm log10 slack."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_compute=True)
     # two persist fences (r8; measured 8.4 → 6.0 s at sf1): the array
     # frame fences the regexp from posexplode's per-emitted-element
     # re-evaluation (the documented explode trap), and the token frame

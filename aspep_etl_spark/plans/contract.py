@@ -817,7 +817,7 @@ WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.05
 
 def text_quality_q(spark, sf_dir):
     """Per-document quality metrics: token count, punctuation/stopword ratios, token length."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_compute=True)
     m = quality_metrics(F.col("text"))
     return docs.select(
         "doc_id",
@@ -886,8 +886,11 @@ FROM documents
 def ann_cosine_topk_q(spark, sf_dir):
     """Exact brute-force cosine top-k: broadcast query set over one corpus scan."""
     emb = _t(spark, sf_dir, "embeddings")
+    # fan the CORPUS side only (the per-row cosine×|queries| work); the
+    # query side is a 10-row broadcast build that needs no parallelism
+    corpus = _t(spark, sf_dir, "embeddings", fan_compute=True)
     queries = emb.filter(F.col("vec_id") < 10)
-    out = brute_force_topk(emb, queries, k=5)
+    out = brute_force_topk(corpus, queries, k=5)
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("knn_rank").cast("long").alias("knn_rank")
     )

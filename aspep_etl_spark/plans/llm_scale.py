@@ -36,7 +36,7 @@ def docs_classifier_score(spark, sf_dir):
     sigmoid per document.  Map-only — the plan has zero Exchanges; at
     100 TB this is a scan-bound single pass, the cheapest possible shape
     for a corpus-wide model gate."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_compute=True)
     return score_documents(docs, "text", "doc_id", dim=4096)
 
 

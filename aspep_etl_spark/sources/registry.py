@@ -28,10 +28,85 @@ TABLES = (
 ).split()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: Fan-out floor: below this compressed size the per-task overhead of the
+#: extra exchange (shuffle fences, Python-worker batch setup, more tasks in
+#: every downstream stage) outweighs the parallelism — measured at sf0.1
+#: (594 KB documents): dsir fan +23%, classifier fan a wash, extended
+#: pipeline fan +43%.  Env-overridable for other deployments.
+_FAN_MIN_BYTES = 2 * 1024 * 1024
+
+
+def fan_for_compute(df: DataFrame, path: str, min_bytes: int | None = None) -> DataFrame:
+    """Scale-adaptive scan fan-out for compute-heavy single-pass consumers
+    (guide §2.5 "input skew": a compact/unsplittable input whose derived
+    per-row work is far heavier than its bytes).
+
+    Parquet splits only at ROW-GROUP boundaries — a byte-split holding no
+    row-group midpoint reads nothing — and this corpus's small files are
+    single-row-group, so their scans are ONE effective task no matter how
+    many byte splits the planner makes.  When (and only when) the scan is
+    genuinely undersubscribed, redistribute rows round-robin across the
+    session's cores so the regex/vector/Arrow work downstream runs at full
+    parallelism.  Conditions (all must hold, else the plan is unchanged):
+
+    - compressed input ≥ ``min_bytes`` (default 2 MB,
+      ``$SPARK_GRAFT_FAN_MIN_BYTES``) — below it the exchange overhead wins
+      (measured, see ``_FAN_MIN_BYTES``);
+    - effective scan parallelism — min(byte splits, total parquet row
+      groups; footers read only when the file count is small enough that
+      the answer could still be "undersubscribed") — is under HALF the
+      session's cores.  At 100 TB splits ≫ cores, so this is a no-op
+      exactly where a payload shuffle would be a catastrophe.
+
+    Round-robin ``repartition(n)`` is retry-safe (sort-before-repartition,
+    SPARK-23207) and row-set-preserving; every caller aggregates or ranks
+    downstream, so results are order-independent.
+    """
+    import os
+
+    spark = df.sparkSession
+    if min_bytes is None:
+        min_bytes = int(
+            os.environ.get("SPARK_GRAFT_FAN_MIN_BYTES", _FAN_MIN_BYTES)
+        )
+    try:
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        )
+        if sum(os.path.getsize(f) for f in files) < min_bytes:
+            return df
+        par = spark.sparkContext.defaultParallelism
+        splits = df.rdd.getNumPartitions()
+        eff = splits
+        # row-group-aware refinement: only worth footer reads while the
+        # file count alone doesn't already prove full subscription
+        if len(files) * 2 <= par:
+            import pyarrow.parquet as pq
+
+            eff = min(
+                splits,
+                sum(pq.ParquetFile(f).metadata.num_row_groups for f in files),
+            )
+        if eff * 2 > par:
+            return df
+    except Exception:  # noqa: BLE001 — fan is an optimization, never a gate
+        return df
+    return df.repartition(par)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_compute: bool = False
+) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name != "events":
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        return fan_for_compute(df, path) if fan_compute else df
 
     # Runtime-settable SQL confs; also works when the caller (the driver)
     # built its own SparkSession without these flags.  The UTC pin makes
@@ -58,7 +133,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # through spark.sql.timestampType and becomes a no-op if a
         # caller session defaults to TIMESTAMP_NTZ).
         df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return df
+    return fan_for_compute(df, path) if fan_compute else df
 
 
 def register_views(

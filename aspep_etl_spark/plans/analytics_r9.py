@@ -1123,9 +1123,18 @@ def docs_nb_crossval_capped(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn("fold", _cv_fold(F.col("doc_id")))
     # (doc, word, n) sufficient statistics, persisted: the explode is
     # fenced from the regexp by the aggregation itself, and this is the
-    # ONLY relation any downstream job rescans
+    # ONLY relation any downstream job rescans.  The regex+explode is the
+    # query's dominant single-task cost when the docs scan is a compact
+    # single-row-group file (r12 event-log capture at sf1: one 17 s task
+    # vs 0.7 s stage median), so THIS branch reads through the adaptive
+    # fan (no-op at sf0.1/at-scale, see registry.fan_for_compute); the
+    # prior/scoring branches keep the plain scan — their per-row work is
+    # trivial and the scoring join re-exchanges on doc_id anyway.
+    docs_fanned = _t(spark, sf_dir, "documents", fan_compute=True).withColumn(
+        "fold", _cv_fold(F.col("doc_id"))
+    )
     dw = (
-        docs.select(
+        docs_fanned.select(
             "doc_id",
             "lang",
             "fold",

@@ -44,6 +44,9 @@ FANNED_QUERIES = (
     "docs_dsir_weights",
     "docs_classifier_score",
     "ann_cosine_topk",
+    # fanned on the dw-build branch only (the regex+explode single-task
+    # stage the r12 event-log capture named)
+    "docs_nb_crossval_capped",
 )
 
 

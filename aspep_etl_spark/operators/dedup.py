@@ -86,8 +86,10 @@ def shingles(
     emitted shingle (see ``jaccard_pairs``; measured ~20× on this corpus).
     Sweep with ``cache.free_cached_blocks`` after consuming in multi-query
     sessions."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    arr = shingle_arrays(df.repartition(par), id_col, text_col, n).persist()
+    # _spread, not an unconditional repartition: a properly-split lake
+    # scan (partitions >= cores) must NOT pay a full-corpus shuffle —
+    # the exchange fires only when the scan is genuinely coalesced
+    arr = shingle_arrays(_spread(df), id_col, text_col, n).persist()
     return arr.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
 
 
@@ -120,9 +122,9 @@ def jaccard_pairs(
     """
     # Spread the regex-heavy shingle stage across all cores (a small file
     # arrives as one input split) and MATERIALIZE it (see docstring) — it
-    # feeds both the size lookup and the posting-list build.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    arrs = shingle_arrays(df.repartition(par), id_col, text_col, n).persist()
+    # feeds both the size lookup and the posting-list build.  _spread is
+    # conditional: a wide lake scan passes through without the shuffle.
+    arrs = shingle_arrays(_spread(df), id_col, text_col, n).persist()
     sizes = arrs.select(F.col(id_col), F.col("n_shingles"))  # map-side, no agg
     sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
 
@@ -799,9 +801,8 @@ def substring_span_dedup(
             f"i -> concat_ws(' ', slice(__toks, i + 1, {k})))"
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    par = df.sparkSession.sparkContext.defaultParallelism
     base = (
-        df.repartition(par)
+        _spread(df)
         .select(F.col(id_col), toks.alias("__toks"))
         .withColumn("__grams", grams_expr)
         .persist()  # MATERIALIZATION FENCE: feeds the explode AND the rebuild
@@ -892,10 +893,7 @@ def incremental_jaccard_matches(
     """
     from pyspark.sql import Window
 
-    c_arr = shingle_arrays(
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
-        id_col, text_col, n,
-    ).persist()
+    c_arr = shingle_arrays(_spread(corpus), id_col, text_col, n).persist()
     d_arr = shingle_arrays(delta, id_col, text_col, n).persist()
 
     posting = (
@@ -969,8 +967,7 @@ def prefix_filter_pairs(
     equality is pinned in tests/test_prefix_filter.py and by sharing its
     DuckDB oracle."""
     t_eff = max(threshold - 5e-5, 0.0)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    arrs = shingle_arrays(df.repartition(par), id_col, text_col, n).persist()
+    arrs = shingle_arrays(_spread(df), id_col, text_col, n).persist()
     arrs = arrs.filter(F.col("n_shingles") > 0)
     sh = arrs.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))

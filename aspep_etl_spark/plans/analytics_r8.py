@@ -619,7 +619,14 @@ def docs_logreg_train(spark, sf_dir):
     accuracy hovers at chance; the audit of a working optimizer here is
     the MONOTONE gradient/loss descent, which the twin reproduces
     bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents").select(
+    # The regex+explode+md5 bucketing below materializes in docbkt's
+    # persist job, fused onto the docs scan — ONE effective task on a
+    # compact single-row-group file (the r12 single-row-group finding;
+    # the three GD rounds then rescan the parallel persisted frame, so
+    # the serial scan was the whole training wall's floor).  Read through
+    # the adaptive fan (no-op at sf0.1/at-scale); all downstream sums
+    # are integer-exact and order-insensitive by design.
+    docs = _t(spark, sf_dir, "documents", fan_compute=True).select(
         "doc_id",
         (F.substring("source", 4, 10).cast("int") % 2 == 0).cast("long").alias("y"),
         "text",

@@ -882,7 +882,18 @@ def docs_nb_crossval(spark, sf_dir):
     (round 4) — the honest generalization estimate for the lang-ID
     gate, vs the single-split estimate ``docs_nb_classify`` gives."""
     docs = _t(spark, sf_dir, "documents").withColumn("fold", _cv_fold(F.col("doc_id")))
-    tok = docs.select(
+    # The regex+posexplode materializes in tok's persist job — fused onto
+    # the docs scan, which on a compact single-row-group file is ONE
+    # effective task (the r12 event-log finding on the capped twin: one
+    # 17 s task vs a 0.7 s stage median at sf1).  The token branch
+    # therefore reads through the adaptive fan (no-op at sf0.1/at-scale,
+    # see registry.fan_for_compute); the prior branches below keep the
+    # plain scan — per-row work there is a trivial count.  Downstream is
+    # order-insensitive by construction (integer count aggs; scoring
+    # folds over an array_sort'ed (pos, term) array).
+    tok = _t(spark, sf_dir, "documents", fan_compute=True).withColumn(
+        "fold", _cv_fold(F.col("doc_id"))
+    ).select(
         "doc_id",
         F.col("lang"),
         "fold",

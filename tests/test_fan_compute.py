@@ -47,6 +47,10 @@ FANNED_QUERIES = (
     # fanned on the dw-build branch only (the regex+explode single-task
     # stage the r12 event-log capture named)
     "docs_nb_crossval_capped",
+    # r12b tier adoptions: the token/bucket materialization branches —
+    # integer-exact aggregation throughout, so order is invisible
+    "docs_nb_crossval",
+    "docs_logreg_train",
 )
 
 

@@ -126,3 +126,47 @@ def test_spread_repartitions_undersplit_scan(spark, tmp_path):
     df = spark.read.parquet(f)  # tiny file -> 1 split
     assert df.rdd.getNumPartitions() < par
     assert _spread(df).rdd.getNumPartitions() == par
+
+
+def test_shingle_family_rides_spread_not_unconditional_repartition(
+    spark, tight_splits, tmp_path
+):
+    """r12: the shingle-family entry points (``shingles``,
+    ``jaccard_pairs``' array build, ``substring_span_dedup``,
+    ``jaccard_prefix_filter_pairs``, incremental corpus side) used an
+    UNCONDITIONAL ``repartition(par)`` — on a healthy lake scan
+    (partitions >= cores, real row groups behind them) that is a
+    full-corpus payload shuffle for nothing, and at 100 TB it would also
+    REDUCE parallelism to the local core count.  They now ride
+    ``_spread``: this pins that a healthy input reaches the regex stage
+    with NO RoundRobin exchange, while the starved single-split input
+    still spreads (behavior identical to the old code exactly where the
+    old code was right)."""
+    import contextlib
+    import io
+
+    from aspep_etl_spark.operators.dedup import shingles
+
+    par = spark.sparkContext.defaultParallelism
+    f = str(tmp_path / "healthy2.parquet")
+    _write_one_file(f, n_rows=2000, row_group_size=100)  # 20 row groups
+    df = spark.read.parquet(f)
+    assert df.rdd.getNumPartitions() >= par
+
+    sh = shingles(df, "doc_id", "text", n=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sh.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "RoundRobinPartitioning" not in plan and "REPARTITION_BY_NUM" not in plan, (
+        "healthy scan paid the shuffle the _spread conversion removed"
+    )
+
+    tiny = str(tmp_path / "tiny2.parquet")
+    _write_one_file(tiny, n_rows=50, row_group_size=50)
+    df_t = spark.read.parquet(tiny)
+    sh_t = shingles(df_t, "doc_id", "text", n=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sh_t.explain(mode="simple")
+    assert "RoundRobinPartitioning" in buf.getvalue()
